@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver-generated fixture tables (TESTDATA.md).
+  *
+  * All analytic operators read through here so that source-level
+  * normalization (e.g. nanosecond→microsecond timestamps on `events`)
+  * happens exactly once and every query sees the same schema the DuckDB
+  * oracle sees.
+  *
+  * Scale note: these are plain parquet scans — Catalyst pushes filters and
+  * prunes columns into the scan, so at 100 TB the same code paths hit
+  * partition pruning + predicate pushdown with no driver-side work.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS). Spark's vectorized
+    * reader cannot represent nanos in TimestampType (micros); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a LongType of
+    * nanoseconds which we convert to a proper TimestampType here (truncation
+    * to micros, matching what DuckDB renders at micro precision).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+}

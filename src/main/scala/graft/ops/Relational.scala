@@ -1,0 +1,384 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Relational operator inventory (SURVEY.md §2 Part B, groups B1-B3).
+  *
+  * Each entry is one declared query: a Spark DataFrame builder plus a DuckDB
+  * twin in [[oracle]]. Float parity rule: every SUM/AVG over a double column
+  * goes through DECIMAL(18,2|4) on BOTH sides so the aggregate is exact and
+  * order-independent, then is cast back to DOUBLE — identical bits regardless
+  * of partitioning, so the same query verifies on local[32] and on a
+  * 1000-executor cluster.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val D2 = DecimalType(18, 2)
+  /** Exact, order-independent sum of a 2-decimal money column. */
+  def dsum(c: Column): Column = sum(c.cast(D2)).cast("double")
+  /** sum(a * (1 - b)) in exact decimal arithmetic. */
+  def revenue(price: Column, disc: Column): Column =
+    sum(price.cast(D2) * (lit(1) - disc.cast(D2))).cast("double")
+
+  // ---------------------------------------------------------------- B1 scans
+  /** S1: parquet scan with filter+projection (pushdown-verified in tests). */
+  val s1ParquetScan: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** S2+S6: CSV sink then CSV scan with explicit schema; aggregate parity. */
+  val s2CsvRoundtrip: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("n_regionkey")).agg(
+        count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_name"))
+  }
+
+  /** S3+S6: JSON-lines sink then scan; aggregate parity. */
+  val s3JsonRoundtrip: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite").json(out)
+    s.read.json(out)
+      .groupBy(col("c_mktsegment")).agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** S4: in-memory literal table joined to a stored one. */
+  val s4InMemory: Q = (s, d) => {
+    import s.implicits._
+    val prio = Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+      ("4-NOT SPECIFIED", 4), ("5-LOW", 5)).toDF("prio_name", "prio_rank")
+    Tables.orders(s, d)
+      .join(prio, col("o_orderpriority") === col("prio_name"))
+      .groupBy(col("prio_rank")).agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** S5: partitioned parquet sink, re-read, aggregate parity. */
+  val s5ParquetSink: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") > 25)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  // ------------------------------------------------- B2 projection / filter
+  /** P1: project / rename / drop / computed column. */
+  val p1Project: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumnRenamed("c_custkey", "id")
+      .withColumn("name_upper", upper(col("c_name")))
+      .withColumn("bal_cents", (col("c_acctbal").cast(D2) * 100).cast("long"))
+      .drop("c_acctbal", "c_name")
+      .select(col("id"), col("name_upper"), col("bal_cents"), col("c_mktsegment"))
+
+  /** P2: comparison, BETWEEN, IN, LIKE, NOT, boolean combos. */
+  val p2Filter: Q = (s, d) =>
+    Tables.orders(s, d)
+      .where(
+        col("o_totalprice").between(1000, 200000) &&
+        col("o_orderstatus").isin("O", "F") &&
+        col("o_orderpriority").like("%URGENT%") &&
+        !(col("o_custkey") === 7) &&
+        (col("o_orderkey") % 2 === 0 || col("o_totalprice") > 150000))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** P3: CASE WHEN bucketing. */
+  val p3CaseWhen: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("price_band",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high"))
+      .groupBy(col("price_band"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** P4: casts across numeric/string/date types. */
+  val p4Cast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_quantity").cast("string").as("qty_str"),
+        col("l_linenumber").cast("double").as("line_dbl"),
+        col("l_shipdate").cast("date").cast("string").as("ship_day"))
+      .where(col("l_orderkey") <= 100)
+
+  /** P5: null creation + coalesce / fill / drop. */
+  val p5Nulls: Q = (s, d) => {
+    val withNulls = Tables.customer(s, d)
+      .withColumn("maybe_seg",
+        when(col("c_custkey") % 3 === 0, col("c_mktsegment")))
+      .withColumn("maybe_bal",
+        when(col("c_acctbal") > 0, col("c_acctbal")))
+    withNulls
+      .na.fill(Map("maybe_bal" -> -1.0))
+      .withColumn("seg_or_na", coalesce(col("maybe_seg"), lit("NA")))
+      .groupBy(col("seg_or_na"))
+      .agg(count(lit(1)).as("n"), dsum(col("maybe_bal")).as("bal_filled"))
+  }
+
+  /** P6: distinct on a projection (dropDuplicates full-row). */
+  val p6Distinct: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .dropDuplicates()
+
+  // ---------------------------------------------------------------- B3 joins
+  /** J1 flagship: 5-way star join + filter + exact-decimal revenue agg.
+    * Dims are broadcast (see j6); fact-fact join shuffles on the key. */
+  val j1RevenueByNation: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             o("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** J2: left outer join keeping customers with zero orders. */
+  val j2LeftOuter: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+  }
+
+  /** J2b: full outer join over two derived key sets. */
+  val j2FullOuter: Q = (s, d) => {
+    val buyers = Tables.orders(s, d).where(col("o_totalprice") > 180000)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("big_orders"))
+    val rich = Tables.customer(s, d).where(col("c_acctbal") > 4000)
+      .select(col("c_custkey").as("k"), col("c_acctbal"))
+    buyers.join(rich, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("big_orders"), lit(0L)).as("big_orders"),
+        coalesce(col("c_acctbal").cast(D2).cast("double"), lit(-1.0)).as("bal"))
+  }
+
+  /** J3: left semi + left anti — customers with/without orders, per nation. */
+  val j3SemiAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("without_orders"))
+    semi.join(anti, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+  }
+
+  /** J4: cross join (both sides tiny — broadcast NL join). */
+  val j4Cross: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"))
+
+  /** J5: theta join — equi key + range predicate (ship after order date). */
+  val j5RangeJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+               li("l_shipdate") > o("o_orderdate"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_shipped_after"),
+           dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
+  /** J6: explicit broadcast of the dimension side; result must equal the
+    * non-hinted plan (the oracle is the same SQL as a plain join). */
+  val j6Broadcast: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
+  /** J7: as-of join — for each purchase event, the latest signup of the same
+    * user at-or-before it. Implemented scale-first: one shuffle on user_id +
+    * an ordered window (no row-pair explosion), instead of an inequality
+    * self-join. Oracle: DuckDB ASOF JOIN. */
+  val j7AsOf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val tagged = ev.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_signup", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("last_signup").isNotNull)
+      .select(col("event_id"),
+        col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_sec"),
+        unix_timestamp(col("last_signup")).as("signup_sec"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_parquet_scan" -> s1ParquetScan,
+    "s2_csv_roundtrip" -> s2CsvRoundtrip,
+    "s3_json_roundtrip" -> s3JsonRoundtrip,
+    "s4_inmemory_values" -> s4InMemory,
+    "s5_parquet_sink" -> s5ParquetSink,
+    "p1_project" -> p1Project,
+    "p2_filter" -> p2Filter,
+    "p3_case_when" -> p3CaseWhen,
+    "p4_cast" -> p4Cast,
+    "p5_nulls" -> p5Nulls,
+    "p6_distinct" -> p6Distinct,
+    "j1_revenue_by_nation" -> j1RevenueByNation,
+    "j2_left_outer" -> j2LeftOuter,
+    "j2b_full_outer" -> j2FullOuter,
+    "j3_semi_anti" -> j3SemiAnti,
+    "j4_cross" -> j4Cross,
+    "j5_range_join" -> j5RangeJoin,
+    "j6_broadcast" -> j6Broadcast,
+    "j7_asof_join" -> j7AsOf
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+    "s2_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+         FROM nation GROUP BY 1""",
+    "s3_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY 1""",
+    "s4_inmemory_values" ->
+      """SELECT prio_rank, count(*) AS n_orders
+         FROM orders JOIN (VALUES ('1-URGENT',1),('2-HIGH',2),('3-MEDIUM',3),
+              ('4-NOT SPECIFIED',4),('5-LOW',5)) AS p(prio_name, prio_rank)
+           ON o_orderpriority = prio_name
+         GROUP BY 1""",
+    "s5_parquet_sink" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem WHERE l_quantity > 25 GROUP BY 1""",
+    "p1_project" ->
+      """SELECT c_custkey AS id, upper(c_name) AS name_upper,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+                c_mktsegment
+         FROM customer""",
+    "p2_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice BETWEEN 1000 AND 200000
+           AND o_orderstatus IN ('O','F')
+           AND o_orderpriority LIKE '%URGENT%'
+           AND NOT (o_custkey = 7)
+           AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)""",
+    "p3_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS price_band,
+                o_orderstatus, count(*) AS n_orders
+         FROM orders GROUP BY 1, 2""",
+    "p4_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS INT) AS qty_int,
+                CAST(l_quantity AS VARCHAR) AS qty_str,
+                CAST(l_linenumber AS DOUBLE) AS line_dbl,
+                CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day
+         FROM lineitem WHERE l_orderkey <= 100""",
+    "p5_nulls" ->
+      """SELECT coalesce(CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END, 'NA') AS seg_or_na,
+                count(*) AS n,
+                CAST(sum(CAST(coalesce(CASE WHEN c_acctbal > 0 THEN c_acctbal END, -1.0)
+                     AS DECIMAL(18,2))) AS DOUBLE) AS bal_filled
+         FROM customer GROUP BY 1""",
+    "p6_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "j1_revenue_by_nation" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2""",
+    "j2_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "j2b_full_outer" ->
+      """SELECT coalesce(b.k, r.k) AS k,
+                coalesce(b.big_orders, 0) AS big_orders,
+                coalesce(CAST(CAST(r.c_acctbal AS DECIMAL(18,2)) AS DOUBLE), -1.0) AS bal
+         FROM (SELECT o_custkey AS k, count(*) AS big_orders FROM orders
+               WHERE o_totalprice > 180000 GROUP BY 1) b
+         FULL OUTER JOIN (SELECT c_custkey AS k, c_acctbal FROM customer
+               WHERE c_acctbal > 4000) r
+           ON b.k = r.k""",
+    "j3_semi_anti" ->
+      """SELECT c_nationkey,
+                count(*) FILTER (WHERE has_o) AS with_orders,
+                count(*) FILTER (WHERE NOT has_o) AS without_orders
+         FROM (SELECT c_nationkey,
+                      EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+               FROM customer)
+         GROUP BY 1
+         HAVING count(*) FILTER (WHERE has_o) > 0
+             OR count(*) FILTER (WHERE NOT has_o) > 0""",
+    "j4_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "j5_range_join" ->
+      """SELECT l_returnflag, count(*) AS n_shipped_after,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         GROUP BY 1""",
+    "j6_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1""",
+    "j7_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+                CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_sec
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts"""
+  )
+}
