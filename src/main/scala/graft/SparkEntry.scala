@@ -17,10 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Aggregates.queries ++ Windows.queries ++
+      SortsSets.queries ++ Functions.queries ++ TextOps.queries ++
+      VectorOps.queries ++ MultiModal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
+      SortsSets.oracle ++ Functions.oracle ++ TextOps.oracle ++
+      VectorOps.oracle ++ MultiModal.oracle
 }

@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.functions.WeightedAvg
+
+/** Aggregation inventory (SURVEY.md §2 B4).
+  *
+  * All of these are single-shuffle hash aggregations with map-side partial
+  * aggregation — the shape that scales linearly with data volume. Exact
+  * decimal accumulation (see [[Relational.dsum]]) keeps double sums
+  * order-independent so results verify bit-for-bit at any parallelism.
+  */
+object Aggregates {
+  import Relational.{Q, dsum}
+  private val D2 = DecimalType(18, 2)
+
+  /** G1: count / sum / min / max / avg (avg as exact-sum ÷ count). */
+  val g1Basic: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(col("l_quantity").cast(D2)) / count(col("l_quantity")))
+          .cast("double").as("avg_qty"))
+
+  /** G2: COUNT(DISTINCT) and SUM(DISTINCT). */
+  val g2Distinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        sum_distinct(col("o_totalprice").cast(D2)).cast("double").as("sum_prices"))
+
+  /** G3: HLL approx-distinct, declared as a bounded-error check — the query
+    * itself asserts |approx − exact| ≤ 5%·exact, so the oracle is `true`. */
+  val g3ApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .select(col("l_returnflag"),
+        (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("approx_ok"))
+
+  /** G4: ROLLUP with grouping() disambiguation. */
+  val g4Rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+
+  /** G4b: CUBE over two dims. */
+  val g4Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"))
+
+  /** G5: HAVING — post-aggregation filter. */
+  val g5Having: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
+      .filter(col("n_cust") > 3)
+
+  /** G6: stddev / variance / corr / exact percentile (rounded for parity). */
+  val g6Stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+
+  /** G7: collect_set, canonicalized by sorting + joining (deterministic). */
+  val g7CollectSet: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_cust"))
+
+  /** G8: pivot with pinned value list (null cells filled to 0 to match the
+    * FILTER-aggregate twin). */
+  val g8Pivot: Q = (s, d) => {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0, segs)
+  }
+
+  /** G9: custom typed UDAF (exact-decimal weighted average). */
+  val g9WeightedAvg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(WeightedAvg(col("l_extendedprice").cast(D2), col("l_quantity").cast(D2))
+        .as("wavg_price"))
+
+  val queries: Map[String, Q] = Map(
+    "g1_basic_agg" -> g1Basic,
+    "g2_distinct_agg" -> g2Distinct,
+    "g3_approx_distinct" -> g3ApproxDistinct,
+    "g4_rollup" -> g4Rollup,
+    "g4b_cube" -> g4Cube,
+    "g5_having" -> g5Having,
+    "g6_stats" -> g6Stats,
+    "g7_collect_set" -> g7CollectSet,
+    "g8_pivot" -> g8Pivot,
+    "g9_weighted_avg" -> g9WeightedAvg
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_basic_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(l_quantity) AS DOUBLE) AS avg_qty
+         FROM lineitem GROUP BY 1, 2""",
+    "g2_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+                CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_prices
+         FROM orders GROUP BY 1""",
+    "g3_approx_distinct" ->
+      "SELECT l_returnflag, true AS approx_ok FROM lineitem GROUP BY 1",
+    "g4_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "g4b_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "g5_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM customer GROUP BY 1 HAVING count(*) > 3""",
+    "g6_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+         FROM lineitem GROUP BY 1""",
+    "g7_collect_set" ->
+      """SELECT c_nationkey,
+                string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+                count(*) AS n_cust
+         FROM customer GROUP BY 1""",
+    "g8_pivot" ->
+      """SELECT c_nationkey,
+                count(*) FILTER (WHERE c_mktsegment='AUTOMOBILE') AS "AUTOMOBILE",
+                count(*) FILTER (WHERE c_mktsegment='BUILDING')   AS "BUILDING",
+                count(*) FILTER (WHERE c_mktsegment='FURNITURE')  AS "FURNITURE",
+                count(*) FILTER (WHERE c_mktsegment='HOUSEHOLD')  AS "HOUSEHOLD",
+                count(*) FILTER (WHERE c_mktsegment='MACHINERY')  AS "MACHINERY"
+         FROM customer GROUP BY 1""",
+    "g9_weighted_avg" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+         FROM lineitem GROUP BY 1"""
+  )
+}

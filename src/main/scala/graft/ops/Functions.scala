@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Scalar function families (SURVEY.md §2 B8): string, date/time, math,
+  * array (incl. higher-order), map, JSON, hash, UDF and generator surface.
+  *
+  * All built-in `functions._` — whole-stage-codegen'd, no UDF in a hot path
+  * except f8 which deliberately exercises the registered-UDF surface (the
+  * reference's "algorithm" hook).
+  */
+object Functions {
+  import Relational.Q
+  private val D2 = DecimalType(18, 2)
+
+  /** F1: string functions over part names. */
+  val f1String: Q = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 10).as("name10"),
+      upper(col("p_name")).as("name_up"),
+      lower(col("p_brand")).as("brand_lo"),
+      length(col("p_name")).as("name_len"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      instr(col("p_name"), "a").as("a_pos"),
+      trim(lpad(col("p_brand"), 12, " ")).as("brand_trim"))
+
+  /** F2: date/time functions over order dates. */
+  val f2Datetime: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+      to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd").as("as_date"),
+      unix_timestamp(col("o_orderdate")).as("epoch_sec"),
+      make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made_date"))
+
+  /** F3: math functions (decimal-rounding for parity; see SKILL.md gotcha). */
+  val f3Math: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice").cast(D2), 1).cast("double").as("price_r1"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_discount") - 0.5).cast(D2).cast("double").as("disc_dist"),
+        pow(lit(2.0), col("l_linenumber")).as("pow2"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        round(log(col("l_quantity") + 1), 6).as("qty_ln"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("ls"))
+
+  /** F4: array + higher-order functions over document tokens. */
+  val f4Array: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        array_contains(col("toks"), "data").as("has_data"),
+        array_join(slice(col("toks"), 1, 5), " ").as("first5"),
+        element_at(array_sort(col("toks")), 1).as("alpha_first"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).as("tok_chars"),
+        size(filter(col("toks"), t => length(t) > 4)).as("n_long"))
+
+  /** F5: map construction + key/value extraction. */
+  val f5Map: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("m", map(
+        lit("chars"), col("n_chars"),
+        lit("words"), size(split(col("text"), " ")).cast("long")))
+      .select(
+        col("doc_id"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"),
+        element_at(col("m"), "chars").as("chars_val"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("vals_sum"))
+
+  /** F6: JSON extraction from the events props column. */
+  val f6Json: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_str_path"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k_typed"),
+      to_json(struct(col("event_id"), col("user_id"))).as("packed"))
+
+  /** F7: deterministic hash functions (md5 / sha2-256). */
+  val f7Hash: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      md5(col("c_name").cast("binary")).as("name_md5"),
+      sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
+
+  /** F7b: Spark-native 64-bit hash surface (xxhash64) — no SQL twin in
+    * DuckDB, so declared rows-only; determinism is covered by ScalaTest. */
+  val f7bXxhash: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      xxhash64(col("c_name")).as("name_xx64"))
+
+  /** F8: registered scalar UDF (type-token diversity score). The UDF surface
+    * maps the reference's algorithm-impression hook (container_job.py:44-61);
+    * the same logic is expressible in SQL, which is the oracle. */
+  val f8Udf: Q = (s, d) => {
+    val diversity = udf { text: String =>
+      val toks = text.split(" ")
+      if (toks.isEmpty) 0.0 else toks.distinct.length.toDouble / toks.length
+    }
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      diversity(col("text")).as("diversity"))
+  }
+
+  /** F9: generator / UDTF surface — posexplode of token arrays, re-aggregated
+    * to positional word frequencies. */
+  val f9Generator: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(col("pos") < 3)
+      .groupBy(col("pos"), col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, Q] = Map(
+    "f1_string" -> f1String,
+    "f2_datetime" -> f2Datetime,
+    "f3_math" -> f3Math,
+    "f4_array" -> f4Array,
+    "f5_map" -> f5Map,
+    "f6_json" -> f6Json,
+    "f7_hash" -> f7Hash,
+    "f7b_xxhash64" -> f7bXxhash,
+    "f8_udf" -> f8Udf,
+    "f9_generator" -> f9Generator
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_string" ->
+      """SELECT p_partkey,
+                p_brand || '-' || p_type AS brand_type,
+                substring(p_name, 1, 10) AS name10,
+                upper(p_name) AS name_up,
+                lower(p_brand) AS brand_lo,
+                length(p_name) AS name_len,
+                len(string_split(p_name, ' ')) AS n_words,
+                regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+                regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+                lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+                instr(p_name, 'a') AS a_pos,
+                trim(lpad(p_brand, 12, ' ')) AS brand_trim
+         FROM part""",
+    "f2_datetime" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS dom,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+                CAST(o_orderdate AS DATE) AS as_date,
+                CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
+                make_date(year(o_orderdate), month(o_orderdate), 1) AS made_date
+         FROM orders""",
+    "f3_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+                floor(l_extendedprice) AS price_floor,
+                ceil(l_extendedprice) AS price_ceil,
+                CAST(CAST(abs(l_discount - 0.5) AS DECIMAL(18,2)) AS DOUBLE) AS disc_dist,
+                pow(2.0, l_linenumber) AS pow2,
+                sqrt(l_quantity) AS qty_sqrt,
+                round(ln(l_quantity + 1), 6) AS qty_ln,
+                ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+                greatest(l_quantity, l_discount * 100) AS gr,
+                least(l_tax, l_discount) AS ls
+         FROM lineitem WHERE l_orderkey <= 500""",
+    "f4_array" ->
+      """SELECT doc_id,
+                len(toks) AS n_tokens,
+                list_contains(toks, 'data') AS has_data,
+                array_to_string(list_slice(toks, 1, 5), ' ') AS first5,
+                list_sort(toks)[1] AS alpha_first,
+                CAST(list_sum(list_transform(toks, t -> len(t))) AS INT) AS tok_chars,
+                len(list_filter(toks, t -> len(t) > 4)) AS n_long
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""",
+    "f5_map" ->
+      """SELECT doc_id,
+                'chars,words' AS keys_joined,
+                n_chars AS chars_val,
+                n_chars + len(string_split(text, ' ')) AS vals_sum
+         FROM documents""",
+    "f6_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_str_path,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+                '{"event_id":' || event_id || ',"user_id":' || user_id || '}' AS packed
+         FROM events""",
+    "f7_hash" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+         FROM customer""",
+    "f8_udf" ->
+      """SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) AS diversity
+         FROM documents""",
+    "f9_generator" ->
+      """SELECT pos, word, count(*) AS n
+         FROM (SELECT unnest(toks) AS word, unnest(range(len(toks))) AS pos
+               FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+         WHERE pos < 3
+         GROUP BY 1, 2"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders}
+import graft.core.Tables
+
+/** Multimodal-column operators (SURVEY.md §2 L9 + north-star "multimodal
+  * columns"): opaque binary payloads with typed metadata, flowing through
+  * sinks/scans unchanged, plus a batched feature-extraction stage.
+  *
+  * The decode step is a clearly-marked deterministic STUB (image/audio
+  * codecs aren't in this container); everything around it — schema
+  * (binary + metadata struct), partition-preserving batched execution via
+  * `mapPartitions`, sink round-trip — is real and tested. Swapping the stub
+  * for a JNI/codec call changes one function body, not the plan.
+  */
+object MultiModal {
+  import Relational.Q
+
+  /** Typed row for the feature-extraction stage. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], fmt: String, width: Long)
+  case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Int,
+                           head_sum: Int, payload_md5: String)
+
+  /** STUB decoder: deterministic fake "features" from the raw bytes —
+    * length, a head checksum (stands in for decoded-pixel stats), and a
+    * content digest. Replace with a real codec at deployment. */
+  private def decodeStub(r: MediaRow): MediaFeatures = {
+    val head = r.payload.take(16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+    MediaFeatures(r.doc_id, r.fmt, r.payload.length,
+      head.foldLeft(0)((a, b) => a + (b & 0xff)) % 256, hex)
+  }
+
+  /** L9a: binary column + metadata struct survive a parquet sink round-trip
+    * byte-for-byte (verified via content digest vs the oracle). */
+  val mm1BinaryRoundtrip: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(lit("txt").as("fmt"), col("n_chars").as("width")).as("meta"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).select(
+      col("doc_id"),
+      md5(col("payload")).as("payload_md5"),
+      length(col("payload")).as("n_bytes"),
+      col("meta.fmt").as("fmt"),
+      col("meta.width").as("width"))
+  }
+
+  /** L9b: batched feature extraction over binary payloads via mapPartitions
+    * (the Scala analogue of a vectorized pandas-UDF stage): one decoder
+    * instance per partition, streaming through rows. */
+  val mm2FeatureExtract: Q = (s, d) => {
+    val media = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("txt").as("fmt"),
+        col("n_chars").as("width"))
+      .as(Encoders.product[MediaRow])
+    media.mapPartitions { it =>
+      // per-partition setup (real decoders are expensive to init — this is
+      // where a codec/model handle would be created once per partition)
+      it.map(decodeStub)
+    }(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm1_binary_roundtrip" -> mm1BinaryRoundtrip,
+    "mm2_feature_extract" -> mm2FeatureExtract
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1_binary_roundtrip" ->
+      """SELECT doc_id, md5(text) AS payload_md5, length(text) AS n_bytes,
+                'txt' AS fmt, n_chars AS width
+         FROM documents""",
+    "mm2_feature_extract" ->
+      """SELECT doc_id, 'txt' AS fmt, length(text) AS n_bytes,
+                (SELECT sum(ascii(substring(text, i + 1, 1)))
+                 FROM (SELECT unnest(range(least(length(text), 16))) AS i)) % 256 AS head_sum,
+                md5(text) AS payload_md5
+         FROM documents"""
+  )
+}

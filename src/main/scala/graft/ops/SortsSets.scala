@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Sorts / limits / sampling (B6) and set operations (B7).
+  *
+  * Order-sensitive queries always sort on a total order (unique tiebreaker)
+  * so LIMIT/OFFSET picks identical rows on both engines. Global top-k uses
+  * sort+limit, which Spark executes as TakeOrderedAndProject — a per-
+  * partition top-k then a k-row driver merge, no global sort at scale.
+  */
+object SortsSets {
+  import Relational.{Q, dsum}
+  private val D2 = DecimalType(18, 2)
+
+  /** O1: multi-key sort with explicit null ordering, materialized as a rank
+    * column (the driver canonically re-sorts rows, so order must be data). */
+  val o1SortNulls: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .withColumn("maybe_price",
+        when(col("o_orderstatus") === "O", lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    val w = Window.orderBy(
+      col("maybe_price").asc_nulls_first,
+      col("o_orderdate").desc, col("o_orderkey"))
+    base
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= 100)
+      .select(col("pos"), col("o_orderkey"), col("maybe_price"))
+  }
+
+  /** O2: LIMIT + OFFSET on a total order. */
+  val o2LimitOffset: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey"))
+      .offset(100).limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** O3: global top-k by computed revenue (TakeOrderedAndProject). */
+  val o3TopkGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1) - col("l_discount").cast(D2)))
+        .as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"))
+
+  /** O4: seeded sample, declared as a cardinality-bounds check (a sample has
+    * no row-level oracle; the fraction must land within ±50% relative). */
+  val o4Sample: Q = (s, d) => {
+    val total = Tables.lineitem(s, d).count()
+    val n = Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42).count()
+    val ok = n >= total * 0.05 && n <= total * 0.15
+    val spark = s
+    import spark.implicits._
+    Seq(ok).toDF("sample_ok")
+  }
+
+  /** U1: UNION ALL (multiset) — copies per key across two selections. */
+  val u1UnionAll: Q = (s, d) => {
+    val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val b = Tables.customer(s, d).where(col("c_acctbal") > 4000)
+      .select(col("c_custkey"), col("c_nationkey"))
+    a.unionByName(b)
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_copies"))
+  }
+
+  /** U1b: UNION DISTINCT of the same two selections. */
+  val u1bUnionDistinct: Q = (s, d) => {
+    val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val b = Tables.customer(s, d).where(col("c_acctbal") > 4000)
+      .select(col("c_custkey"), col("c_nationkey"))
+    a.unionByName(b).distinct()
+  }
+
+  /** U2: INTERSECT — customers ordering in both 1995 and 1996. */
+  val u2Intersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y95.intersect(y96)
+  }
+
+  /** U2b: INTERSECT ALL (multiset semantics). */
+  val u2bIntersectAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_orderpriority"))
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_orderpriority"))
+    y95.intersectAll(y96).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
+  /** U3: EXCEPT — customers ordering in 1995 but not 1996. */
+  val u3Except: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y95.except(y96)
+  }
+
+  /** U3b: EXCEPT ALL (multiset difference). */
+  val u3bExceptAll: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select(col("o_orderpriority"))
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select(col("o_orderpriority"))
+    y95.exceptAll(y96).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "o1_sort_nulls" -> o1SortNulls,
+    "o2_limit_offset" -> o2LimitOffset,
+    "o3_topk_global" -> o3TopkGlobal,
+    "o4_sample" -> o4Sample,
+    "u1_union_all" -> u1UnionAll,
+    "u1b_union_distinct" -> u1bUnionDistinct,
+    "u2_intersect" -> u2Intersect,
+    "u2b_intersect_all" -> u2bIntersectAll,
+    "u3_except" -> u3Except,
+    "u3b_except_all" -> u3bExceptAll
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o1_sort_nulls" ->
+      """SELECT pos, o_orderkey, maybe_price FROM (
+           SELECT row_number() OVER (ORDER BY maybe_price ASC NULLS FIRST,
+                                     o_orderdate DESC, o_orderkey) AS pos,
+                  o_orderkey, maybe_price
+           FROM (SELECT o_orderkey, o_orderdate,
+                        CASE WHEN o_orderstatus = 'O' THEN NULL
+                             ELSE o_totalprice END AS maybe_price
+                 FROM orders))
+         WHERE pos <= 100""",
+    "o2_limit_offset" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+    "o3_topk_global" ->
+      """SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue FROM (
+           SELECT l_orderkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+           FROM lineitem GROUP BY 1)
+         ORDER BY rev DESC, l_orderkey LIMIT 10""",
+    "o4_sample" ->
+      "SELECT true AS sample_ok",
+    "u1_union_all" ->
+      """SELECT c_custkey, count(*) AS n_copies FROM (
+           SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION ALL
+           SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 4000)
+         GROUP BY 1""",
+    "u1b_union_distinct" ->
+      """SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 4000""",
+    "u2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "u2b_intersect_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+           SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT ALL
+           SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996)
+         GROUP BY 1""",
+    "u3_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "u3b_except_all" ->
+      """SELECT o_orderpriority, count(*) AS n FROM (
+           SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+           EXCEPT ALL
+           SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996)
+         GROUP BY 1"""
+  )
+}

@@ -1,0 +1,305 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.RollingHash
+
+/** LLM-data-pipeline text operators (SURVEY.md §2 B9: L1-L5, L8 + language
+  * ID, quality scoring, fingerprinting) over the `documents` table.
+  *
+  * Scale design: every operator is a scan + narrow transforms + at most one
+  * shuffle (groupBy/join on a derived key). The near-dup pair path (l5) is
+  * the classic shingle-inverted-index join — candidate pairs are generated
+  * only for docs sharing a shingle, never a full cross join; minhash/LSH
+  * (l5b) is the sub-quadratic path for corpora where even that explodes.
+  */
+object TextOps {
+  import Relational.Q
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 3-word shingles (distinct per doc). Docs shorter than 3 tokens get
+    * their whole text as the single shingle. */
+  private def shingles(tokens: Column): Column = {
+    val n = size(tokens)
+    when(n >= 3,
+      array_distinct(transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ",
+          element_at(tokens, i),
+          element_at(tokens, i + 1),
+          element_at(tokens, i + 2)))))
+      .otherwise(array(array_join(tokens, " ")))
+  }
+
+  private def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("s"))
+
+  /** L1: text normalization chain + md5 content fingerprint. */
+  val l1Normalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("norm",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")))
+      .select(col("doc_id"), md5(col("norm").cast("binary")).as("fp"),
+        length(col("norm")).as("norm_len"))
+
+  /** L2: token / char counts incl. a BPE-ish regex tokenizer count. */
+  val l2TokenStats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars_computed"),
+      col("n_chars"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .as("n_bpe_ish"),
+      (length(col("text")).cast("double") / size(toks(col("text"))))
+        .as("chars_per_token"))
+
+  /** L3: corpus word-frequency table (explode + count — one shuffle). */
+  val l3WordFreq: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** L3b: bigram frequency via indexed transform (no self-join). */
+  val l3bBigrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+
+  /** L4: exact dedup by content hash — keep lowest doc_id per sha256. */
+  val l4ExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** L5: exact shingle-Jaccard near-dup pairs (τ = 0.3) via inverted index:
+    * explode shingles → self-join on shingle → count intersections → join
+    * per-doc shingle counts. Integer-ratio jaccard ⇒ bit-exact vs DuckDB. */
+  val l5JaccardPairs: Q = (s, d) => {
+    val sh = shingleTable(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, Seq("s"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.3)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** L5b: MinHash + LSH banding — the sub-quadratic scale path for near-dup.
+    * 32 xxhash64 permutations → 16 bands × 2 rows → band-bucket join yields
+    * candidates, which are then exact-verified at τ = 0.3. Declared
+    * rows-only (DuckDB cannot reproduce xxhash64); candidate ⊆ l5 output is
+    * asserted in ScalaTest. */
+  val l5bMinhashLsh: Q = (s, d) => {
+    val numHashes = 32
+    val rowsPerBand = 2
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+    val sig = docs.select(
+      col("doc_id"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), sv => xxhash64(lit(i), sv)))
+      }: _*).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)), b =>
+        xxhash64(lit("band"), element_at(col("sig"), b * rowsPerBand + 1),
+          element_at(col("sig"), b * rowsPerBand + 2)))).as(Seq("band", "bh")))
+    val cand = bands.select(col("band"), col("bh"), col("doc_id").as("da"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("db")),
+        Seq("band", "bh"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    // exact verification of candidates only
+    val sh = shingleTable(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s").as("s2")), Seq("db"))
+      .where(col("s") === col("s2"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= 0.3)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** L5c: SimHash (64-bit, from xxhash64 token hashes) + near-pair search by
+    * hamming distance ≤ 6, blocked on the top-16-bit band to avoid the cross
+    * join. Rows-only (hash not reproducible in the oracle). */
+  val l5cSimhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
+    // simhash: for each bit, sign(sum over tokens of ±1) — vectorized as
+    // 64 aggregate lambdas over the token array
+    val sim = docs.select(
+      col("doc_id"),
+      (0 until 64).map { bit =>
+        val votes = aggregate(col("t"), lit(0),
+          (acc, tok) => acc + when(shiftright(xxhash64(tok), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    val banded = sim.withColumn("band", shiftright(col("simhash"), 48))
+    banded.select(col("band"), col("doc_id").as("da"), col("simhash").as("ha"))
+      .join(banded.select(col("band"), col("doc_id").as("db"), col("simhash").as("hb")),
+        Seq("band"))
+      .where(col("da") < col("db"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= 6)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
+  /** L8: per-language corpus stats. */
+  val l8LangStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(toks(col("text")))).as("total_tokens"))
+
+  /** L10: language-ID n-gram/stopword heuristic — deterministic marker-token
+    * scoring (the plumbing of a real lang-ID model, with a transparent rule
+    * the oracle can reproduce). */
+  val l10LangId: Q = (s, d) => {
+    val t = toks(col("text"))
+    def score(words: Seq[String]): Column =
+      size(filter(t, w => w.isin(words.map(lit(_)): _*)))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      score(Seq("the", "a", "of")).as("sc_art"),
+      score(Seq("data", "table", "row")).as("sc_dat"),
+      when(score(Seq("the", "a", "of")) >= score(Seq("data", "table", "row")), "art_heavy")
+        .otherwise("data_heavy").as("predicted_class"))
+  }
+
+  /** L11: quality scoring — length, type-token diversity, stopword ratio. */
+  val l11Quality: Q = (s, d) => {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and")))).cast("double") / nTok
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      round(lenScore * 0.5 + distinctRatio * 0.3 + stopRatio * 0.2, 6).as("quality"))
+  }
+
+  /** L12: rolling-hash fingerprint — custom codegen'd Catalyst expression.
+    * Rows-only for the oracle; exact values pinned in ScalaTest. */
+  val l12RollingFp: Q = (s, d) => {
+    RollingHash.register(s)
+    Tables.documents(s, d).select(
+      col("doc_id"), expr("rolling_hash(text)").as("fp"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "l1_normalize" -> l1Normalize,
+    "l2_token_stats" -> l2TokenStats,
+    "l3_word_freq" -> l3WordFreq,
+    "l3b_bigrams" -> l3bBigrams,
+    "l4_exact_dedup" -> l4ExactDedup,
+    "l5_jaccard_pairs" -> l5JaccardPairs,
+    "l5b_minhash_lsh" -> l5bMinhashLsh,
+    "l5c_simhash" -> l5cSimhash,
+    "l8_lang_stats" -> l8LangStats,
+    "l10_lang_id" -> l10LangId,
+    "l11_quality" -> l11Quality,
+    "l12_rolling_fp" -> l12RollingFp
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l1_normalize" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g'))) AS fp,
+                length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g'))) AS norm_len
+         FROM documents""",
+    "l2_token_stats" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                length(text) AS n_chars_computed,
+                n_chars,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+                CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+         FROM documents""",
+    "l3_word_freq" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1""",
+    "l3b_bigrams" ->
+      """SELECT bigram, count(*) AS n
+         FROM (SELECT unnest(t[:len(t)-1]) || ' ' || unnest(t[2:]) AS bigram
+               FROM (SELECT string_split(text, ' ') AS t FROM documents)
+               WHERE len(t) >= 2)
+         GROUP BY 1""",
+    "l4_exact_dedup" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "l5_jaccard_pairs" ->
+      """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT da, db, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         FROM inter
+         JOIN sizes sa ON da = sa.doc_id
+         JOIN sizes sb ON db = sb.doc_id
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3""",
+    "l8_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+                count(DISTINCT source) AS n_sources,
+                sum(len(string_split(text, ' '))) AS total_tokens
+         FROM documents GROUP BY 1""",
+    "l10_lang_id" ->
+      """SELECT doc_id, lang,
+                len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the', 'a', 'of'))) AS sc_art,
+                len(list_filter(string_split(text, ' '),
+                    w -> w IN ('data', 'table', 'row'))) AS sc_dat,
+                CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))
+                       >= len(list_filter(string_split(text, ' '), w -> w IN ('data', 'table', 'row')))
+                     THEN 'art_heavy' ELSE 'data_heavy' END AS predicted_class
+         FROM documents""",
+    "l11_quality" ->
+      """SELECT doc_id,
+                round(least(len(t) / 100.0, 1.0) * 0.5
+                      + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+                      + (CAST(len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(t)) * 0.2,
+                      6) AS quality
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+  )
+}

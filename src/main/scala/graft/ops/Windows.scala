@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Window-function inventory (SURVEY.md §2 B5).
+  *
+  * Every ORDER BY inside a window carries a unique tiebreaker key so results
+  * are total-ordered and deterministic — the property that makes window
+  * output hash-comparable across engines and across partitionings.
+  * Partition keys are real data keys (nation, customer, supplier), so at
+  * 100 TB each partition stays bounded and the sort is per-key, not global.
+  */
+object Windows {
+  import Relational.{Q, dsum}
+  private val D2 = DecimalType(18, 2)
+
+  /** W1: row_number / rank / dense_rank / ntile within nation. */
+  val w1Rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_custkey"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rk"),
+      dense_rank().over(w).as("drk"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** W2: lag / lead over each customer's order history. */
+  val w2LagLead: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      lag(col("o_orderkey"), 2, -1L).over(w).as("prev2_orderkey"))
+  }
+
+  /** W3: running sum (ROWS frame) + RANGE frame aggregate. */
+  val w3RunningSum: Q = (s, d) => {
+    val wRows = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_linenumber"))
+      .rangeBetween(-1, 1)
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        sum(col("l_quantity").cast(D2)).over(wRows).cast("double").as("running_qty"),
+        sum(col("l_quantity").cast(D2)).over(wRange).cast("double").as("nbr_qty"))
+  }
+
+  /** W4: first/last value over the full partition frame. */
+  val w4FirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_custkey"),
+      first(col("c_name")).over(w).as("richest"),
+      last(col("c_name")).over(w).as("poorest"))
+  }
+
+  /** W5: top-k per group (row_number + filter). */
+  val w5TopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "w1_rank" -> w1Rank,
+    "w2_lag_lead" -> w2LagLead,
+    "w3_running_sum" -> w3RunningSum,
+    "w4_first_last" -> w4FirstLast,
+    "w5_topk_per_group" -> w5TopkPerGroup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_rank" ->
+      """SELECT c_nationkey, c_custkey,
+                row_number() OVER w AS rn, rank() OVER w AS rk,
+                dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""",
+    "w2_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_orderkey, 1) OVER w AS next_orderkey,
+                lag(o_orderkey, 2, -1) OVER w AS prev2_orderkey
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "w3_running_sum" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER
+                  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER
+                  (PARTITION BY l_suppkey ORDER BY l_linenumber
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS nbr_qty
+         FROM lineitem WHERE l_orderkey <= 1000""",
+    "w4_first_last" ->
+      """SELECT c_nationkey, c_custkey,
+                first_value(c_name) OVER w AS richest,
+                last_value(c_name) OVER w AS poorest
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "w5_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3"""
+  )
+}
