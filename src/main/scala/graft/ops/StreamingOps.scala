@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+import graft.core.Tables
+
+/** Structured Streaming inventory (SURVEY.md §2 B10, T1-T8).
+  *
+  * Verification model (SURVEY §5.2): each query replays the events parquet
+  * as a file-stream source, runs to completion under Trigger.AvailableNow,
+  * and the final sink contents must equal the batch-equivalent aggregation
+  * (which is what the DuckDB twin computes). Windows align to the epoch in
+  * UTC, so the oracle buckets with integer epoch arithmetic.
+  *
+  * Scale posture: all aggregations are keyed (window/user), state is bounded
+  * by watermarks where the mode allows eviction, and the stream-static join
+  * broadcasts the dim side — the same shapes that run continuously on a
+  * real cluster.
+  */
+object StreamingOps {
+  import Relational.Q
+
+  /** File-stream source over the events parquet, with the same ns→µs
+    * timestamp normalization as the batch loader. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(Tables.path(d, "events"))
+    // The file-stream source lists a directory; stage the single events
+    // parquet into one (symlink — no copy) keyed by the sf dir.
+    val stageDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(Tables.path(d, "events")))
+    val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
+    if (raw.schema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else stream
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * final table. AvailableNow keeps scheduling micro-batches (including
+    * no-data batches for watermark-driven state eviction) until the source
+    * is drained, then stops — so the sink holds the complete result. */
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val q = df.writeStream
+      .outputMode(mode).format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** T1: tumbling 1-hour window aggregation (complete mode). */
+  val t1Tumbling: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    runToMemory(agg, "t1_sink", "complete")
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"),
+        (col("value_cents") / 100.0).as("total_value"))
+  }
+
+  /** T2: sliding window (1 hour long, 30 min slide) — every event lands in
+    * exactly two windows. */
+  val t2Sliding: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "t2_sink", "complete")
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("n"))
+  }
+
+  /** T3: session windows (30-minute gap) per user. */
+  val t3Session: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(agg, "t3_sink", "complete")
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+  }
+
+  /** T4: watermark + append mode — only windows finalized by the watermark
+    * (window.end ≤ max(ts) − 2 h) are emitted; the oracle encodes exactly
+    * that contract. */
+  val t4WatermarkAppend: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, "t4_sink", "append")
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+  }
+
+  /** T5: streaming dedup on a composite key (watermarked). Emits first
+    * arrival per key; the deterministic part — the key set — is compared. */
+  val t5Dedup: Q = (s, d) => {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(deduped, "t5_sink", "append")
+  }
+
+  case class EvRow(user_id: Long, ts_us: Long, event_id: Long,
+                           event_type: String, cents: Long)
+  case class UserState(n: Long, cents: Long, lastTsUs: Long,
+                               lastEventId: Long, lastType: String)
+  case class UserSummary(user_id: Long, n_events: Long,
+                                 total_value: Double, last_type: String)
+
+  /** T6: arbitrary stateful processing — flatMapGroupsWithState keeps a
+    * running per-user count / exact cents total / latest event (by ts,
+    * event_id). Update mode; after the replay the latest row per user must
+    * equal the batch summary. */
+  val t6Stateful: Q = (s, d) => {
+    val ev = eventsStream(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as(Encoders.product[EvRow])
+
+    val fn = (user: Long, rows: Iterator[EvRow], state: GroupState[UserState]) => {
+      val st0 = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, Long.MinValue, ""))
+      val st = rows.foldLeft(st0) { (acc, r) =>
+        val newer = r.ts_us > acc.lastTsUs ||
+          (r.ts_us == acc.lastTsUs && r.event_id > acc.lastEventId)
+        UserState(acc.n + 1, acc.cents + r.cents,
+          if (newer) r.ts_us else acc.lastTsUs,
+          if (newer) r.event_id else acc.lastEventId,
+          if (newer) r.event_type else acc.lastType)
+      }
+      state.update(st)
+      Iterator(UserSummary(user, st.n, st.cents / 100.0, st.lastType))
+    }
+
+    val updated = ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+        Encoders.product[UserState], Encoders.product[UserSummary])
+
+    // update mode may emit one row per user per micro-batch; keep the final
+    // state = the row with the max n_events per user
+    val all = runToMemory(updated.toDF(), "t6_sink", "update")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    all.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
+  }
+
+  /** T7: stream-static join — streaming events against the customer dim
+    * (broadcast), aggregated by market segment. */
+  val t7StreamStaticJoin: Q = (s, d) => {
+    val dim = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(s, d)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    runToMemory(agg, "t7_sink", "complete")
+      .select(col("c_mktsegment"), col("n"), (col("cents") / 100.0).as("total_value"))
+  }
+
+  /** T8: streaming parquet file sink (append) + batch re-read — the
+    * stream-out/stage-in path of a production pipeline. */
+  val t8FileSink: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_t8_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t8_ckpt").toString
+    val q = eventsStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), (sum(col("cents")) / 100.0).as("spent"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t1_tumbling_window" -> t1Tumbling,
+    "t2_sliding_window" -> t2Sliding,
+    "t3_session_window" -> t3Session,
+    "t4_watermark_append" -> t4WatermarkAppend,
+    "t5_stream_dedup" -> t5Dedup,
+    "t6_stateful" -> t6Stateful,
+    "t7_stream_static_join" -> t7StreamStaticJoin,
+    "t8_file_sink" -> t8FileSink
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_tumbling_window" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+                event_type, count(*) AS n,
+                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+         FROM events GROUP BY 1, 2""",
+    "t2_sliding_window" ->
+      """SELECT win_start, count(*) AS n FROM (
+           SELECT CAST(unnest([floor(epoch(ts) / 1800) * 1800,
+                               floor(epoch(ts) / 1800) * 1800 - 1800]) AS BIGINT) AS win_start
+           FROM events)
+         GROUP BY 1""",
+    "t3_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked)
+         SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+                count(*) AS n_events
+         FROM sessions GROUP BY user_id, sess_id""",
+    "t4_watermark_append" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+                event_type, count(*) AS n
+         FROM events
+         GROUP BY 1, 2
+         HAVING win_start + 3600 <= (SELECT floor(epoch(max(ts)) - 7200) FROM events)""",
+    "t5_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "t6_stateful" ->
+      """WITH last_ev AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk
+           FROM events)
+         SELECT e.user_id, count(*) AS n_events,
+                sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value,
+                max(l.event_type) AS last_type
+         FROM events e
+         JOIN (SELECT user_id, event_type FROM last_ev WHERE rk = 1) l
+           ON e.user_id = l.user_id
+         GROUP BY 1""",
+    "t7_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1""",
+    "t8_file_sink" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS spent
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1"""
+  )
+}
