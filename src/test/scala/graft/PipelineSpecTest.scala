@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import graft.pipeline._
+
+/** Orchestration semantics (SURVEY.md §2 Part C, §5.2.4): topo order,
+  * status state machine, submit filter, parameter substitution, and the
+  * content-addressed step cache mirroring the reference's
+  * materialization-reuse rules. */
+class PipelineSpecTest extends SparkSpec {
+
+  private def diamond = PipelineSpec(Seq(
+    StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "nation")),
+    StepSpec("left", "sql", Map("t" -> "src"),
+      Map("sql" -> "SELECT n_regionkey, count(*) AS n FROM t GROUP BY 1")),
+    StepSpec("right", "sql", Map("t" -> "src"),
+      Map("sql" -> "SELECT n_regionkey, min(n_name) AS first_name FROM t GROUP BY 1")),
+    StepSpec("join", "sql", Map("l" -> "left", "r" -> "right"),
+      Map("sql" -> "SELECT l.n_regionkey, n, first_name FROM l JOIN r USING (n_regionkey)"))))
+
+  test("topoOrder: dependencies before dependents, memoized, roots only") {
+    val order = diamond.topoOrder(Seq("join")).map(_.id)
+    assert(order.head == "src" && order.last == "join")
+    assert(order.toSet == Set("src", "left", "right", "join"))
+    assert(diamond.topoOrder(Seq("left")).map(_.id) == Seq("src", "left"))
+  }
+
+  test("topoOrder: cycle detection") {
+    val cyc = PipelineSpec(Seq(
+      StepSpec("a", "identity", Map("in" -> "b")),
+      StepSpec("b", "identity", Map("in" -> "a"))))
+    assertThrows[IllegalArgumentException](cyc.topoOrder(Seq("a")))
+  }
+
+  test("status machine: observed transitions and sticky terminals") {
+    import StepStatus._
+    assert(transition(Raw, Waiting) == Waiting)
+    assert(transition(Waiting, Running) == Running)
+    assert(transition(Running, Finished) == Finished)
+    // terminal states sticky except explicit re-run (VJob.py:248-254)
+    assert(transition(Finished, Running) == Finished)
+    assert(transition(Failed, Waiting) == Failed)
+    assert(transition(Failed, Raw) == Raw)
+    // submission filter (execution.py:42-44)
+    assert(canSubmit(Raw) && canSubmit(Failed))
+    assert(!canSubmit(Running) && !canSubmit(Finished) && !canSubmit(Archived))
+  }
+
+  test("param substitution: sorted-key order, unknown placeholders intact") {
+    val p = ParamMap(Map("b" -> "2", "a" -> "${b}", "cut" -> "10"))
+    // 'a' applied before 'b': ${a} -> ${b} -> then b applied -> 2
+    assert(p.substitute("x=${a} y=${b} z=${zz} c=${cut}") == "x=2 y=2 z=${zz} c=10")
+  }
+
+  test("runner: executes DAG, caches steps, reruns only invalidated suffix") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val imps = runner.execute(diamond, Seq("join"))
+    assert(runner.status("join") == StepStatus.Finished)
+    val out = spark.read.parquet(s"$wh/${imps("join")}")
+    assert(out.count() == 5) // 5 regions
+    assert(out.columns.toSet == Set("n_regionkey", "n", "first_name"))
+
+    // second run: everything cache-hit → archived, nothing recomputed
+    val runner2 = new Runner(spark, Transforms.standard(), wh)
+    runner2.execute(diamond, Seq("join"))
+    assert(runner2.status("join") == StepStatus.Archived)
+
+    // param change on 'left' invalidates left+join but not right/src
+    val changed = PipelineSpec(diamond.steps.map {
+      case s if s.id == "left" =>
+        s.copy(params = Map("sql" -> "SELECT n_regionkey, count(*)+1 AS n FROM t GROUP BY 1"))
+      case s => s
+    })
+    val imps3 = new Runner(spark, Transforms.standard(), wh).execute(changed, Seq("join"))
+    assert(imps3("src") == imps("src") && imps3("right") == imps("right"))
+    assert(imps3("left") != imps("left") && imps3("join") != imps("join"))
+  }
+
+  test("runner: failed step marks failed and propagates") {
+    val wh = Files.createTempDirectory("graft_wh2").toString
+    val bad = PipelineSpec(Seq(
+      StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "nation")),
+      StepSpec("boom", "sql", Map("t" -> "src"), Map("sql" -> "SELECT no_such_col FROM t"))))
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    assertThrows[RuntimeException](runner.execute(bad, Seq("boom")))
+    assert(runner.status("boom") == StepStatus.Failed)
+    assert(runner.status("src") == StepStatus.Finished)
+    // failed is re-admittable: fix the spec → same id recomputes after reset
+    runner.reset(bad, "boom")
+    assert(runner.status("boom") == StepStatus.Raw)
+  }
+
+  test("runner: collect returns manifest; purge removes it") {
+    val wh = Files.createTempDirectory("graft_wh3").toString
+    val spec = PipelineSpec(Seq(
+      StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "region"))))
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    runner.execute(spec, Seq("src"))
+    val art = runner.collect(spec, "src").get
+    assert(art.rows == 5 && art.schemaDDL.contains("r_name"))
+    runner.purge(spec, "src")
+    assert(runner.collect(spec, "src").isEmpty)
+  }
+
+  test("runner: query transform exposes the declared operator inventory") {
+    val wh = Files.createTempDirectory("graft_wh4").toString
+    val spec = PipelineSpec(Seq(
+      StepSpec("rev", "query", params = Map("name" -> "j1_revenue_by_nation", "dir" -> sfDir))))
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val imps = runner.execute(spec, Seq("rev"))
+    assert(spark.read.parquet(s"$wh/${imps("rev")}").count() > 0)
+  }
+
+  test("preview: head+tail with truncation marker") {
+    val runner = new Runner(spark, Transforms.standard(),
+      Files.createTempDirectory("graft_wh5").toString)
+    import spark.implicits._
+    val df = (1 to 50).toDF("x")
+    val full = runner.preview(df.orderBy("x"), maxRows = 30)
+    assert(!full.contains("truncated"))
+    val cut = runner.preview(df.orderBy("x"), maxRows = 10)
+    assert(cut.contains("[30 rows truncated]"))
+    assert(cut.startsWith("[1]") && cut.endsWith("[50]"))
+  }
+}

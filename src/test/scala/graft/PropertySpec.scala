@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws (SURVEY.md §5.2.3) on small generated frames.
+  * Plain ScalaCheck generators driven from fixed seeds (the
+  * scalatest-scalacheck bridge isn't an available dependency). */
+class PropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val s = spark
+  private def toDF(xs: List[(Int, String)]) = {
+    import s.implicits._
+    xs.toDF("k", "v")
+  }
+
+  private val rowsGen =
+    Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.oneOf("a", "b", "c")))
+
+  /** 5 deterministic samples per law. */
+  private def forAll(g: Gen[List[(Int, String)]])(f: List[(Int, String)] => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(g.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil))
+    }
+  private def forAll(g1: Gen[List[(Int, String)]], g2: Gen[List[(Int, String)]])(
+      f: (List[(Int, String)], List[(Int, String)]) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(g1.apply(Gen.Parameters.default, Seed(i.toLong)).getOrElse(Nil),
+        g2.apply(Gen.Parameters.default, Seed(i.toLong + 100)).getOrElse(Nil))
+    }
+  private def whenever(b: Boolean)(f: => Unit): Unit = if (b) f
+
+  test("unionByName commutes under count; union distinct is set union") {
+    forAll(rowsGen, rowsGen) { (xs, ys) =>
+      val (a, b) = (toDF(xs), toDF(ys))
+      assert(a.unionByName(b).count() == b.unionByName(a).count())
+      assert(a.unionByName(b).distinct().count() ==
+        (xs.toSet ++ ys.toSet).size.toLong)
+    }
+  }
+
+  test("semi + anti partition the left side") {
+    forAll(rowsGen, rowsGen) { (xs, ys) =>
+      val (a, b) = (toDF(xs), toDF(ys).select(col("k")).distinct())
+      val semi = a.join(b, Seq("k"), "left_semi").count()
+      val anti = a.join(b, Seq("k"), "left_anti").count()
+      assert(semi + anti == xs.length.toLong)
+    }
+  }
+
+  test("dropDuplicates is idempotent") {
+    forAll(rowsGen) { xs =>
+      val d1 = toDF(xs).dropDuplicates()
+      assert(d1.count() == d1.dropDuplicates().count())
+      assert(d1.count() == xs.toSet.size.toLong)
+    }
+  }
+
+  test("windowed running sum telescopes to group total") {
+    import org.apache.spark.sql.expressions.Window
+    forAll(rowsGen) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = toDF(xs.zipWithIndex.map { case ((k, v), i) => (k, s"$v$i") })
+        val w = Window.partitionBy("k").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val last = df.withColumn("rsum", sum(lit(1)).over(w))
+          .groupBy(col("k")).agg(max(col("rsum")).as("final"))
+        val direct = df.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        val joined = last.join(direct, "k")
+          .where(col("final") =!= col("n")).count()
+        assert(joined == 0)
+      }
+    }
+  }
+
+  test("exceptAll removes multiplicities exactly") {
+    forAll(rowsGen, rowsGen) { (xs, ys) =>
+      val got = toDF(xs).exceptAll(toDF(ys)).count()
+      val want = xs.groupBy(identity).map { case (row, occ) =>
+        math.max(0, occ.size - ys.count(_ == row))
+      }.sum
+      assert(got == want.toLong)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.StreamingOps
+
+/** B10 batch-equivalence (SURVEY.md §5.2.2): each streaming query, replayed
+  * to completion with AvailableNow, must equal its batch twin computed in
+  * the same session (the DuckDB side of the same contract is checked by the
+  * driver's oracle). */
+class StreamingSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Set[Seq[String]] =
+    df.collect().toSet.map { r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => String.valueOf(r.get(i)))
+    }
+
+  private def assertSameRows(got: DataFrame, want: DataFrame): Unit = {
+    val g = rowsOf(got.select(want.columns.map(col).toIndexedSeq: _*))
+    val w = rowsOf(want)
+    assert(g == w,
+      s"streaming != batch; only-streaming=${(g -- w).take(3)} only-batch=${(w -- g).take(3)}")
+  }
+
+  private lazy val events = Tables.events(spark, sfDir)
+
+  test("t1 tumbling window equals batch epoch-bucketing") {
+    val got = StreamingOps.t1Tumbling(spark, sfDir)
+    val want = events.groupBy(
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+    assertSameRows(got, want)
+  }
+
+  test("t5 streaming dedup equals batch distinct") {
+    val got = StreamingOps.t5Dedup(spark, sfDir)
+    val want = events.select(col("user_id"), col("event_type")).distinct()
+    assertSameRows(got, want)
+  }
+
+  test("t6 stateful summary equals batch per-user aggregate") {
+    val got = StreamingOps.t6Stateful(spark, sfDir)
+      .select(col("user_id"), col("n_events"), col("total_value"), col("last_type"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = events
+      .withColumn("rk", row_number().over(w))
+      .withColumn("last_type", first(when(col("rk") === 1, col("event_type")),
+        ignoreNulls = true).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("user_id"), col("last_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("total_value"), col("last_type"))
+    assertSameRows(got, want)
+  }
+
+  test("t7 stream-static join equals batch join") {
+    val got = StreamingOps.t7StreamStaticJoin(spark, sfDir)
+    val want = events.join(
+        Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+    assertSameRows(got, want)
+  }
+
+  test("t4 watermark append emits only finalized windows") {
+    val got = StreamingOps.t4WatermarkAppend(spark, sfDir)
+    val maxTs = events.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val starts = got.select(col("win_start")).collect().map(_.getLong(0))
+    assert(starts.nonEmpty)
+    assert(starts.forall(_ + 3600 <= maxTs - 7200),
+      "append emitted a window not finalized by the watermark")
+  }
+
+  test("t3 session windows cover all events with positive counts") {
+    val got = StreamingOps.t3Session(spark, sfDir)
+    val totalEvents = events.count()
+    val sessSum = got.agg(sum(col("n_events"))).head().getLong(0)
+    assert(sessSum == totalEvents, s"sessions cover $sessSum of $totalEvents events")
+  }
+
+  test("t2 sliding windows count each event twice") {
+    val got = StreamingOps.t2Sliding(spark, sfDir)
+    val n = got.agg(sum(col("n"))).head().getLong(0)
+    assert(n == 2 * events.count())
+  }
+
+  test("t8 file sink round-trips purchases") {
+    val got = StreamingOps.t8FileSink(spark, sfDir)
+    val purchases = events.where(col("event_type") === "purchase")
+    assert(got.agg(sum(col("n_purchases"))).head().getLong(0) == purchases.count())
+  }
+}
