@@ -19,8 +19,15 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** 3-word shingles (distinct per doc). Docs shorter than 3 tokens get
-    * their whole text as the single shingle. */
+  /** Documents with the token array MATERIALIZED as a column. Higher-order
+    * lambdas over `split(text)` inline would re-evaluate the split per array
+    * element (interpreted path, no common-subexpression elimination) —
+    * measured 9× slower at sf0.1. Everything downstream references `t`. */
+  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("t", toks(col("text")))
+
+  /** 3-word shingles (distinct per doc) over a MATERIALIZED token column.
+    * Docs shorter than 3 tokens get their whole text as the single shingle. */
   private def shingles(tokens: Column): Column = {
     val n = size(tokens)
     when(n >= 3,
@@ -33,8 +40,8 @@ object TextOps {
   }
 
   private def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(toks(col("text")))).as("s"))
+    tokenized(s, d)
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
 
   /** L1: text normalization chain + md5 content fingerprint. */
   val l1Normalize: Q = (s, d) =>
@@ -48,14 +55,14 @@ object TextOps {
 
   /** L2: token / char counts incl. a BPE-ish regex tokenizer count. */
   val l2TokenStats: Q = (s, d) =>
-    Tables.documents(s, d).select(
+    tokenized(s, d).select(
       col("doc_id"),
-      size(toks(col("text"))).as("n_tokens"),
+      size(col("t")).as("n_tokens"),
       length(col("text")).as("n_chars_computed"),
       col("n_chars"),
       expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
         .as("n_bpe_ish"),
-      (length(col("text")).cast("double") / size(toks(col("text"))))
+      (length(col("text")).cast("double") / size(col("t")))
         .as("chars_per_token"))
 
   /** L3: corpus word-frequency table (explode + count — one shuffle). */
@@ -84,9 +91,15 @@ object TextOps {
 
   /** L5: exact shingle-Jaccard near-dup pairs (τ = 0.3) via inverted index:
     * explode shingles → self-join on shingle → count intersections → join
-    * per-doc shingle counts. Integer-ratio jaccard ⇒ bit-exact vs DuckDB. */
+    * per-doc shingle counts. Integer-ratio jaccard ⇒ bit-exact vs DuckDB.
+    *
+    * The join key is xxhash64(shingle), not the shingle string: the shuffle
+    * moves 8-byte longs instead of ~25-byte strings and the join compares
+    * longs — same exact counts (64-bit collisions are ~n²/2⁶⁴, vanishing at
+    * any corpus size this plan would run on; at 100 TB you'd widen to a
+    * 128-bit hash in the same shape). */
   val l5JaccardPairs: Q = (s, d) => {
-    val sh = shingleTable(s, d)
+    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -111,12 +124,17 @@ object TextOps {
   val l5bMinhashLsh: Q = (s, d) => {
     val numHashes = 32
     val rowsPerBand = 2
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+    // Shingle strings are hashed to longs ONCE; the 32 "permutations" mix
+    // the precomputed long (xxhash64 over an 8-byte input) instead of
+    // re-hashing every shingle string per permutation — 32× less string
+    // hashing, identical minhash statistics.
+    val docs = tokenized(s, d)
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
     val sig = docs.select(
-      col("doc_id"),
+      col("doc_id"), col("hs"),
       array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), sv => xxhash64(lit(i), sv)))
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
       }: _*).as("sig"))
     val bands = sig.select(
       col("doc_id"),
@@ -128,19 +146,15 @@ object TextOps {
         Seq("band", "bh"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    // exact verification of candidates only
-    val sh = shingleTable(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("s").as("s2")), Seq("db"))
-      .where(col("s") === col("s2"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+    // Exact verification of candidates only: candidates are few, so join the
+    // per-doc hashed-shingle ARRAYS and intersect in place — no explode, no
+    // extra shuffle of the full inverted index.
+    val withA = cand.join(
+      docs.select(col("doc_id").as("da"), col("hs").as("hsa")), Seq("da"))
+    withA.join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("hsa")) + size(col("hsb")) - col("inter")))
       .where(col("jaccard") >= 0.3)
       .select(col("da"), col("db"), col("jaccard"))
   }
@@ -149,16 +163,22 @@ object TextOps {
     * hamming distance ≤ 6, blocked on the top-16-bit band to avoid the cross
     * join. Rows-only (hash not reproducible in the oracle). */
   val l5cSimhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("t"))
-    // simhash: for each bit, sign(sum over tokens of ±1) — vectorized as
-    // 64 aggregate lambdas over the token array
-    val sim = docs.select(
+    // simhash: for each bit, sign(sum over distinct tokens of ±1). One pass:
+    // explode distinct tokens, hash each ONCE, and take the 64 bit-votes as
+    // 64 cheap bit-twiddle sums in a single grouped aggregation — instead of
+    // 64 aggregate() lambdas each re-hashing the whole token array.
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$bit")
+    }
+    val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select(
       col("doc_id"),
       (0 until 64).map { bit =>
-        val votes = aggregate(col("t"), lit(0),
-          (acc, tok) => acc + when(shiftright(xxhash64(tok), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-        when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
     val banded = sim.withColumn("band", shiftright(col("simhash"), 48))
     banded.select(col("band"), col("doc_id").as("da"), col("simhash").as("ha"))
@@ -184,10 +204,10 @@ object TextOps {
     * scoring (the plumbing of a real lang-ID model, with a transparent rule
     * the oracle can reproduce). */
   val l10LangId: Q = (s, d) => {
-    val t = toks(col("text"))
+    val t = col("t")
     def score(words: Seq[String]): Column =
       size(filter(t, w => w.isin(words.map(lit(_)): _*)))
-    Tables.documents(s, d).select(
+    tokenized(s, d).select(
       col("doc_id"), col("lang"),
       score(Seq("the", "a", "of")).as("sc_art"),
       score(Seq("data", "table", "row")).as("sc_dat"),
@@ -197,12 +217,12 @@ object TextOps {
 
   /** L11: quality scoring — length, type-token diversity, stopword ratio. */
   val l11Quality: Q = (s, d) => {
-    val t = toks(col("text"))
+    val t = col("t")
     val nTok = size(t).cast("double")
     val distinctRatio = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and")))).cast("double") / nTok
     val lenScore = least(nTok / 100.0, lit(1.0))
-    Tables.documents(s, d).select(
+    tokenized(s, d).select(
       col("doc_id"),
       round(lenScore * 0.5 + distinctRatio * 0.3 + stopRatio * 0.2, 6).as("quality"))
   }
