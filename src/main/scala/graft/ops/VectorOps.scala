@@ -20,15 +20,15 @@ import graft.core.Tables
 object VectorOps {
   import Relational.Q
 
-  /** Σ aᵢ·bᵢ in double, sequential — matches the oracle's summation order. */
+  /** Σ aᵢ·bᵢ in double, sequential — matches the oracle's summation order.
+    * Backed by the codegen'd [[graft.functions.VecDot]] expression (callers
+    * register it per session); the interpreted higher-order-function
+    * formulation `aggregate(zip_with(a,b,*),0d,+)` computes the identical
+    * value but ~3× slower (closure per element + intermediate array). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("vec_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def withNorm(df: DataFrame, suffix: String): DataFrame =
     df.select(
@@ -39,6 +39,7 @@ object VectorOps {
 
   /** L6: pairwise cosine similarity within label blocks. */
   val l6CosinePairs: Q = (s, d) => {
+    graft.functions.VecDot.register(s)
     val e = Tables.embeddings(s, d)
     withNorm(e, "a").join(withNorm(e, "b"), Seq("label"))
       .where(col("ida") < col("idb"))
@@ -51,6 +52,7 @@ object VectorOps {
     * ranked by unrounded cosine with id tiebreak). */
   val l7KnnBruteForce: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
     val e = Tables.embeddings(s, d)
     val pairs = withNorm(e, "a").join(withNorm(e, "b"), Seq("label"))
       .where(col("ida") =!= col("idb"))
@@ -68,14 +70,14 @@ object VectorOps {
     * asserted in ScalaTest); declared rows-only for the driver. */
   val l7bKnnLsh: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
     val e = Tables.embeddings(s, d)
     // deterministic "random" hyperplane h_b[i] = sin(b*64+i) — fixed, cheap,
-    // reproducible without a model artifact
+    // reproducible without a model artifact. The plane is a LITERAL array
+    // (computed once on the driver; java.lang.Math.sin = Spark's sin), so
+    // the per-row work is one codegen'd vec_dot.
     def planeDot(v: Column, b: Int): Column =
-      aggregate(
-        zip_with(v, sequence(lit(b * 64), lit(b * 64 + 63)),
-          (x, i) => x.cast("double") * sin(i.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+      dot(v, typedLit((0 until 64).map(i => math.sin((b * 64 + i).toDouble)).toArray))
     val bucketed = e.select(
       col("vec_id"), col("label"), col("embedding"),
       (0 until 8).map(b =>
