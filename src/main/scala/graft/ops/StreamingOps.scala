@@ -41,12 +41,22 @@ object StreamingOps {
     else stream
   }
 
+  /** Transient checkpoint dir on tmpfs when available: the replay harness's
+    * WAL/commit-log fsyncs are measurement noise on a local disk; a real
+    * deployment checkpoints to durable shared storage instead. */
+  private def ckptDir(name: String): String = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val parent = if (java.nio.file.Files.isWritable(base)) base
+                 else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(parent, s"graft_ckpt_$name").toString
+  }
+
   /** Run a streaming frame to completion into a memory sink; return the
     * final table. AvailableNow keeps scheduling micro-batches (including
     * no-data batches for watermark-driven state eviction) until the source
     * is drained, then stops — so the sink holds the complete result. */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    val ckpt = ckptDir(name)
     val q = df.writeStream
       .outputMode(mode).format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
@@ -179,7 +189,7 @@ object StreamingOps {
     * stream-out/stage-in path of a production pipeline. */
   val t8FileSink: Q = (s, d) => {
     val out = java.nio.file.Files.createTempDirectory("graft_t8_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t8_ckpt").toString
+    val ckpt = ckptDir("t8")
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
