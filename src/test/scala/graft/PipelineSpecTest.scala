@@ -112,6 +112,30 @@ class PipelineSpecTest extends SparkSpec {
     assert(spark.read.parquet(s"$wh/${imps("rev")}").count() > 0)
   }
 
+  test("manifest lists steps with materialization state; vacuum GCs stale runs") {
+    val wh = Files.createTempDirectory("graft_wh6").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    runner.execute(diamond, Seq("join"))
+    val m = runner.manifest(diamond).collect()
+    assert(m.length == 4)
+    assert(m.forall(r => r.getAs[String]("path").nonEmpty && r.getAs[Long]("rows") >= 0))
+
+    // a changed spec leaves the old impressions stale; vacuum removes them
+    val changed = PipelineSpec(diamond.steps.map {
+      case s if s.id == "left" =>
+        s.copy(params = Map("sql" -> "SELECT n_regionkey, count(*)+5 AS n FROM t GROUP BY 1"))
+      case s => s
+    })
+    new Runner(spark, Transforms.standard(), wh).execute(changed, Seq("join"))
+    val deleted = runner.vacuum(Seq(changed)).sorted
+    val oldLeft = runner.impressionId(diamond, "left")
+    val oldJoin = runner.impressionId(diamond, "join")
+    assert(deleted == Seq(oldLeft, oldJoin).sorted)
+    // live outputs intact
+    assert(new Runner(spark, Transforms.standard(), wh)
+      .collect(changed, "join").get.rows == 5)
+  }
+
   test("preview: head+tail with truncation marker") {
     val runner = new Runner(spark, Transforms.standard(),
       Files.createTempDirectory("graft_wh5").toString)
