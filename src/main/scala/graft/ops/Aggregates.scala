@@ -116,7 +116,24 @@ object Aggregates {
       .agg(WeightedAvg(col("l_extendedprice").cast(D2), col("l_quantity").cast(D2))
         .as("wavg_price"))
 
+  /** G10: two-phase (salted) aggregation — partial agg on (key, salt), then
+    * final agg on key. Equals the direct groupBy (decimal sums are exact, so
+    * re-association is lossless); at scale the first phase caps any hot
+    * key's reducer load at 1/S of its rows. Spark's map-side partial
+    * aggregation does this implicitly per-task — the explicit salt extends
+    * the same idea across tasks for extreme skew. */
+  val g10TwoPhaseAgg: Q = (s, d) => {
+    val S = 8
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("l_quantity").cast(D2)).as("pq"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g10_two_phase_agg" -> g10TwoPhaseAgg,
     "g1_basic_agg" -> g1Basic,
     "g2_distinct_agg" -> g2Distinct,
     "g3_approx_distinct" -> g3ApproxDistinct,
@@ -130,6 +147,10 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g10_two_phase_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1""",
     "g1_basic_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

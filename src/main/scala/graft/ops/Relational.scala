@@ -247,8 +247,28 @@ object Relational {
         unix_timestamp(col("last_signup")).as("signup_sec"))
   }
 
+  /** J8: skew-safe salted join — the 1000-executor remedy for a hot key.
+    * The fact side gets a DETERMINISTIC salt (hash of its unique row key mod
+    * S); the dim side is replicated ×S via explode, and the join runs on
+    * (key, salt), splitting any hot key across S reducers. Result is
+    * provably identical to the plain join (the oracle is the plain SQL) —
+    * the technique changes partitioning, never semantics. AQE's runtime
+    * skew-split handles this adaptively; the salted form is the static
+    * guarantee for pipelines that can't rely on it. */
+  val j8SaltedJoin: Q = (s, d) => {
+    val S = 8
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+    val o = Tables.orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_parquet_scan" -> s1ParquetScan,
+    "j8_salted_join" -> j8SaltedJoin,
     "s2_csv_roundtrip" -> s2CsvRoundtrip,
     "s3_json_roundtrip" -> s3JsonRoundtrip,
     "s4_inmemory_values" -> s4InMemory,
@@ -270,6 +290,11 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j8_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "s1_parquet_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity > 45 AND l_returnflag = 'R'""",
