@@ -266,9 +266,49 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
   }
 
+  /** S8+J9: bucketed co-located join — both sides saved bucketed (8 buckets,
+    * sorted) on the join key, so the join is a zero-shuffle sort-merge over
+    * pre-aligned buckets. At 100 TB this is the difference between a
+    * terabyte-scale exchange per join and none: bucket once on ingest, join
+    * any number of times for free. Plan shape (no ShuffleExchange feeding
+    * the join) is asserted in PlanSpec; the result equals the plain join. */
+  val s8BucketedJoin: Q = (s, d) => {
+    val buckets = 8
+    // idempotent re-create: a table dir left by a previous session isn't in
+    // this session's catalog, and saveAsTable refuses to reuse the location
+    def reset(table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = java.nio.file.Paths.get(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
+    reset("graft_bkt_lineitem"); reset("graft_bkt_orders")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    val li = s.table("graft_bkt_lineitem")
+    val o = s.table("graft_bkt_orders")
+    // merge hint: at small test scale AQE would broadcast instead; the point
+    // of this operator is the exchange-free sort-merge path buckets enable
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_parquet_scan" -> s1ParquetScan,
     "j8_salted_join" -> j8SaltedJoin,
+    "s8_bucketed_join" -> s8BucketedJoin,
     "s2_csv_roundtrip" -> s2CsvRoundtrip,
     "s3_json_roundtrip" -> s3JsonRoundtrip,
     "s4_inmemory_values" -> s4InMemory,
@@ -291,6 +331,11 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "j8_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    "s8_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -58,6 +58,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), s"as-of should be window-based:\n$plan")
   }
 
+  test("s8: bucketed join reads pre-aligned buckets with no shuffle before the join") {
+    val df = Relational.s8BucketedJoin(spark, sfDir)
+    val plan = executed(df)
+    val joins = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected sort-merge join over buckets:\n$plan")
+    // neither join input may contain an exchange — bucket layout IS the
+    // partitioning (the only shuffle in the query feeds the final groupBy)
+    joins.foreach { j =>
+      val under = j.children.flatMap(collectAll)
+      assert(!under.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"shuffle under bucketed join:\n$plan")
+    }
+  }
+
   test("whole-stage codegen active in the flagship query") {
     val plan = executed(Relational.j1RevenueByNation(spark, sfDir))
     assert(collectAll(plan).exists(
