@@ -74,6 +74,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned sink: partition pruning reaches the scan on re-read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.core.Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val pruned = spark.read.parquet(out).where(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+      s"no partition pruning:\n$scan")
+    // pruning means only the R partition's files are read
+    val allParts = new java.io.File(out).listFiles().count(_.getName.startsWith("l_returnflag="))
+    assert(allParts >= 2, "fixture should produce multiple partitions")
+    val read = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!read.contains("l_returnflag=A"), "pruned scan still lists other partitions")
+  }
+
   test("whole-stage codegen active in the flagship query") {
     val plan = executed(Relational.j1RevenueByNation(spark, sfDir))
     assert(collectAll(plan).exists(
