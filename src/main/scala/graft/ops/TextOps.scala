@@ -99,6 +99,10 @@ object TextOps {
     * any corpus size this plan would run on; at 100 TB you'd widen to a
     * 128-bit hash in the same shape). */
   val l5JaccardPairs: Q = (s, d) => {
+    // NOTE: the shingle table feeds three subplans (both join sides and the
+    // per-doc sizes); persisting it was measured SLOWER cold (the
+    // materialization barrier defeats concurrent stage execution), so the
+    // subplans recompute — shingle generation is cheap after tokenization.
     val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
