@@ -1,0 +1,70 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.api.HttpApi
+import graft.pipeline.{Runner, Transforms}
+
+/** End-to-end over the HTTP facade: submit a pipeline, poll status to
+  * completion, collect the output manifest, purge — the reference server's
+  * observable loop (execute → status → collect) on the Spark runner. */
+class HttpApiSpec extends SparkSpec {
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(url: String, body: String = ""): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("ping / run / status / collect / purge round-trip") {
+    val wh = Files.createTempDirectory("graft_api_wh").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      assert(get(s"$base/ping")._2.contains("Connected"))
+
+      val spec = s"""{
+        "steps": [
+          {"id": "src", "transform": "source",
+           "params": {"dir": "$sfDir", "table": "nation"}},
+          {"id": "agg", "transform": "sql", "inputs": {"t": "src"},
+           "params": {"sql": "SELECT n_regionkey, count(*) AS n FROM t GROUP BY 1"}}
+        ],
+        "roots": ["agg"]
+      }"""
+      val (code, runBody) = post(s"$base/run", spec)
+      assert(code == 202, runBody)
+      val runId = "\"run_id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(runBody).get.group(1)
+
+      var status = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (status != "finished" && System.currentTimeMillis() < deadline) {
+        status = "\"workflow\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(get(s"$base/status/$runId")._2).get.group(1)
+        if (status == "failed") fail(s"pipeline failed: ${get(s"$base/status/$runId")._2}")
+        Thread.sleep(100)
+      }
+      assert(status == "finished")
+      assert(get(s"$base/status/$runId")._2.contains("\"agg\":\"finished\""))
+
+      val (cc, collectBody) = get(s"$base/collect/$runId/agg")
+      assert(cc == 200 && collectBody.contains("\"rows\":5"), collectBody)
+
+      assert(post(s"$base/purge/$runId/agg")._1 == 200)
+      assert(get(s"$base/collect/$runId/agg")._1 == 404)
+
+      assert(get(s"$base/status/nope")._1 == 404)
+      assert(post(s"$base/run", "{bad json")._1 == 400)
+    } finally api.stop()
+  }
+}
