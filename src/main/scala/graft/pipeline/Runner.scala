@@ -67,10 +67,40 @@ final class Runner(
 
   private val runs = mutable.Map[String, StepRun]().withDefaultValue(StepRun(StepStatus.Raw))
 
+  // Durable status — the engine's status.json (`VJob.py:127-156`). Keyed by
+  // IMPRESSION id (content-addressed, like the reference's per-impression
+  // status file): a restarted runner sees prior terminal states for the
+  // same content and its submit filter honors them, while an edited step
+  // hashes to a fresh impression and starts `raw`. In-memory `runs` (by
+  // step id) is this session's view for status()/manifest().
+  private val statusDir = Paths.get(warehouse, "_status")
+
+  private def persistStatus(imp: String, r: StepRun): Unit = {
+    Files.createDirectories(statusDir)
+    val fields = Seq(s""""status": "${r.status.name}"""") ++
+      r.startedAt.map(t => s""""started_at": $t""") ++
+      r.finishedAt.map(t => s""""finished_at": $t""") ++
+      r.durationMs.map(d => s""""duration_ms": $d""")
+    Files.write(statusDir.resolve(s"$imp.json"),
+      fields.mkString("{", ", ", "}").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def persistedStatus(imp: String): Option[StepRun] = {
+    val p = statusDir.resolve(s"$imp.json")
+    if (!Files.exists(p)) None
+    else {
+      val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def field(k: String): Option[String] =
+        (s""""$k"\\s*:\\s*"?([^",}]+)"?""").r.findFirstMatchIn(body).map(_.group(1))
+      field("status").map(st => StepRun(StepStatus.parse(st),
+        field("started_at").map(_.toLong), field("finished_at").map(_.toLong)))
+    }
+  }
+
   def status(id: String): StepStatus = runs(id).status
   def run(id: String): StepRun = runs(id)
 
-  private def setStatus(id: String, to: StepStatus): Unit = {
+  private def setStatus(id: String, imp: String, to: StepStatus): Unit = {
     val cur = runs(id)
     val next = StepStatus.transition(cur.status, to)
     if (next eq to) {
@@ -82,6 +112,7 @@ final class Runner(
         case StepStatus.Raw => StepRun(StepStatus.Raw)
         case _ => cur.copy(status = to)
       }
+      persistStatus(imp, runs(id))
     }
   }
 
@@ -116,16 +147,19 @@ final class Runner(
 
     order.foreach { step =>
       val imp = imps(step.id)
+      // seed this session's view from the persisted per-impression status
+      if (!runs.contains(step.id))
+        persistedStatus(imp).foreach(r => runs(step.id) = r)
       val cached = isMaterialized(imp)
       val admitted = StepStatus.canSubmit(runs(step.id).status)
       if (cached) {
         // Terminal dep becomes an input leaf (VWorkflow.py:429-437).
-        setStatus(step.id, StepStatus.Archived)
+        setStatus(step.id, imp, StepStatus.Archived)
       } else if (!admitted) {
         () // e.g. already running in this session
       } else {
-        setStatus(step.id, StepStatus.Waiting)
-        setStatus(step.id, StepStatus.Running)
+        setStatus(step.id, imp, StepStatus.Waiting)
+        setStatus(step.id, imp, StepStatus.Running)
         try {
           val inputs = step.inputs.map { case (alias, dep) => alias -> load(dep) }
           val params = ParamMap(step.params)
@@ -133,10 +167,10 @@ final class Runner(
             interruptOnCancel = true)
           val df = registry.resolve(step.transform)(spark, inputs, params)
           df.write.mode("overwrite").parquet(outDir(imp).toString)
-          setStatus(step.id, StepStatus.Finished)
+          setStatus(step.id, imp, StepStatus.Finished)
         } catch {
           case NonFatal(e) =>
-            setStatus(step.id, StepStatus.Failed)
+            setStatus(step.id, imp, StepStatus.Failed)
             throw new RuntimeException(s"step ${step.id} failed", e)
         } finally spark.sparkContext.clearJobGroup()
       }
@@ -149,7 +183,7 @@ final class Runner(
     * materialized output so execute() recomputes. */
   def reset(spec: PipelineSpec, id: String): Unit = {
     purge(spec, id)
-    setStatus(id, StepStatus.Raw)
+    setStatus(id, impressionId(spec, id), StepStatus.Raw)
   }
 
   /** Collect: manifest of a step's materialized output (A21). */
@@ -176,8 +210,9 @@ final class Runner(
     * `cancelJobGroup`; REANA stop at
     * `/root/reference/Yuki/kernel/reana_workflow.py:149-156`). */
   def kill(spec: PipelineSpec, id: String): Unit = {
-    spark.sparkContext.cancelJobGroup(impressionId(spec, id))
-    setStatus(id, StepStatus.Failed)
+    val imp = impressionId(spec, id)
+    spark.sparkContext.cancelJobGroup(imp)
+    setStatus(id, imp, StepStatus.Failed)
   }
 
   /** Manifest of the whole pipeline — the catalog/browse view
@@ -209,11 +244,13 @@ final class Runner(
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) return Seq.empty
     val doomed = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString))
+      .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString)
+        && !p.getFileName.toString.startsWith("_")) // _status is metadata
       .map(_.getFileName.toString).toSeq
     doomed.foreach { imp =>
       Files.walk(root.resolve(imp)).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.delete(p))
+      Files.deleteIfExists(statusDir.resolve(s"$imp.json"))
     }
     doomed
   }

@@ -61,10 +61,13 @@ class PipelineSpecTest extends SparkSpec {
     assert(out.count() == 5) // 5 regions
     assert(out.columns.toSet == Set("n_regionkey", "n", "first_name"))
 
-    // second run: everything cache-hit → archived, nothing recomputed
+    // second run: everything cache-hit → skipped. A fresh runner loads the
+    // persisted terminal status (Finished, sticky); a never-run session
+    // view would show Archived — both mean "reused, not recomputed".
     val runner2 = new Runner(spark, Transforms.standard(), wh)
     runner2.execute(diamond, Seq("join"))
-    assert(runner2.status("join") == StepStatus.Archived)
+    assert(Set[StepStatus](StepStatus.Finished, StepStatus.Archived)
+      .contains(runner2.status("join")))
 
     // param change on 'left' invalidates left+join but not right/src
     val changed = PipelineSpec(diamond.steps.map {
@@ -134,6 +137,32 @@ class PipelineSpecTest extends SparkSpec {
     // live outputs intact
     assert(new Runner(spark, Transforms.standard(), wh)
       .collect(changed, "join").get.rows == 5)
+  }
+
+  test("status is durable per impression: failures survive restart, edits start raw") {
+    val wh = Files.createTempDirectory("graft_wh7").toString
+    val bad = PipelineSpec(Seq(
+      StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "nation")),
+      StepSpec("boom", "sql", Map("t" -> "src"), Map("sql" -> "SELECT no_such FROM t"))))
+    assertThrows[RuntimeException](
+      new Runner(spark, Transforms.standard(), wh).execute(bad, Seq("boom")))
+
+    // a NEW runner on the same warehouse sees the persisted failure and,
+    // since failed is re-admittable, retries it (and fails again)
+    val r2 = new Runner(spark, Transforms.standard(), wh)
+    assertThrows[RuntimeException](r2.execute(bad, Seq("boom")))
+    assert(r2.status("boom") == StepStatus.Failed)
+    assert(r2.run("boom").durationMs.isDefined)
+
+    // editing the step content-addresses to a fresh impression -> runs clean
+    val fixed = PipelineSpec(bad.steps.map {
+      case s if s.id == "boom" =>
+        s.copy(params = Map("sql" -> "SELECT count(*) AS n FROM t"))
+      case s => s
+    })
+    val r3 = new Runner(spark, Transforms.standard(), wh)
+    r3.execute(fixed, Seq("boom"))
+    assert(r3.status("boom") == StepStatus.Finished)
   }
 
   test("preview: head+tail with truncation marker") {
