@@ -90,6 +90,19 @@ object Aggregates {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
 
+  /** G6b: approx percentile (t-digest style sketch) — like G3, declared as
+    * a bounded-error self-check: the approximation must land within 5% of
+    * the exact quantile, so the oracle is `true` per group. At 100 TB the
+    * sketch is the only option (exact percentile needs a per-group sort). */
+  val g6bApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"))
+      .select(col("l_returnflag"),
+        (abs(col("ap50") - col("ex50")) <= col("ex50") * 0.05).as("approx_ok"))
+
   /** G7: collect_set, canonicalized by sorting + joining (deterministic). */
   val g7CollectSet: Q = (s, d) =>
     Tables.customer(s, d)
@@ -141,6 +154,7 @@ object Aggregates {
     "g4b_cube" -> g4Cube,
     "g5_having" -> g5Having,
     "g6_stats" -> g6Stats,
+    "g6b_approx_percentile" -> g6bApproxPercentile,
     "g7_collect_set" -> g7CollectSet,
     "g8_pivot" -> g8Pivot,
     "g9_weighted_avg" -> g9WeightedAvg
@@ -186,6 +200,8 @@ object Aggregates {
                 round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
                 round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
          FROM lineitem GROUP BY 1""",
+    "g6b_approx_percentile" ->
+      "SELECT l_returnflag, true AS approx_ok FROM lineitem GROUP BY 1",
     "g7_collect_set" ->
       """SELECT c_nationkey,
                 string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
