@@ -61,18 +61,8 @@ final class HttpApi(runner: Runner, port: Int = 0) {
   private def notFound(ex: HttpExchange): Unit =
     respond(ex, 404, JObject("error" -> JString("not found")))
 
-  private def parseSpec(body: String): (PipelineSpec, Seq[String]) = {
-    val j = JsonMethods.parse(body)
-    val steps = (j \ "steps").extract[Seq[JValue]].map { s =>
-      StepSpec(
-        id = (s \ "id").extract[String],
-        transform = (s \ "transform").extract[String],
-        inputs = (s \ "inputs").extractOrElse[Map[String, String]](Map.empty),
-        params = (s \ "params").extractOrElse[Map[String, String]](Map.empty))
-    }
-    val roots = (j \ "roots").extractOrElse[Seq[String]](steps.map(_.id))
-    (PipelineSpec(steps), roots)
-  }
+  private def parseSpec(body: String): (PipelineSpec, Seq[String]) =
+    SpecJson.parse(body)
 
   private def workflowStatus(st: RunState): String =
     st.future.value match {

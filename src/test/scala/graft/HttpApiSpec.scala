@@ -25,6 +25,15 @@ class HttpApiSpec extends SparkSpec {
     (r.statusCode(), r.body())
   }
 
+  test("spec without explicit roots defaults to all steps") {
+    // regression: json4s extracts a missing field to an EMPTY Seq, which
+    // silently executed nothing
+    val (spec, roots) = graft.api.SpecJson.parse(
+      """{"steps": [{"id": "a", "transform": "source",
+                     "params": {"dir": "x", "table": "y"}}]}""")
+    assert(roots == Seq("a") && spec.steps.map(_.id) == Seq("a"))
+  }
+
   test("ping / run / status / collect / purge round-trip") {
     val wh = Files.createTempDirectory("graft_api_wh").toString
     val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
