@@ -20,6 +20,10 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
+    // absolute warehouse path: saveAsTable (bucketed tables) must not
+    // depend on the launcher's working directory being writable
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cpus]").appName("yukispark"), cpus)
