@@ -48,6 +48,9 @@ final class HttpApi(runner: Runner, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
 
+  // push-based stage progress for /status (reference polled .done markers)
+  private val listener = RunListener.install(runner.session)
+
   def boundPort: Int = server.getAddress.getPort
 
   private def respond(ex: HttpExchange, code: Int, body: JValue): Unit = {
@@ -92,34 +95,48 @@ final class HttpApi(runner: Runner, port: Int = 0) {
     Option(runs.get(runId)) match {
       case None => notFound(ex)
       case Some(st) =>
+        // statusOf keys by impression id, so runs whose specs reuse step
+        // names don't clobber each other's reported state
         val steps = st.spec.steps.map { s =>
-          s.id -> JString(runner.status(s.id).name)
+          s.id -> JString(runner.statusOf(st.spec, s.id).name)
         }
+        val (done, seen) = listener.progress
         respond(ex, 200, JObject(
           "workflow" -> JString(workflowStatus(st)),
+          "stages_completed" -> JLong(done),
+          "stages_submitted" -> JLong(seen),
           "steps" -> JObject(steps: _*)))
     }
   })
 
-  server.createContext("/collect/", (ex: HttpExchange) => {
-    ex.getRequestURI.getPath.stripPrefix("/collect/").split("/") match {
+  /** (run, step) from the path, only if both exist — unknown step ids must
+    * 404, not escape as NoSuchElementException (which the JDK server turns
+    * into a dropped connection). */
+  private def resolve(path: String, prefix: String): Option[(RunState, String)] =
+    path.stripPrefix(prefix).split("/") match {
       case Array(runId, stepId) =>
-        Option(runs.get(runId)).flatMap(st => runner.collect(st.spec, stepId)) match {
-          case None => notFound(ex)
-          case Some(a) => respond(ex, 200, JObject(
-            "step" -> JString(a.id), "path" -> JString(a.path),
-            "schema" -> JString(a.schemaDDL), "rows" -> JLong(a.rows)))
-        }
-      case _ => notFound(ex)
+        Option(runs.get(runId)).filter(_.spec.byId.contains(stepId)).map((_, stepId))
+      case _ => None
+    }
+
+  server.createContext("/collect/", (ex: HttpExchange) => {
+    resolve(ex.getRequestURI.getPath, "/collect/")
+      .flatMap { case (st, stepId) => runner.collect(st.spec, stepId) } match {
+      case None => notFound(ex)
+      case Some(a) => respond(ex, 200, JObject(
+        "step" -> JString(a.id), "path" -> JString(a.path),
+        "schema" -> JString(a.schemaDDL), "rows" -> JLong(a.rows)))
     }
   })
 
   server.createContext("/purge/", (ex: HttpExchange) => {
-    ex.getRequestURI.getPath.stripPrefix("/purge/").split("/") match {
-      case Array(runId, stepId) if runs.containsKey(runId) =>
-        runner.purge(runs.get(runId).spec, stepId)
+    resolve(ex.getRequestURI.getPath, "/purge/") match {
+      case Some((st, stepId)) =>
+        // reset, not bare purge: dropping the output while leaving the
+        // sticky terminal status would make the step unrunnable forever
+        runner.reset(st.spec, stepId)
         respond(ex, 200, JObject("purged" -> JString(stepId)))
-      case _ => notFound(ex)
+      case None => notFound(ex)
     }
   })
 

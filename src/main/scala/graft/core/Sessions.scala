@@ -20,10 +20,11 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
-    // absolute warehouse path: saveAsTable (bucketed tables) must not
-    // depend on the launcher's working directory being writable
+    // absolute PER-PROCESS warehouse path: saveAsTable (bucketed tables)
+    // must not depend on the launcher's cwd being writable, and two JVMs
+    // sharing one dir would delete each other's fixed-name tables
     .config("spark.sql.warehouse.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cpus]").appName("yukispark"), cpus)

@@ -32,18 +32,27 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // result is NULL for ragged lengths / null elements even when both
+  // array arguments are non-null, so nullability can't derive from children
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Null contract, matching `aggregate(zip_with(a,b,*),0d,+)` exactly:
+    * zip_with pads the shorter array with nulls and a null product nulls the
+    * whole sum — so unequal lengths or any null element ⇒ NULL, flagging
+    * bad rows instead of silently truncating. */
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     val (fa, fb) = (isFloat(left), isFloat(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -61,12 +70,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($getA) * ($getB);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ($getA) * ($getB);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -19,6 +19,26 @@ final case class PipelineSpec(steps: Seq[StepSpec]) {
   val byId: Map[String, StepSpec] = steps.map(s => s.id -> s).toMap
   require(byId.size == steps.size, "duplicate step ids")
 
+  /** Content-addressed impression id per step (the reference's impression
+    * uuid, `/root/reference/Yuki/kernel/VJob.py:25`): SHA-256 over transform
+    * + sorted params + input impression ids. Computed ONCE per spec in
+    * dependency order — a naive recursive definition is exponential on
+    * diamond-shaped DAGs. */
+  lazy val impressionIds: Map[String, String] = {
+    val memo = scala.collection.mutable.Map[String, String]()
+    def hash(id: String): String = memo.getOrElseUpdate(id, {
+      val step = byId.getOrElse(id, sys.error(s"unknown step $id"))
+      val inputSig = step.inputs.toSeq.sortBy(_._1)
+        .map { case (alias, dep) => s"$alias=${hash(dep)}" }
+      val paramSig = step.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(16).map("%02x".format(_)).mkString
+    })
+    steps.map(s => s.id -> hash(s.id)).toMap
+  }
+
   /** Post-order DFS from the requested roots over input edges — the same
     * construction as the reference's `construct_workflow_jobs`
     * (`/root/reference/Yuki/kernel/VWorkflow.py:402-452`): dependencies

@@ -65,7 +65,15 @@ final class Runner(
     registry: TransformRegistry,
     warehouse: String) {
 
-  private val runs = mutable.Map[String, StepRun]().withDefaultValue(StepRun(StepStatus.Raw))
+  /** The session this runner executes on (e.g. for listener installation). */
+  def session: SparkSession = spark
+
+  // TrieMap: HttpApi drives execute() from a Future pool while /status
+  // handlers read concurrently — plain mutable.Map would corrupt.
+  private val runs = scala.collection.concurrent.TrieMap[String, StepRun]()
+  // same state keyed by impression id — the per-content view /status uses,
+  // immune to step-name collisions across different specs
+  private val impRuns = scala.collection.concurrent.TrieMap[String, StepRun]()
 
   // Durable status — the engine's status.json (`VJob.py:127-156`). Keyed by
   // IMPRESSION id (content-addressed, like the reference's per-impression
@@ -97,38 +105,42 @@ final class Runner(
     }
   }
 
-  def status(id: String): StepStatus = runs(id).status
-  def run(id: String): StepRun = runs(id)
+  /** This session's view by step id (kept for direct library use). */
+  def status(id: String): StepStatus =
+    runs.getOrElse(id, StepRun(StepStatus.Raw)).status
+  def run(id: String): StepRun = runs.getOrElse(id, StepRun(StepStatus.Raw))
+
+  /** Per-content status for a step of a specific spec — collision-free
+    * across runs that reuse step names (the reference keys status by
+    * impression too). Falls back to the persisted record, then raw. */
+  def statusOf(spec: PipelineSpec, id: String): StepStatus = {
+    val imp = impressionId(spec, id)
+    impRuns.get(imp).orElse(persistedStatus(imp))
+      .map(_.status).getOrElse(StepStatus.Raw)
+  }
 
   private def setStatus(id: String, imp: String, to: StepStatus): Unit = {
-    val cur = runs(id)
+    val cur = runs.getOrElse(id, StepRun(StepStatus.Raw))
     val next = StepStatus.transition(cur.status, to)
     if (next eq to) {
       val now = System.currentTimeMillis()
-      runs(id) = to match {
+      val updated = to match {
         case StepStatus.Running => cur.copy(status = to, startedAt = Some(now), finishedAt = None)
         case StepStatus.Finished | StepStatus.Failed =>
           cur.copy(status = to, finishedAt = Some(now))
         case StepStatus.Raw => StepRun(StepStatus.Raw)
         case _ => cur.copy(status = to)
       }
-      persistStatus(imp, runs(id))
+      runs(id) = updated
+      impRuns(imp) = updated
+      persistStatus(imp, updated)
     }
   }
 
-  /** Content-addressed step id (the "impression" uuid,
-    * `/root/reference/Yuki/kernel/VJob.py:25`): transform + sorted params +
-    * input impression hashes, so identical work shares a cache slot. */
-  def impressionId(spec: PipelineSpec, id: String): String = {
-    val step = spec.byId(id)
-    val inputSig = step.inputs.toSeq.sortBy(_._1)
-      .map { case (alias, dep) => s"$alias=${impressionId(spec, dep)}" }
-    val paramSig = step.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-    val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
-    MessageDigest.getInstance("SHA-256")
-      .digest(payload.getBytes(StandardCharsets.UTF_8))
-      .take(16).map("%02x".format(_)).mkString
-  }
+  /** Content-addressed step id — delegates to the spec's memoized map
+    * (linear in DAG size; see [[PipelineSpec.impressionIds]]). */
+  def impressionId(spec: PipelineSpec, id: String): String =
+    spec.impressionIds.getOrElse(id, sys.error(s"unknown step $id"))
 
   private def outDir(imp: String): Path = Paths.get(warehouse, imp)
   private def isMaterialized(imp: String): Boolean =
@@ -147,11 +159,16 @@ final class Runner(
 
     order.foreach { step =>
       val imp = imps(step.id)
-      // seed this session's view from the persisted per-impression status
+      // Seed this session's view from the persisted per-impression status.
+      // A persisted NON-terminal state (waiting/running) is a crash
+      // leftover — no process is running it, and honoring it would wedge
+      // the step forever (not cached, not admitted) — so it demotes to raw.
       if (!runs.contains(step.id))
-        persistedStatus(imp).foreach(r => runs(step.id) = r)
+        persistedStatus(imp).foreach { r =>
+          runs(step.id) = if (r.status.isTerminal) r else StepRun(StepStatus.Raw)
+        }
       val cached = isMaterialized(imp)
-      val admitted = StepStatus.canSubmit(runs(step.id).status)
+      val admitted = StepStatus.canSubmit(status(step.id))
       if (cached) {
         // Terminal dep becomes an input leaf (VWorkflow.py:429-437).
         setStatus(step.id, imp, StepStatus.Archived)
@@ -198,13 +215,18 @@ final class Runner(
 
   /** Purge: drop the materialized output dir (A6,
     * `/root/reference/Yuki/server/routes/execution.py:80-98`). */
-  def purge(spec: PipelineSpec, id: String): Unit = {
-    val dir = outDir(impressionId(spec, id))
+  def purge(spec: PipelineSpec, id: String): Unit =
+    deleteRecursively(outDir(impressionId(spec, id)))
+
+  /** Depth-first delete with the stream closed (Files.walk holds an open
+    * directory fd until closed — a leak per call in a long-lived server). */
+  private def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
-  }
 
   /** Kill: cancel the step's in-flight Spark jobs (A25 →
     * `cancelJobGroup`; REANA stop at
@@ -228,7 +250,7 @@ final class Runner(
       val mat = isMaterialized(imp)
       val rowCount =
         if (mat) spark.read.parquet(outDir(imp).toString).count() else -1L
-      (step.id, step.transform, imp, runs(step.id).status.name,
+      (step.id, step.transform, imp, statusOf(spec, step.id).name,
         if (mat) outDir(imp).toString else "", rowCount)
     }
     rows.toDF("step_id", "transform", "impression", "status", "path", "rows")
@@ -243,13 +265,15 @@ final class Runner(
     val keep = live.flatMap(sp => sp.steps.map(st => impressionId(sp, st.id))).toSet
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) return Seq.empty
-    val doomed = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString)
-        && !p.getFileName.toString.startsWith("_")) // _status is metadata
-      .map(_.getFileName.toString).toSeq
+    val listing = Files.list(root)
+    val doomed =
+      try listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString)
+          && !p.getFileName.toString.startsWith("_")) // _status is metadata
+        .map(_.getFileName.toString).toList
+      finally listing.close()
     doomed.foreach { imp =>
-      Files.walk(root.resolve(imp)).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.delete(p))
+      deleteRecursively(root.resolve(imp))
       Files.deleteIfExists(statusDir.resolve(s"$imp.json"))
     }
     doomed

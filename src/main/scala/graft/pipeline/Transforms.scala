@@ -32,22 +32,23 @@ object Transforms {
   * status scan (`.done`-marker counting,
   * `/root/reference/Yuki/kernel/dry_workflow.py:163-217`) with push
   * updates from the Spark scheduler: progress = stages completed / seen,
-  * keyed by the step's job group (= impression id). */
+  * keyed by the step's job group (= impression id). Both sides count
+  * DISTINCT stage ids, so retries and resubmissions don't inflate either
+  * number past the other. */
 final class RunListener extends SparkListener {
-  private val submitted = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-  private val seen = new java.util.concurrent.atomic.LongAdder
-  private val done = new java.util.concurrent.atomic.LongAdder
+  private val submitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
     val group = Option(ev.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
-    if (group != null) { submitted.put(ev.stageInfo.stageId, group); seen.increment() }
+    if (group != null) submitted.add(ev.stageInfo.stageId)
   }
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-    if (submitted.containsKey(ev.stageInfo.stageId)) done.increment()
+    if (submitted.contains(ev.stageInfo.stageId)) completed.add(ev.stageInfo.stageId)
 
-  /** (completed, submitted) stage counts across all tracked steps. */
-  def progress: (Long, Long) = (done.sum(), seen.sum())
+  /** (completed, submitted) distinct-stage counts across all tracked steps. */
+  def progress: (Long, Long) = (completed.size.toLong, submitted.size.toLong)
 }
 
 object RunListener {

@@ -69,8 +69,27 @@ class HttpApiSpec extends SparkSpec {
       val (cc, collectBody) = get(s"$base/collect/$runId/agg")
       assert(cc == 200 && collectBody.contains("\"rows\":5"), collectBody)
 
+      // unknown step id must 404, not drop the connection
+      assert(get(s"$base/collect/$runId/typo")._1 == 404)
+      assert(post(s"$base/purge/$runId/typo")._1 == 404)
+
       assert(post(s"$base/purge/$runId/agg")._1 == 200)
       assert(get(s"$base/collect/$runId/agg")._1 == 404)
+
+      // purge resets the sticky terminal status, so a re-run recomputes
+      val (c2, runBody2) = post(s"$base/run", spec)
+      assert(c2 == 202, runBody2)
+      val runId2 = "\"run_id\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(runBody2).get.group(1)
+      var st2 = ""
+      val dl2 = System.currentTimeMillis() + 60000
+      while (st2 != "finished" && System.currentTimeMillis() < dl2) {
+        st2 = "\"workflow\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(get(s"$base/status/$runId2")._2).get.group(1)
+        if (st2 == "failed") fail("re-run after purge failed")
+        Thread.sleep(100)
+      }
+      assert(get(s"$base/collect/$runId2/agg")._2.contains("\"rows\":5"))
 
       assert(get(s"$base/status/nope")._1 == 404)
       assert(post(s"$base/run", "{bad json")._1 == 400)

@@ -165,6 +165,50 @@ class PipelineSpecTest extends SparkSpec {
     assert(r3.status("boom") == StepStatus.Finished)
   }
 
+  test("impressionId is linear on diamond ladders (no exponential recursion)") {
+    // 60-step ladder, each step depending on the two previous — a naive
+    // recursive hash is ~2^60 operations; the memoized one is instant
+    val steps = (0 until 60).map { i =>
+      val inputs = Seq(i - 1, i - 2).filter(_ >= 0)
+        .zipWithIndex.map { case (d, j) => s"in$j" -> s"s$d" }.toMap
+      StepSpec(s"s$i", "identity", inputs)
+    }
+    val spec = PipelineSpec(steps)
+    val t0 = System.nanoTime()
+    val ids = spec.impressionIds
+    assert(ids.size == 60 && ids.values.toSet.size == 60)
+    assert((System.nanoTime() - t0) < 2e9, "impression hashing not linear")
+  }
+
+  test("stale persisted 'running' status demotes to raw and re-executes") {
+    val wh = Files.createTempDirectory("graft_wh8").toString
+    val spec = PipelineSpec(Seq(
+      StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "region"))))
+    val imp = spec.impressionIds("src")
+    // simulate a crash mid-step: persisted running, no materialized output
+    val statusDir = java.nio.file.Paths.get(wh, "_status")
+    Files.createDirectories(statusDir)
+    Files.write(statusDir.resolve(s"$imp.json"),
+      """{"status": "running", "started_at": 1}""".getBytes)
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    runner.execute(spec, Seq("src"))
+    assert(runner.status("src") == StepStatus.Finished)
+    assert(runner.collect(spec, "src").get.rows == 5)
+  }
+
+  test("statusOf is keyed per impression: same step name, different specs") {
+    val wh = Files.createTempDirectory("graft_wh9").toString
+    val specA = PipelineSpec(Seq(
+      StepSpec("load", "source", params = Map("dir" -> sfDir, "table" -> "region"))))
+    val specB = PipelineSpec(Seq(
+      StepSpec("load", "source", params = Map("dir" -> sfDir, "table" -> "nation"))))
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    runner.execute(specA, Seq("load"))
+    assert(runner.statusOf(specA, "load") == StepStatus.Finished)
+    // spec B's identically-named step has its own (unrun) impression
+    assert(runner.statusOf(specB, "load") == StepStatus.Raw)
+  }
+
   test("preview: head+tail with truncation marker") {
     val runner = new Runner(spark, Transforms.standard(),
       Files.createTempDirectory("graft_wh5").toString)

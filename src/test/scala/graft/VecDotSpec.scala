@@ -27,10 +27,12 @@ class VecDotSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(
       (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
-      (None, Some(Array(1.0f, 1.0f)))
+      (None, Some(Array(1.0f, 1.0f))),
+      (Some(Array(1.0f)), Some(Array(1.0f, 1.0f))) // ragged -> NULL
     ).toDF("a", "b")
     val rows = df.select(call_function("vec_dot", col("a"), col("b"))).collect()
     assert(rows(0).getDouble(0) == 11.0)
     assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0), "ragged arrays must null out, matching zip_with")
   }
 }
