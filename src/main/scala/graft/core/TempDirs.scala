@@ -1,0 +1,34 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Session-scoped scratch space. All transient dirs (streaming checkpoints,
+  * sink round-trip outputs, stream staging) live under ONE per-process root
+  * that a shutdown hook deletes — repeated query invocations in a long
+  * session no longer accumulate checkpoint/WAL/state dirs until the backing
+  * filesystem (often RAM-backed /dev/shm) fills. */
+object TempDirs {
+  /** tmpfs when available — checkpoint WAL fsyncs are measurement noise on
+    * a local disk; real deployments checkpoint to durable shared storage. */
+  private lazy val root: Path = {
+    val shm = Paths.get("/dev/shm")
+    val base = if (Files.isWritable(shm)) shm
+               else Paths.get(System.getProperty("java.io.tmpdir"))
+    val r = Files.createTempDirectory(base, "graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(r)))
+    r
+  }
+
+  /** A fresh unique dir under the session root (no cross-process sharing,
+    * no check-then-create races, no name collisions). */
+  def scratch(prefix: String): Path =
+    Files.createTempDirectory(root, s"${prefix}_")
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.delete(p) catch { case _: Exception => () } })
+      finally walk.close()
+    }
+}

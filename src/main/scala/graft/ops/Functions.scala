@@ -113,11 +113,18 @@ object Functions {
 
   /** F8: registered scalar UDF (type-token diversity score). The UDF surface
     * maps the reference's algorithm-impression hook (container_job.py:44-61);
-    * the same logic is expressible in SQL, which is the oracle. */
+    * the same logic is expressible in SQL, which is the oracle. Null-safe
+    * (String inputs are NOT null-skipped by Spark) and split keeps trailing
+    * empty tokens (limit -1) to match both the builtin split() and DuckDB's
+    * string_split on trailing-space text. */
   val f8Udf: Q = (s, d) => {
     val diversity = udf { text: String =>
-      val toks = text.split(" ")
-      if (toks.isEmpty) 0.0 else toks.distinct.length.toDouble / toks.length
+      if (text == null) null
+      else {
+        val toks = text.split(" ", -1)
+        if (toks.isEmpty) java.lang.Double.valueOf(0.0)
+        else java.lang.Double.valueOf(toks.distinct.length.toDouble / toks.length)
+      }
     }
     Tables.documents(s, d).select(
       col("doc_id"),

@@ -34,9 +34,15 @@ object MultiModal {
   }
 
   /** L9a: binary column + metadata struct survive a parquet sink round-trip
-    * byte-for-byte (verified via content digest vs the oracle). */
+    * byte-for-byte (verified via content digest vs the oracle).
+    *
+    * Oracle caveat: Spark measures the UTF-8 payload in BYTES while the
+    * DuckDB twin measures the text in CHARACTERS — equal only because the
+    * fixture corpus is ASCII. Real multimodal payloads are opaque binary
+    * (no text twin exists), so the byte-side measurements here are the
+    * correct engine behavior; only the oracle encoding is ASCII-bound. */
   val mm1BinaryRoundtrip: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val out = graft.core.TempDirs.scratch("mm").toString
     Tables.documents(s, d)
       .select(
         col("doc_id"),

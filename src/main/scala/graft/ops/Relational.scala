@@ -33,7 +33,7 @@ object Relational {
 
   /** S2+S6: CSV sink then CSV scan with explicit schema; aggregate parity. */
   val s2CsvRoundtrip: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = graft.core.TempDirs.scratch("csv").toString
     Tables.nation(s, d).write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
@@ -46,7 +46,7 @@ object Relational {
 
   /** S3+S6: JSON-lines sink then scan; aggregate parity. */
   val s3JsonRoundtrip: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val out = graft.core.TempDirs.scratch("json").toString
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       .write.mode("overwrite").json(out)
@@ -68,7 +68,7 @@ object Relational {
 
   /** S5: partitioned parquet sink, re-read, aggregate parity. */
   val s5ParquetSink: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val out = graft.core.TempDirs.scratch("pq").toString
     Tables.lineitem(s, d)
       .where(col("l_quantity") > 25)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)

@@ -17,18 +17,23 @@ object SortsSets {
   private val D2 = DecimalType(18, 2)
 
   /** O1: multi-key sort with explicit null ordering, materialized as a rank
-    * column (the driver canonically re-sorts rows, so order must be data). */
+    * column (the driver canonically re-sorts rows, so order must be data).
+    * Top-100 FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    * top-k, k-row driver merge), THEN row_number over the 100 survivors — a
+    * global un-partitioned window over the whole table would funnel every
+    * row through one task. */
   val o1SortNulls: Q = (s, d) => {
-    val base = Tables.orders(s, d)
+    val sortKeys = Seq(
+      col("maybe_price").asc_nulls_first,
+      col("o_orderdate").desc, col("o_orderkey").asc)
+    val top = Tables.orders(s, d)
       .withColumn("maybe_price",
         when(col("o_orderstatus") === "O", lit(null).cast("double"))
           .otherwise(col("o_totalprice")))
-    val w = Window.orderBy(
-      col("maybe_price").asc_nulls_first,
-      col("o_orderdate").desc, col("o_orderkey"))
-    base
-      .withColumn("pos", row_number().over(w))
-      .where(col("pos") <= 100)
+      .orderBy(sortKeys: _*)
+      .limit(100)
+    top
+      .withColumn("pos", row_number().over(Window.orderBy(sortKeys: _*)))
       .select(col("pos"), col("o_orderkey"), col("maybe_price"))
   }
 
@@ -52,12 +57,15 @@ object SortsSets {
   /** O4: seeded sample, declared as a cardinality-bounds check (a sample has
     * no row-level oracle; the fraction must land within ±50% relative). */
   val o4Sample: Q = (s, d) => {
-    val total = Tables.lineitem(s, d).count()
-    val n = Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42).count()
-    val ok = n >= total * 0.05 && n <= total * 0.15
-    val spark = s
-    import spark.implicits._
-    Seq(ok).toDF("sample_ok")
+    // lazy: both counts are declared as aggregations and only run when the
+    // caller acts (other builders never execute jobs at construction time)
+    val total = Tables.lineitem(s, d).agg(count(lit(1)).as("total"))
+    val sampled = Tables.lineitem(s, d)
+      .sample(withReplacement = false, 0.1, seed = 42)
+      .agg(count(lit(1)).as("n"))
+    total.crossJoin(sampled)
+      .select((col("n") >= col("total") * 0.05 &&
+               col("n") <= col("total") * 0.15).as("sample_ok"))
   }
 
   /** U1: UNION ALL (multiset) — copies per key across two selections. */

@@ -23,38 +23,38 @@ object StreamingOps {
   import Relational.Q
 
   /** File-stream source over the events parquet, with the same ns→µs
-    * timestamp normalization as the batch loader. */
+    * timestamp normalization as the batch loader. The file-stream source
+    * lists a directory, so the single events parquet is staged into a
+    * FRESH per-invocation scratch dir via symlink (no copy) — a shared
+    * cross-process dir raced on check-then-create, went permanently stale
+    * if the target moved (exists() follows links), and could collide two
+    * dataset paths under lossy name sanitization. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(Tables.path(d, "events"))
-    // The file-stream source lists a directory; stage the single events
-    // parquet into one (symlink — no copy) keyed by the sf dir.
-    val stageDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(stageDir)
-    val link = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(Tables.path(d, "events")))
+    val stageDir = graft.core.TempDirs.scratch("stream_events")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(Tables.path(d, "events")).toAbsolutePath)
     val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
     if (raw.schema("ts").dataType == LongType)
       stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else stream
   }
 
-  /** Transient checkpoint dir on tmpfs when available: the replay harness's
-    * WAL/commit-log fsyncs are measurement noise on a local disk; a real
-    * deployment checkpoints to durable shared storage instead. */
-  private def ckptDir(name: String): String = {
-    val base = java.nio.file.Paths.get("/dev/shm")
-    val parent = if (java.nio.file.Files.isWritable(base)) base
-                 else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(parent, s"graft_ckpt_$name").toString
-  }
+  /** Transient checkpoint dir under the session-scoped scratch root
+    * (deleted at JVM exit — repeated invocations don't fill /dev/shm). */
+  private def ckptDir(name: String): String =
+    graft.core.TempDirs.scratch(s"ckpt_$name").toString
 
   /** Run a streaming frame to completion into a memory sink; return the
     * final table. AvailableNow keeps scheduling micro-batches (including
     * no-data batches for watermark-driven state eviction) until the source
-    * is drained, then stops — so the sink holds the complete result. */
+    * is drained, then stops — so the sink holds the complete result.
+    *
+    * The memory sink is the VERIFICATION harness only: it collects the
+    * final result on the driver so the oracle can compare it, which is fine
+    * at fixture scale and wrong for production. The production sink shape
+    * is t8's parquet writeStream (distributed, nothing on the driver). */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val ckpt = ckptDir(name)
     val q = df.writeStream
@@ -115,12 +115,18 @@ object StreamingOps {
         col("event_type"), col("n"))
   }
 
-  /** T5: streaming dedup on a composite key (watermarked). Emits first
-    * arrival per key; the deterministic part — the key set — is compared. */
+  /** T5: streaming dedup on a composite key. Emits first arrival per key.
+    * dropDuplicatesWithinWatermark — NOT plain dropDuplicates, whose state
+    * is only evicted when the event-time column is part of the keys; with
+    * (user_id, event_type) keys the watermark would never evict and state
+    * grows with every key ever seen. WithinWatermark keys state eviction on
+    * the watermark itself: bounded state, and identical results whenever
+    * duplicates arrive within the watermark delay (true by construction on
+    * the finite replay; the documented semantics for continuous runs). */
   val t5Dedup: Q = (s, d) => {
     val deduped = eventsStream(s, d)
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToMemory(deduped, "t5_sink", "append")
   }
@@ -188,7 +194,7 @@ object StreamingOps {
   /** T8: streaming parquet file sink (append) + batch re-read — the
     * stream-out/stage-in path of a production pipeline. */
   val t8FileSink: Q = (s, d) => {
-    val out = java.nio.file.Files.createTempDirectory("graft_t8_out").toString
+    val out = graft.core.TempDirs.scratch("t8_out").toString
     val ckpt = ckptDir("t8")
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")

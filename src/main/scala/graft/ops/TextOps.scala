@@ -164,8 +164,13 @@ object TextOps {
   }
 
   /** L5c: SimHash (64-bit, from xxhash64 token hashes) + near-pair search by
-    * hamming distance ≤ 6, blocked on the top-16-bit band to avoid the cross
-    * join. Rows-only (hash not reproducible in the oracle). */
+    * hamming distance ≤ 6. Candidate blocking splits the hash into 8 bands
+    * of 8 bits and joins on ANY equal band: by pigeonhole, ≤6 differing bits
+    * cannot touch all 8 bands, so every qualifying pair collides in at least
+    * one band — the blocking is COMPLETE, not heuristic (a single-band block
+    * would silently drop pairs whose differing bits land in that band).
+    * Rows-only for the driver (hash not reproducible in the oracle);
+    * completeness vs the exact O(n²) scan is asserted in ScalaTest. */
   val l5cSimhash: Q = (s, d) => {
     // simhash: for each bit, sign(sum over distinct tokens of ±1). One pass:
     // explode distinct tokens, hash each ONCE, and take the 64 bit-votes as
@@ -184,14 +189,23 @@ object TextOps {
       (0 until 64).map { bit =>
         when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
-    val banded = sim.withColumn("band", shiftright(col("simhash"), 48))
-    banded.select(col("band"), col("doc_id").as("da"), col("simhash").as("ha"))
-      .join(banded.select(col("band"), col("doc_id").as("db"), col("simhash").as("hb")),
-        Seq("band"))
+    val banded = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*))
+        .as(Seq("band_idx", "band")))
+    banded.select(col("band_idx"), col("band"),
+        col("doc_id").as("da"), col("simhash").as("ha"))
+      .join(banded.select(col("band_idx"), col("band"),
+        col("doc_id").as("db"), col("simhash").as("hb")),
+        Seq("band_idx", "band"))
       .where(col("da") < col("db"))
+      // hamming filter BEFORE the distinct: bit_count per collision is
+      // cheap, so only qualifying pairs (not every band collision) pay the
+      // dedup shuffle
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= 6)
-      .select(col("da"), col("db"), col("hamming"))
+      .select(col("da"), col("db"), col("hamming")).distinct()
   }
 
   /** L8: per-language corpus stats. */

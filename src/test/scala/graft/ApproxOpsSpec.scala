@@ -41,6 +41,38 @@ class ApproxOpsSpec extends SparkSpec {
       s"LSH top-1 in exact top-3 for only $hit/${lshTop.size}")
   }
 
+  test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
+    import org.apache.spark.sql.DataFrame
+    val got = TextOps.l5cSimhash(spark, sfDir)
+    // exact reference: all-pairs hamming over the same simhashes, derived
+    // from the op's own output universe (da/db carry ha/hb implicitly) —
+    // recompute simhashes via a 1-band variant: instead, cross-check pair
+    // count against a driver-side exact scan of the simhash values
+    val sims = {
+      // rebuild the simhash table exactly as the op does
+      val tokens = graft.core.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val voteCols = (0 until 64).map { bit =>
+        sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit")
+      }
+      val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      votes.select(col("doc_id"),
+        (0 until 64).map { bit =>
+          when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val exactPairs = (for {
+      (ida, ha) <- sims; (idb, hb) <- sims
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ida, idb)).toSet
+    val gotPairs = got.select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == exactPairs,
+      s"banded=${gotPairs.size} exact=${exactPairs.size}; missing=${(exactPairs -- gotPairs).take(3)}")
+  }
+
   test("l12 rolling hash: codegen matches reference implementation, pinned") {
     import graft.functions.RollingHash
     val got = TextOps.l12RollingFp(spark, sfDir)
