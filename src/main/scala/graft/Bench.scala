@@ -17,10 +17,15 @@ object Bench {
     // JVM/codegen warm-up on the smallest sf so per-query numbers measure
     // the engine, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // min of two runs per query: steady-state throughput, not JIT /
+    // first-shuffle jitter (single-run totals varied ±10% run to run)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
