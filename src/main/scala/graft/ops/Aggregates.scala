@@ -72,6 +72,19 @@ object Aggregates {
         coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
         col("n"))
 
+  /** G4c: explicit GROUPING SETS (SQL surface) — the general form rollup
+    * and cube are shorthands for. */
+  val g4cGroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio,
+                count(*) AS n
+         FROM graft_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))""")
+  }
+
   /** G5: HAVING — post-aggregation filter. */
   val g5Having: Q = (s, d) =>
     Tables.customer(s, d)
@@ -152,6 +165,7 @@ object Aggregates {
     "g3_approx_distinct" -> g3ApproxDistinct,
     "g4_rollup" -> g4Rollup,
     "g4b_cube" -> g4Cube,
+    "g4c_grouping_sets" -> g4cGroupingSets,
     "g5_having" -> g5Having,
     "g6_stats" -> g6Stats,
     "g6b_approx_percentile" -> g6bApproxPercentile,
@@ -188,6 +202,12 @@ object Aggregates {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "g4c_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))""",
     "g5_having" ->
       """SELECT c_nationkey, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

@@ -210,7 +210,34 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_purchases"), (sum(col("cents")) / 100.0).as("spent"))
   }
 
+  /** T9: stream-stream inner join — each purchase joined to signups of the
+    * same user within the preceding 24 h. Both sides watermarked (1 h) and
+    * the join carries an event-time range predicate, so Spark can bound
+    * BOTH state stores: a signup row is dropped once no future purchase
+    * could reach back to it — the canonical bounded-state stream-stream
+    * join shape. Oracle: the same interval join in batch. */
+  val t9StreamStreamJoin: Q = (s, d) => {
+    val ev = eventsStream(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val out = runToMemory(joined, "t9_sink", "append")
+    out.select(col("p_id"), col("s_id"), col("p_user").as("user_id"),
+      unix_timestamp(col("p_ts")).as("purchase_sec"),
+      unix_timestamp(col("s_ts")).as("signup_sec"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t1_tumbling_window" -> t1Tumbling,
     "t2_sliding_window" -> t2Sliding,
     "t3_session_window" -> t3Session,
@@ -222,6 +249,15 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t9_stream_stream_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id,
+                CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
+                CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_sec
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id
+          AND s.ts <= p.ts
+          AND s.ts >= p.ts - INTERVAL 24 HOUR""",
     "t1_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
                 event_type, count(*) AS n,
