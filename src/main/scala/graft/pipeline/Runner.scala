@@ -119,8 +119,12 @@ final class Runner(
       .map(_.status).getOrElse(StepStatus.Raw)
   }
 
+  /** Transition gated on the IMPRESSION's state — the step-id map is only a
+    * display view. Gating on step id would let two concurrent runs whose
+    * specs share a step name block each other's admission. */
   private def setStatus(id: String, imp: String, to: StepStatus): Unit = {
-    val cur = runs.getOrElse(id, StepRun(StepStatus.Raw))
+    val cur = impRuns.get(imp).orElse(persistedStatus(imp))
+      .getOrElse(StepRun(StepStatus.Raw))
     val next = StepStatus.transition(cur.status, to)
     if (next eq to) {
       val now = System.currentTimeMillis()
@@ -134,6 +138,12 @@ final class Runner(
       runs(id) = updated
       impRuns(imp) = updated
       persistStatus(imp, updated)
+    } else {
+      // sticky-terminal blocked the transition: still surface the current
+      // state in both views (a restarted runner's cache-hit would otherwise
+      // display raw for a finished step)
+      runs(id) = cur
+      impRuns(imp) = cur
     }
   }
 
@@ -159,16 +169,18 @@ final class Runner(
 
     order.foreach { step =>
       val imp = imps(step.id)
-      // Seed this session's view from the persisted per-impression status.
-      // A persisted NON-terminal state (waiting/running) is a crash
-      // leftover — no process is running it, and honoring it would wedge
-      // the step forever (not cached, not admitted) — so it demotes to raw.
-      if (!runs.contains(step.id))
+      // Seed the impression's state from its persisted record. A persisted
+      // NON-terminal state (waiting/running) is a crash leftover — no
+      // process is running it, and honoring it would wedge the step forever
+      // (not cached, not admitted) — so it demotes to raw.
+      if (!impRuns.contains(imp))
         persistedStatus(imp).foreach { r =>
-          runs(step.id) = if (r.status.isTerminal) r else StepRun(StepStatus.Raw)
+          impRuns(imp) = if (r.status.isTerminal) r else StepRun(StepStatus.Raw)
         }
       val cached = isMaterialized(imp)
-      val admitted = StepStatus.canSubmit(status(step.id))
+      // admission gates on the impression (content), never the step name
+      val admitted = StepStatus.canSubmit(
+        impRuns.getOrElse(imp, StepRun(StepStatus.Raw)).status)
       if (cached) {
         // Terminal dep becomes an input leaf (VWorkflow.py:429-437).
         setStatus(step.id, imp, StepStatus.Archived)

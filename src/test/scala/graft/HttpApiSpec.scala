@@ -34,6 +34,35 @@ class HttpApiSpec extends SparkSpec {
     assert(roots == Seq("a") && spec.steps.map(_.id) == Seq("a"))
   }
 
+  test("concurrent runs with a shared step name keep independent statuses") {
+    val wh = Files.createTempDirectory("graft_api_wh2").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      def spec(table: String) = s"""{
+        "steps": [{"id": "load", "transform": "source",
+                   "params": {"dir": "$sfDir", "table": "$table"}}]}"""
+      // submit two runs back-to-back; both specs name their step "load"
+      val ids = Seq("region", "nation").map { t =>
+        "\"run_id\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(post(s"$base/run", spec(t))._2).get.group(1)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      def done(id: String) = get(s"$base/status/$id")._2.contains("\"workflow\":\"finished\"")
+      while (!ids.forall(done) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      ids.foreach { id =>
+        val body = get(s"$base/status/$id")._2
+        assert(body.contains("\"load\":\"finished\""), s"run $id: $body")
+      }
+      // distinct impressions, both collectable
+      val rows = ids.map(id =>
+        "\"rows\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(get(s"$base/collect/$id/load")._2).get.group(1).toLong)
+      assert(rows == Seq(5L, 25L), s"got $rows")
+    } finally api.stop()
+  }
+
   test("ping / run / status / collect / purge round-trip") {
     val wh = Files.createTempDirectory("graft_api_wh").toString
     val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
