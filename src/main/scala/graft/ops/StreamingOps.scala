@@ -56,14 +56,26 @@ object StreamingOps {
     * at fixture scale and wrong for production. The production sink shape
     * is t8's parquet writeStream (distributed, nothing on the driver). */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val ckpt = ckptDir(name)
-    val q = df.writeStream
-      .outputMode(mode).format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val s = df.sparkSession
+    // State-store partition sizing: a streaming query's state layout is
+    // fixed by the shuffle-partition count at first checkpoint. The replay
+    // fixtures carry ~150 keys, so 32 stores are mostly empty overhead;
+    // real deployments size this to key cardinality / cores via the same
+    // conf. Scoped to the query (restored after) since these replays own
+    // fresh checkpoints.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+    try {
+      val ckpt = ckptDir(name)
+      val q = df.writeStream
+        .outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   /** T1: tumbling 1-hour window aggregation (complete mode). */
