@@ -45,6 +45,17 @@ object Functions {
       unix_timestamp(col("o_orderdate")).as("epoch_sec"),
       make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made_date"))
 
+  /** F2b: interval arithmetic + month-granularity functions. */
+  val f2bIntervals: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+      (lit(2002 * 12 + 1) - (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+        .as("months_to_2002"),
+      (col("o_orderdate") + expr("INTERVAL 36 HOURS")).cast("date").as("plus36h_day"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+
   /** F3: math functions (decimal-rounding for parity; see SKILL.md gotcha). */
   val f3Math: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -143,6 +154,7 @@ object Functions {
   val queries: Map[String, Q] = Map(
     "f1_string" -> f1String,
     "f2_datetime" -> f2Datetime,
+    "f2b_intervals" -> f2bIntervals,
     "f3_math" -> f3Math,
     "f4_array" -> f4Array,
     "f5_map" -> f5Map,
@@ -178,6 +190,14 @@ object Functions {
                 CAST(o_orderdate AS DATE) AS as_date,
                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
                 make_date(year(o_orderdate), month(o_orderdate), 1) AS made_date
+         FROM orders""",
+    "f2b_intervals" ->
+      """SELECT o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+                (2002 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate)) AS months_to_2002,
+                CAST(o_orderdate + INTERVAL 36 HOUR AS DATE) AS plus36h_day,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                strftime(o_orderdate, '%Y-%m') AS ym
          FROM orders""",
     "f3_math" ->
       """SELECT l_orderkey, l_linenumber,
