@@ -18,18 +18,21 @@ object Bench {
     // the engine, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // min of two runs per query: steady-state throughput, not JIT /
-    // first-shuffle jitter (single-run totals varied ±10% run to run)
+    // first-shuffle jitter (single-run totals varied ±10% run to run).
+    // A failed query reports -1, NOT its (near-zero) time-to-throw — a
+    // regression must read as a failure, never as a speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,17 +30,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS). Spark's vectorized
-    * reader cannot represent nanos in TimestampType (micros); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a LongType of
-    * nanoseconds which we convert to a proper TimestampType here (truncation
-    * to micros, matching what DuckDB renders at micro precision).
+  /** events.parquet may store `ts` as parquet TIMESTAMP(NANOS). Spark's
+    * vectorized reader cannot represent nanos in TimestampType (micros);
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a
+    * LongType of nanoseconds which we convert to a proper TimestampType
+    * here (truncation to micros, matching what DuckDB renders at micro
+    * precision).
+    *
+    * KNOWN ASYMMETRY for nanos fixtures: DuckDB evaluates event-time
+    * predicates (as-of/interval joins, session gaps, ts ordering) at FULL
+    * nanosecond precision while Spark sees µs-truncated values — two events
+    * in the same microsecond can compare differently. If the driver ever
+    * regenerates nanos fixtures, the event-time oracles need
+    * `date_trunc('microseconds', ts)` wrappers to match. Current fixtures
+    * are µs, where both engines agree exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, NOT `/`: Spark's / is double division, and 2024-era
+        // nano epochs (~1.7e18) exceed double's 2^53 exact range, so the
+        // cast-back could land ±1µs off true truncation — across a second
+        // boundary in the worst case
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

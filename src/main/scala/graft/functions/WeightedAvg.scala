@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions.udaf
 case class WavgIn(x: BigDecimal, w: BigDecimal)
 case class WavgBuf(sxw: BigDecimal, sw: BigDecimal)
 
-object WeightedAvg extends Aggregator[WavgIn, WavgBuf, Double] {
+object WeightedAvg extends Aggregator[WavgIn, WavgBuf, java.lang.Double] {
   override def zero: WavgBuf = WavgBuf(BigDecimal(0), BigDecimal(0))
-  override def reduce(b: WavgBuf, in: WavgIn): WavgBuf =
-    if (in == null || in.x == null || in.w == null) b
-    else WavgBuf(b.sxw + in.x * in.w, b.sw + in.w)
+  // SQL-aggregate null semantics, matching SUM(x*w)/SUM(w) exactly:
+  // a null PRODUCT is skipped from the numerator only — a non-null weight
+  // still counts in the denominator even when x is null (skipping the whole
+  // row would inflate the average), and an empty/zero-weight group yields
+  // NULL like SQL division, not 0.
+  override def reduce(b: WavgBuf, in: WavgIn): WavgBuf = {
+    if (in == null) return b
+    val sxw = if (in.x != null && in.w != null) b.sxw + in.x * in.w else b.sxw
+    val sw = if (in.w != null) b.sw + in.w else b.sw
+    WavgBuf(sxw, sw)
+  }
   override def merge(a: WavgBuf, b: WavgBuf): WavgBuf =
     WavgBuf(a.sxw + b.sxw, a.sw + b.sw)
-  override def finish(b: WavgBuf): Double =
-    if (b.sw == 0) 0.0 else b.sxw.toDouble / b.sw.toDouble
+  override def finish(b: WavgBuf): java.lang.Double =
+    if (b.sw == 0) null else java.lang.Double.valueOf(b.sxw.toDouble / b.sw.toDouble)
   override def bufferEncoder: Encoder[WavgBuf] = Encoders.product[WavgBuf]
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 
   /** Column form: weighted_avg(x, w). Inputs should be DECIMAL-cast. */
   def apply(x: Column, w: Column): Column =

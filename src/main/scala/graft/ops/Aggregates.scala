@@ -92,16 +92,21 @@ object Aggregates {
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal"))
       .filter(col("n_cust") > 3)
 
-  /** G6: stddev / variance / corr / exact percentile (rounded for parity). */
+  /** G6: stddev / variance / corr / exact percentile. UNROUNDED on both
+    * sides: the checker compares floats at 1e-6 RELATIVE tolerance, which
+    * absorbs partial-aggregate merge-order wobble (~1e-12 relative); a
+    * round(x, 4) would instead FLIP between adjacent 4-decimal values when
+    * a statistic sits within wobble of a .00005 boundary — nondeterministic
+    * pass/fail that depends on task scheduling. */
   val g6Stats: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
 
   /** G6b: approx percentile (t-digest style sketch) — like G3, declared as
     * a bounded-error self-check: the approximation must land within 5% of
@@ -214,11 +219,11 @@ object Aggregates {
          FROM customer GROUP BY 1 HAVING count(*) > 3""",
     "g6_stats" ->
       """SELECT l_returnflag,
-                round(stddev_samp(l_quantity), 4) AS sd_qty,
-                round(var_samp(l_quantity), 4) AS var_qty,
-                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-                round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-                round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+                stddev_samp(l_quantity) AS sd_qty,
+                var_samp(l_quantity) AS var_qty,
+                corr(l_quantity, l_extendedprice) AS corr_qp,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty
          FROM lineitem GROUP BY 1""",
     "g6b_approx_percentile" ->
       "SELECT l_returnflag, true AS approx_ok FROM lineitem GROUP BY 1",

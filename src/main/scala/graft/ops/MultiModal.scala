@@ -87,8 +87,8 @@ object MultiModal {
          FROM documents""",
     "mm2_feature_extract" ->
       """SELECT doc_id, 'txt' AS fmt, length(text) AS n_bytes,
-                (SELECT sum(ascii(substring(text, i + 1, 1)))
-                 FROM (SELECT unnest(range(least(length(text), 16))) AS i)) % 256 AS head_sum,
+                coalesce((SELECT sum(ascii(substring(text, i + 1, 1)))
+                 FROM (SELECT unnest(range(least(length(text), 16))) AS i)), 0) % 256 AS head_sum,
                 md5(text) AS payload_md5
          FROM documents"""
   )

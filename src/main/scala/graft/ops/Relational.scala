@@ -235,8 +235,14 @@ object Relational {
     val tagged = ev.select(
       col("event_id"), col("user_id"), col("ts"), col("event_type"),
       when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+    // at EQUAL ts a signup must sort before the purchase so the window
+    // frame includes it — ASOF's predicate is s.ts <= p.ts, inclusive;
+    // ordering by event_id alone would exclude a same-ts signup with a
+    // larger event_id
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn("last_signup", last(col("signup_ts"), ignoreNulls = true).over(w))
@@ -380,7 +386,7 @@ object Relational {
          FROM orders GROUP BY 1, 2""",
     "p4_cast" ->
       """SELECT l_orderkey, l_linenumber,
-                CAST(l_quantity AS INT) AS qty_int,
+                CAST(trunc(l_quantity) AS INT) AS qty_int,
                 CAST(l_quantity AS VARCHAR) AS qty_str,
                 CAST(l_linenumber AS DOUBLE) AS line_dbl,
                 CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day

@@ -37,7 +37,9 @@ object StreamingOps {
       java.nio.file.Paths.get(Tables.path(d, "events")).toAbsolutePath)
     val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
     if (raw.schema("ts").dataType == LongType)
-      stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div — see Tables.events: double division is inexact at
+      // nano-epoch magnitudes
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
   }
 

@@ -42,9 +42,23 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    dirs = sorted(d for d in os.listdir(out_dir)
+                  if os.path.isdir(os.path.join(out_dir, d)))
+    # expected set = the declared-query manifest (so a query that crashed in
+    # Verify FAILS here instead of silently not being checked); fall back to
+    # listing dirs for older dumps. Stale dirs not in the manifest are noted.
+    manifest = f"{out_dir}/queries.txt"
+    if os.path.exists(manifest):
+        names = sorted(open(manifest).read().split())
+        for stale in set(dirs) - set(names):
+            print(f"STALE {stale}: result dir not in declared manifest")
+    else:
+        names = dirs
     for name in names:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL {name}: query produced no result (crashed in Verify)")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no result parquet"); n_fail += 1; continue
