@@ -151,7 +151,16 @@ object Functions {
       .groupBy(col("pos"), col("word"))
       .agg(count(lit(1)).as("n"))
 
+  /** F9b: explode_outer — rows with EMPTY generator output survive with a
+    * null, the left-join flavor of the UDTF surface. */
+  val f9bExplodeOuter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("long_words",
+        filter(split(col("text"), " "), w => length(w) > 6))
+      .select(col("doc_id"), explode_outer(col("long_words")).as("long_word"))
+
   val queries: Map[String, Q] = Map(
+    "f9b_explode_outer" -> f9bExplodeOuter,
     "f1_string" -> f1String,
     "f2_datetime" -> f2Datetime,
     "f2b_intervals" -> f2bIntervals,
@@ -241,6 +250,12 @@ object Functions {
                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                 / len(string_split(text, ' ')) AS diversity
          FROM documents""",
+    "f9b_explode_outer" ->
+      """SELECT doc_id,
+                unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_word
+         FROM (SELECT doc_id,
+                      list_filter(string_split(text, ' '), w -> len(w) > 6) AS l
+               FROM documents)""",
     "f9_generator" ->
       """SELECT pos, word, count(*) AS n
          FROM (SELECT unnest(toks) AS word, unnest(range(len(toks))) AS pos

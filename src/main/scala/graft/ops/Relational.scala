@@ -56,6 +56,20 @@ object Relational {
         dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  /** S2b: ORC sink + scan (the third columnar format after parquet/CSV/JSON);
+    * DuckDB reads no ORC, so parity is via the same aggregate over the
+    * original parquet table. */
+  val s2bOrcRoundtrip: Q = (s, d) => {
+    val out = graft.core.TempDirs.scratch("orc").toString
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+  }
+
   /** S4: in-memory literal table joined to a stored one. */
   val s4InMemory: Q = (s, d) => {
     import s.implicits._
@@ -316,6 +330,7 @@ object Relational {
     "j8_salted_join" -> j8SaltedJoin,
     "s8_bucketed_join" -> s8BucketedJoin,
     "s2_csv_roundtrip" -> s2CsvRoundtrip,
+    "s2b_orc_roundtrip" -> s2bOrcRoundtrip,
     "s3_json_roundtrip" -> s3JsonRoundtrip,
     "s4_inmemory_values" -> s4InMemory,
     "s5_parquet_sink" -> s5ParquetSink,
@@ -352,6 +367,10 @@ object Relational {
     "s2_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
          FROM nation GROUP BY 1""",
+    "s2b_orc_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY 1""",
     "s3_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
