@@ -125,21 +125,18 @@ object TextOps {
     * candidates, which are then exact-verified at τ = 0.3. Declared
     * rows-only (DuckDB cannot reproduce xxhash64); candidate ⊆ l5 output is
     * asserted in ScalaTest. */
-  val l5bMinhashLsh: Q = (s, d) => {
-    val numHashes = 32
-    val rowsPerBand = 2
-    // Shingle strings are hashed to longs ONCE; the 32 "permutations" mix
-    // the precomputed long (xxhash64 over an 8-byte input) instead of
-    // re-hashing every shingle string per permutation — 32× less string
-    // hashing, identical minhash statistics.
-    val docs = tokenized(s, d)
+  /** Docs with per-doc hashed-shingle arrays (shared by the minhash paths). */
+  private def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    tokenized(s, d)
       .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
-    val sig = docs.select(
-      col("doc_id"), col("hs"),
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
-      }: _*).as("sig"))
+
+  /** LSH banding + exact candidate verification, given per-doc signatures.
+    * Candidates collide in any band; the few survivors are exactly verified
+    * by intersecting the per-doc hashed-shingle ARRAYS in place — no
+    * explode, no extra shuffle of the full inverted index. */
+  private def minhashBandsVerify(
+      docs: DataFrame, sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val bands = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)), b =>
@@ -150,9 +147,6 @@ object TextOps {
         Seq("band", "bh"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    // Exact verification of candidates only: candidates are few, so join the
-    // per-doc hashed-shingle ARRAYS and intersect in place — no explode, no
-    // extra shuffle of the full inverted index.
     val withA = cand.join(
       docs.select(col("doc_id").as("da"), col("hs").as("hsa")), Seq("da"))
     withA.join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), Seq("db"))
@@ -161,6 +155,37 @@ object TextOps {
         col("inter") / (size(col("hsa")) + size(col("hsb")) - col("inter")))
       .where(col("jaccard") >= 0.3)
       .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  val l5bMinhashLsh: Q = (s, d) => {
+    val numHashes = 32
+    // Shingle strings are hashed to longs ONCE; the 32 "permutations" mix
+    // the precomputed long (xxhash64 over an 8-byte input) instead of
+    // re-hashing every shingle string per permutation — 32× less string
+    // hashing, identical minhash statistics.
+    val docs = hashedShingleDocs(s, d)
+    val sig = docs.select(
+      col("doc_id"), col("hs"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
+      }: _*).as("sig"))
+    minhashBandsVerify(docs, sig, numHashes, rowsPerBand = 2)
+  }
+
+  /** L5d: the SAME minhash-LSH near-dup search with signatures computed by
+    * the native [[graft.functions.MinHashSketch]] TypedImperativeAggregate
+    * over EXPLODED shingle rows — the formulation for corpora whose per-doc
+    * shingle sets are too large to materialize as row arrays: each shingle
+    * is hashed k ways once map-side and only k·8 bytes per doc cross the
+    * shuffle. Signatures are bit-identical to l5b's (same xxhash64 mixing;
+    * asserted in ScalaTest), so both paths return the same pairs. */
+  val l5dMinhashAgg: Q = (s, d) => {
+    graft.functions.MinHashSketch.register(s)
+    val docs = hashedShingleDocs(s, d)
+    val sig = docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash_sketch(h)").as("sig"))
+    minhashBandsVerify(docs, sig, numHashes = 32, rowsPerBand = 2)
   }
 
   /** L5c: SimHash (64-bit, from xxhash64 token hashes) + near-pair search by
@@ -261,6 +286,7 @@ object TextOps {
     "l4_exact_dedup" -> l4ExactDedup,
     "l5_jaccard_pairs" -> l5JaccardPairs,
     "l5b_minhash_lsh" -> l5bMinhashLsh,
+    "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
     "l8_lang_stats" -> l8LangStats,
     "l10_lang_id" -> l10LangId,

@@ -73,6 +73,15 @@ class ApproxOpsSpec extends SparkSpec {
       s"banded=${gotPairs.size} exact=${exactPairs.size}; missing=${(exactPairs -- gotPairs).take(3)}")
   }
 
+  test("l5d native minhash aggregate produces l5b's exact signatures and pairs") {
+    // the TypedImperativeAggregate must be bit-identical to the array-expr
+    // path: same xxhash64(i, h) mixing, so same signatures -> same output
+    val b = pairSet(TextOps.l5bMinhashLsh(spark, sfDir), "da", "db")
+    val dAgg = pairSet(TextOps.l5dMinhashAgg(spark, sfDir), "da", "db")
+    assert(b.nonEmpty && dAgg == b,
+      s"agg-path pairs != array-path pairs; only-agg=${(dAgg -- b).take(3)} only-array=${(b -- dAgg).take(3)}")
+  }
+
   test("l12 rolling hash: codegen matches reference implementation, pinned") {
     import graft.functions.RollingHash
     val got = TextOps.l12RollingFp(spark, sfDir)
