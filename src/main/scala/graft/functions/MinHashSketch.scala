@@ -44,15 +44,20 @@ case class MinHashSketch(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
+  // per-permutation seeds are constant: xxhash64(lit(i), h) folds seed 42
+  // over (int, long), and the int half never changes — precompute it once
+  // instead of twice-hashing every input row
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        // bit-identical to xxhash64(lit(i), h): fold seed 42 over (int, long)
-        val seeded = XxHash64Function.hash(i, IntegerType, 42L)
-        val mixed = XxHash64Function.hash(h, LongType, seeded)
+        // bit-identical to xxhash64(lit(i), h)
+        val mixed = XxHash64Function.hash(h, LongType, seeds(i))
         if (mixed < buf(i)) buf(i) = mixed
         i += 1
       }
