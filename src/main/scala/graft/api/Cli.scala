@@ -21,10 +21,13 @@ object Cli {
       try {
         val runner = new Runner(spark, Transforms.standard(), warehouse)
         runner.execute(spec, roots)
-        runner.manifest(spec).show(truncate = false)
+        // print EVERY step — show() defaults to 20 rows and would silently
+        // truncate larger pipelines' primary output
+        runner.manifest(spec).show(spec.steps.size, truncate = false)
       } finally spark.stop()
 
-    case "serve" :: warehouse :: rest if rest.lengthIs <= 1 =>
+    case "serve" :: warehouse :: rest
+        if rest.lengthIs <= 1 && rest.forall(_.forall(_.isDigit)) =>
       val port = rest.headOption.map(_.toInt).getOrElse(3315)
       val spark = Sessions.local()
       val runner = new Runner(spark, Transforms.standard(), warehouse)

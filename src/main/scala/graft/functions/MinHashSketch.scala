@@ -93,10 +93,22 @@ case class MinHashSketch(
 }
 
 object MinHashSketch {
-  /** Register `minhash_sketch(hash_col)` for expr()/call_function use. */
+  /** Register `minhash_sketch(hash_col[, num_hashes])` for expr() use.
+    * Arity is validated — extra arguments must not be silently dropped. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch",
-      exprs => MinHashSketch(exprs.head).toAggregateExpression(),
+      {
+        case Seq(child) => MinHashSketch(child).toAggregateExpression()
+        case Seq(child, k) =>
+          val n = k match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"minhash_sketch: num_hashes must be an int literal, got $other")
+          }
+          MinHashSketch(child, numHashes = n).toAggregateExpression()
+        case exprs => throw new IllegalArgumentException(
+          s"minhash_sketch expects 1-2 arguments, got ${exprs.length}")
+      },
       "scala_udf")
 }

@@ -252,7 +252,7 @@ object Functions {
          FROM documents""",
     "f9b_explode_outer" ->
       """SELECT doc_id,
-                unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_word
+                unnest(CASE WHEN l IS NULL OR len(l) = 0 THEN [NULL] ELSE l END) AS long_word
          FROM (SELECT doc_id,
                       list_filter(string_split(text, ' '), w -> len(w) > 6) AS l
                FROM documents)""",

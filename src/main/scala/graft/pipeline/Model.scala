@@ -26,10 +26,17 @@ final case class PipelineSpec(steps: Seq[StepSpec]) {
     * diamond-shaped DAGs. */
   lazy val impressionIds: Map[String, String] = {
     val memo = scala.collection.mutable.Map[String, String]()
+    val inStack = scala.collection.mutable.Set[String]()
     def hash(id: String): String = memo.getOrElseUpdate(id, {
+      // guarded like topoOrder: this map covers ALL steps, including ones
+      // outside the requested roots, so a cycle there must error cleanly
+      // rather than StackOverflowError
+      require(!inStack.contains(id), s"cycle through step $id")
+      inStack += id
       val step = byId.getOrElse(id, sys.error(s"unknown step $id"))
       val inputSig = step.inputs.toSeq.sortBy(_._1)
         .map { case (alias, dep) => s"$alias=${hash(dep)}" }
+      inStack -= id
       val paramSig = step.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
       java.security.MessageDigest.getInstance("SHA-256")

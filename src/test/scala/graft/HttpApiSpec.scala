@@ -25,6 +25,27 @@ class HttpApiSpec extends SparkSpec {
     (r.statusCode(), r.body())
   }
 
+  test("malformed specs are parse errors, not silent no-ops") {
+    // missing/typo'd steps key
+    assertThrows[RuntimeException](graft.api.SpecJson.parse("""{"Steps": []}"""))
+    // empty steps
+    assertThrows[RuntimeException](graft.api.SpecJson.parse("""{"steps": []}"""))
+    // wrong-shaped inputs (array instead of object)
+    assertThrows[Exception](graft.api.SpecJson.parse(
+      """{"steps": [{"id": "a", "transform": "identity",
+                     "inputs": [["x", "b"]]}]}"""))
+  }
+
+  test("cycle outside the requested roots errors cleanly, not StackOverflow") {
+    import graft.pipeline.{PipelineSpec, StepSpec}
+    val spec = PipelineSpec(Seq(
+      StepSpec("a", "identity", Map("x" -> "b")),
+      StepSpec("b", "identity", Map("x" -> "a")),
+      StepSpec("c", "source", params = Map("dir" -> sfDir, "table" -> "region"))))
+    val e = intercept[IllegalArgumentException](spec.impressionIds)
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("spec without explicit roots defaults to all steps") {
     // regression: json4s extracts a missing field to an EMPTY Seq, which
     // silently executed nothing
