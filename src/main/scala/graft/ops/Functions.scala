@@ -211,8 +211,8 @@ object Functions {
     "f3_math" ->
       """SELECT l_orderkey, l_linenumber,
                 CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
-                floor(l_extendedprice) AS price_floor,
-                ceil(l_extendedprice) AS price_ceil,
+                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
                 CAST(CAST(abs(l_discount - 0.5) AS DECIMAL(18,2)) AS DOUBLE) AS disc_dist,
                 pow(2.0, l_linenumber) AS pow2,
                 sqrt(l_quantity) AS qty_sqrt,

@@ -86,9 +86,9 @@ object MultiModal {
                 'txt' AS fmt, n_chars AS width
          FROM documents""",
     "mm2_feature_extract" ->
-      """SELECT doc_id, 'txt' AS fmt, length(text) AS n_bytes,
-                coalesce((SELECT sum(ascii(substring(text, i + 1, 1)))
-                 FROM (SELECT unnest(range(least(length(text), 16))) AS i)), 0) % 256 AS head_sum,
+      """SELECT doc_id, 'txt' AS fmt, CAST(length(text) AS INT) AS n_bytes,
+                CAST(coalesce((SELECT sum(ascii(substring(text, i + 1, 1)))
+                 FROM (SELECT unnest(range(least(length(text), 16))) AS i)), 0) % 256 AS INT) AS head_sum,
                 md5(text) AS payload_md5
          FROM documents"""
   )

@@ -346,7 +346,7 @@ object TextOps {
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                 count(DISTINCT source) AS n_sources,
-                sum(len(string_split(text, ' '))) AS total_tokens
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY 1""",
     "l10_lang_id" ->
       """SELECT doc_id, lang,
