@@ -100,7 +100,10 @@ final class HttpApi(runner: Runner, port: Int = 0) {
         val steps = st.spec.steps.map { s =>
           s.id -> JString(runner.statusOf(st.spec, s.id).name)
         }
-        val (done, seen) = listener.progress
+        // progress over THIS run's job groups (its impression ids) only —
+        // concurrent runs don't see each other's stages
+        val (done, seen) =
+          listener.progress(st.spec.steps.map(s => runner.impressionId(st.spec, s.id)).toSet)
         respond(ex, 200, JObject(
           "workflow" -> JString(workflowStatus(st)),
           "stages_completed" -> JLong(done),
@@ -124,7 +127,8 @@ final class HttpApi(runner: Runner, port: Int = 0) {
       .flatMap { case (st, stepId) => runner.collect(st.spec, stepId) } match {
       case None => notFound(ex)
       case Some(a) => respond(ex, 200, JObject(
-        "step" -> JString(a.id), "path" -> JString(a.path),
+        "step" -> JString(a.id), "impression" -> JString(a.impression),
+        "path" -> JString(a.path),
         "schema" -> JString(a.schemaDDL), "rows" -> JLong(a.rows)))
     }
   })

@@ -34,10 +34,14 @@ final case class PipelineSpec(steps: Seq[StepSpec]) {
       require(!inStack.contains(id), s"cycle through step $id")
       inStack += id
       val step = byId.getOrElse(id, sys.error(s"unknown step $id"))
+      // length-prefixed k/v components: without the prefixes, params
+      // {"a=b":"c"} and {"a":"b=c"} (or keys/values containing the join
+      // byte) would collide to one payload and wrongly share a cached output
+      def comp(k: String, v: String) = s"${k.length}:$k=${v.length}:$v"
       val inputSig = step.inputs.toSeq.sortBy(_._1)
-        .map { case (alias, dep) => s"$alias=${hash(dep)}" }
+        .map { case (alias, dep) => comp(alias, hash(dep)) }
       inStack -= id
-      val paramSig = step.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      val paramSig = step.params.toSeq.sorted.map { case (k, v) => comp(k, v) }
       val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))

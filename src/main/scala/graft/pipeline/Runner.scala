@@ -43,7 +43,8 @@ final case class StepRun(
   * files, `/root/reference/Yuki/kernel/reana_workflow.py:259-313`; here
   * outputs already live in the warehouse, so collect returns paths +
   * schema + row counts). */
-final case class StepArtifact(id: String, path: String, schemaDDL: String, rows: Long)
+final case class StepArtifact(id: String, impression: String, path: String,
+    schemaDDL: String, rows: Long)
 
 /** Pipeline runner — Yuki's workflow semantics on one SparkSession.
   *
@@ -156,6 +157,45 @@ final class Runner(
   private def isMaterialized(imp: String): Boolean =
     Files.exists(outDir(imp).resolve("_SUCCESS"))
 
+  // Per-impression striped lock: serializes the decide-and-run critical
+  // section so a concurrent execute() whose spec shares an impression WAITS
+  // for the in-flight computation instead of skipping it and then failing
+  // to read the not-yet-materialized output downstream. Driver-side only —
+  // the lock is held by one driver thread while Spark runs the job; no
+  // executor ever blocks on it. Bounded by distinct impressions (metadata
+  // scale, like the status maps).
+  private val stepLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  private def stepLock(imp: String): Object =
+    stepLocks.getOrElseUpdate(imp, new Object)
+
+  /** Atomically admit an impression for this thread: CAS its state from
+    * absent-or-submittable to Waiting. Exactly one of N concurrent
+    * execute() calls sharing an impression wins the claim; losers observe
+    * waiting/running (not submittable) and skip — the reference's
+    * raw/failed admission rule (`execution.py:42-44`), made atomic so two
+    * concurrent /run requests can't both overwrite one output dir. */
+  @annotation.tailrec
+  private def claim(id: String, imp: String): Boolean =
+    impRuns.get(imp) match {
+      case None =>
+        // seed from the durable record; a persisted NON-terminal state is a
+        // crash leftover (no process is running it) and demotes to raw
+        val seeded = persistedStatus(imp)
+          .filter(_.status.isTerminal).getOrElse(StepRun(StepStatus.Raw))
+        impRuns.putIfAbsent(imp, seeded)
+        claim(id, imp)
+      case Some(cur) if !StepStatus.canSubmit(cur.status) =>
+        runs(id) = cur // keep the per-step display view current
+        false
+      case Some(cur) =>
+        val next = cur.copy(status = StepStatus.Waiting)
+        if (impRuns.replace(imp, cur, next)) {
+          runs(id) = next
+          persistStatus(imp, next)
+          true
+        } else claim(id, imp)
+    }
+
   /** Run the DAG rooted at `roots`. Per step: skip if its impression output
     * already exists (cache hit) or its status is terminal-and-not-failed;
     * otherwise compute and persist. Returns the impression id per step. */
@@ -164,30 +204,19 @@ final class Runner(
     val imps = order.map(s => s.id -> impressionId(spec, s.id)).toMap
     val outputs = mutable.Map[String, DataFrame]()
 
+    // inputs are served WITHOUT the lineage stamp: transforms see clean
+    // data, and each step's output carries exactly its own stamp
     def load(id: String): DataFrame =
-      outputs.getOrElseUpdate(id, spark.read.parquet(outDir(imps(id)).toString))
+      outputs.getOrElseUpdate(id,
+        spark.read.parquet(outDir(imps(id)).toString).drop(Runner.LineageCol))
 
     order.foreach { step =>
       val imp = imps(step.id)
-      // Seed the impression's state from its persisted record. A persisted
-      // NON-terminal state (waiting/running) is a crash leftover — no
-      // process is running it, and honoring it would wedge the step forever
-      // (not cached, not admitted) — so it demotes to raw.
-      if (!impRuns.contains(imp))
-        persistedStatus(imp).foreach { r =>
-          impRuns(imp) = if (r.status.isTerminal) r else StepRun(StepStatus.Raw)
-        }
-      val cached = isMaterialized(imp)
-      // admission gates on the impression (content), never the step name
-      val admitted = StepStatus.canSubmit(
-        impRuns.getOrElse(imp, StepRun(StepStatus.Raw)).status)
-      if (cached) {
+      stepLock(imp).synchronized {
+      if (isMaterialized(imp)) {
         // Terminal dep becomes an input leaf (VWorkflow.py:429-437).
         setStatus(step.id, imp, StepStatus.Archived)
-      } else if (!admitted) {
-        () // e.g. already running in this session
-      } else {
-        setStatus(step.id, imp, StepStatus.Waiting)
+      } else if (claim(step.id, imp)) {
         setStatus(step.id, imp, StepStatus.Running)
         try {
           val inputs = step.inputs.map { case (alias, dep) => alias -> load(dep) }
@@ -195,13 +224,24 @@ final class Runner(
           spark.sparkContext.setJobGroup(imp, s"graft step ${step.id}",
             interruptOnCancel = true)
           val df = registry.resolve(step.transform)(spark, inputs, params)
-          df.write.mode("overwrite").parquet(outDir(imp).toString)
+          // Lineage stamping (A26): every materialized row carries the
+          // content-addressed impression that produced it — the Spark-native
+          // replacement for the reference's per-stageout PNG watermarking
+          // (`/root/reference/Yuki/kernel/VWorkflow.py:482-543`). A literal
+          // column costs nothing at scale (constant-folded, RLE'd by
+          // parquet) and survives joins/unions downstream.
+          df.withColumn(Runner.LineageCol, org.apache.spark.sql.functions.lit(imp))
+            .write.mode("overwrite").parquet(outDir(imp).toString)
           setStatus(step.id, imp, StepStatus.Finished)
         } catch {
           case NonFatal(e) =>
             setStatus(step.id, imp, StepStatus.Failed)
             throw new RuntimeException(s"step ${step.id} failed", e)
         } finally spark.sparkContext.clearJobGroup()
+      }
+      // else: the impression finished without materializing (purged but
+      // terminal-finished) — skip; an in-flight claim by another thread is
+      // impossible here because the lock serializes claimants
       }
     }
     imps
@@ -215,13 +255,14 @@ final class Runner(
     setStatus(id, impressionId(spec, id), StepStatus.Raw)
   }
 
-  /** Collect: manifest of a step's materialized output (A21). */
+  /** Collect: manifest of a step's materialized output (A21), including
+    * the lineage stamp every row carries. */
   def collect(spec: PipelineSpec, id: String): Option[StepArtifact] = {
     val imp = impressionId(spec, id)
     if (!isMaterialized(imp)) None
     else {
       val df = spark.read.parquet(outDir(imp).toString)
-      Some(StepArtifact(id, outDir(imp).toString, df.schema.toDDL, df.count()))
+      Some(StepArtifact(id, imp, outDir(imp).toString, df.schema.toDDL, df.count()))
     }
   }
 
@@ -304,4 +345,9 @@ final class Runner(
         + df.tail(maxRows).mkString("\n"))
     }
   }
+}
+
+object Runner {
+  /** Lineage column stamped onto every materialized step output (A26). */
+  val LineageCol = "_impression_id"
 }

@@ -32,23 +32,47 @@ object Transforms {
   * status scan (`.done`-marker counting,
   * `/root/reference/Yuki/kernel/dry_workflow.py:163-217`) with push
   * updates from the Spark scheduler: progress = stages completed / seen,
-  * keyed by the step's job group (= impression id). Both sides count
-  * DISTINCT stage ids, so retries and resubmissions don't inflate either
-  * number past the other. */
+  * keyed PER job group (= impression id) so two concurrent runs don't see
+  * each other's stages in their progress. Both sides count DISTINCT stage
+  * ids, so retries and resubmissions don't inflate either number. */
 final class RunListener extends SparkListener {
-  private val submitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-  private val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val submitted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
+  private val completed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
+  private def setFor(m: java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]],
+      g: String): java.util.Set[Int] =
+    m.computeIfAbsent(g, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
     val group = Option(ev.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
-    if (group != null) submitted.add(ev.stageInfo.stageId)
+    if (group != null) {
+      stageGroup.put(ev.stageInfo.stageId, group)
+      setFor(submitted, group).add(ev.stageInfo.stageId)
+    }
   }
-  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
-    if (submitted.contains(ev.stageInfo.stageId)) completed.add(ev.stageInfo.stageId)
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    // completion events carry no properties — recover the group from the
+    // submission-time mapping
+    val group = stageGroup.get(ev.stageInfo.stageId)
+    if (group != null) setFor(completed, group).add(ev.stageInfo.stageId)
+  }
 
-  /** (completed, submitted) distinct-stage counts across all tracked steps. */
-  def progress: (Long, Long) = (completed.size.toLong, submitted.size.toLong)
+  /** (completed, submitted) distinct-stage counts for the given job groups
+    * (a run's impression ids). */
+  def progress(groups: Set[String]): (Long, Long) = {
+    def count(m: java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]) =
+      groups.iterator.map(g => Option(m.get(g)).map(_.size.toLong).getOrElse(0L)).sum
+    (count(completed), count(submitted))
+  }
+
+  /** Fleet-wide view across all tracked groups. */
+  def progress: (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    progress(submitted.keySet.asScala.toSet)
+  }
 }
 
 object RunListener {

@@ -59,7 +59,8 @@ class PipelineSpecTest extends SparkSpec {
     assert(runner.status("join") == StepStatus.Finished)
     val out = spark.read.parquet(s"$wh/${imps("join")}")
     assert(out.count() == 5) // 5 regions
-    assert(out.columns.toSet == Set("n_regionkey", "n", "first_name"))
+    assert(out.columns.toSet ==
+      Set("n_regionkey", "n", "first_name", Runner.LineageCol))
 
     // second run: everything cache-hit → skipped. A fresh runner loads the
     // persisted terminal status (Finished, sticky); a never-run session
@@ -194,6 +195,42 @@ class PipelineSpecTest extends SparkSpec {
     runner.execute(spec, Seq("src"))
     assert(runner.status("src") == StepStatus.Finished)
     assert(runner.collect(spec, "src").get.rows == 5)
+  }
+
+  test("lineage stamping (A26): each output carries exactly its own impression id") {
+    val wh = Files.createTempDirectory("graft_wh10").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val imps = runner.execute(diamond, Seq("join"))
+    diamond.steps.foreach { s =>
+      val df = spark.read.parquet(s"$wh/${imps(s.id)}")
+      val stamps = df.select(Runner.LineageCol).distinct()
+        .collect().map(_.getString(0)).toSeq
+      // one stamp per output = the producing impression; the join's output
+      // carries ONLY its own stamp, proving inputs are served unstamped
+      assert(stamps == Seq(imps(s.id)), s"step ${s.id}")
+    }
+    // collect surfaces the stamp and the schema includes the lineage column
+    val art = runner.collect(diamond, "join").get
+    assert(art.impression == imps("join"))
+    assert(art.schemaDDL.contains(Runner.LineageCol))
+  }
+
+  test("admission is atomic: concurrent executes of one spec write once, no failures") {
+    val wh = Files.createTempDirectory("graft_wh11").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // N racing executes share every impression; the CAS claim admits one
+    // writer per impression and the rest skip — racing delete-vs-write on
+    // the same output dir would throw here without it
+    val futs = (1 to 4).map(_ => Future(runner.execute(diamond, Seq("join"))))
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    val imps = results.head
+    assert(results.forall(_ == imps))
+    val out = spark.read.parquet(s"$wh/${imps("join")}")
+    assert(out.count() == 5)
   }
 
   test("statusOf is keyed per impression: same step name, different specs") {
