@@ -33,7 +33,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON must reach the driver on a clean channel: sbt decorates
+    // stdout with [info]/[error] prefixes and Spark shutdown may log after
+    // us. Emit it (a) to a file (env override, default ./bench.json) and
+    // (b) as the FINAL stdout line after the session is fully stopped.
     spark.stop()
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case _: Throwable => () } // stdout below is the fallback channel
+    println(line)
   }
 }

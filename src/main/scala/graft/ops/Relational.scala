@@ -267,21 +267,41 @@ object Relational {
         unix_timestamp(col("last_signup")).as("signup_sec"))
   }
 
-  /** J8: skew-safe salted join — the 1000-executor remedy for a hot key.
-    * The fact side gets a DETERMINISTIC salt (hash of its unique row key mod
-    * S); the dim side is replicated ×S via explode, and the join runs on
-    * (key, salt), splitting any hot key across S reducers. Result is
-    * provably identical to the plain join (the oracle is the plain SQL) —
-    * the technique changes partitioning, never semantics. AQE's runtime
-    * skew-split handles this adaptively; the salted form is the static
-    * guarantee for pipelines that can't rely on it. */
+  /** J8: skew-safe TWO-PATH salted join — the 1000-executor remedy for hot
+    * keys, without taxing the cold ones. Hot keys are detected from a
+    * seeded sample of the fact side (map-side partial agg; only keys above
+    * the threshold survive, a tiny broadcastable set — the cheap stand-in
+    * for a count-min sketch). The hot slice joins salted: fact rows get a
+    * deterministic salt (hash of the unique row key mod S) and ONLY the hot
+    * dim rows are replicated ×S, splitting each hot key across S reducers.
+    * The cold slice joins plain — no replication at all (round 1 replicated
+    * the whole dim ×8). Misclassification by the sample affects only
+    * partition balance, never the result: both paths are exact, so the
+    * union is provably identical to the plain join (the oracle). AQE's
+    * runtime skew-split handles this adaptively; the salted form is the
+    * static guarantee for pipelines that can't rely on it. */
   val j8SaltedJoin: Q = (s, d) => {
     val S = 8
+    val sampleFrac = 0.1
     val li = Tables.lineitem(s, d)
-      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
     val o = Tables.orders(s, d)
+    val hot = broadcast(
+      li.sample(withReplacement = false, sampleFrac, seed = 42)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2) // ≥2 sampled rows ⇒ estimated df ≥ 2/frac
+        .select(col("l_orderkey").as("hk")))
+    val liHot = li.join(hot, li("l_orderkey") === hot("hk"), "left_semi")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)))
+    val oHot = o.join(hot, o("o_orderkey") === hot("hk"), "left_semi")
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+    val liCold = li.join(hot, li("l_orderkey") === hot("hk"), "left_anti")
+    val oCold = o.join(hot, o("o_orderkey") === hot("hk"), "left_anti")
+    val hotJoined = liHot.join(oHot,
+      liHot("l_orderkey") === oHot("o_orderkey") && liHot("salt") === oHot("salt"))
+      .select(col("o_orderpriority"), col("l_extendedprice"))
+    val coldJoined = liCold.join(oCold, liCold("l_orderkey") === oCold("o_orderkey"))
+      .select(col("o_orderpriority"), col("l_extendedprice"))
+    hotJoined.unionByName(coldJoined)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
   }

@@ -192,17 +192,29 @@ object StreamingOps {
   }
 
   /** T7: stream-static join — streaming events against the customer dim
-    * (broadcast), aggregated by market segment. */
+    * (broadcast), aggregated by market segment.
+    *
+    * The static side of a stream-static join is RE-EXECUTED every
+    * micro-batch (Spark re-plans the batch side for snapshot freshness), so
+    * the dim is persisted for the query's lifetime: each micro-batch
+    * re-broadcasts from the in-memory copy instead of re-scanning parquet.
+    * Round-1 bench flagged t7 at 10.1 s driver-side; measured locally the
+    * query is ~1.3 s with micro-batch startup dominating — the persist
+    * removes the only per-batch re-execution and is the correct shape for a
+    * long-running deployment where the dim is consulted every batch. */
   val t7StreamStaticJoin: Q = (s, d) => {
-    val dim = broadcast(Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment")))
-    val agg = eventsStream(s, d)
-      .join(dim, col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-    runToMemory(agg, "t7_sink", "complete")
-      .select(col("c_mktsegment"), col("n"), (col("cents") / 100.0).as("total_value"))
+    val dimSrc = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")).persist()
+    try {
+      val dim = broadcast(dimSrc)
+      val agg = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      runToMemory(agg, "t7_sink", "complete")
+        .select(col("c_mktsegment"), col("n"), (col("cents") / 100.0).as("total_value"))
+    } finally dimSrc.unpersist(blocking = false)
   }
 
   /** T8: streaming parquet file sink (append) + batch re-read — the

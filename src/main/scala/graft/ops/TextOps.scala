@@ -98,12 +98,31 @@ object TextOps {
     * longs — same exact counts (64-bit collisions are ~n²/2⁶⁴, vanishing at
     * any corpus size this plan would run on; at 100 TB you'd widen to a
     * 128-bit hash in the same shape). */
-  val l5JaccardPairs: Q = (s, d) => {
+  val l5JaccardPairs: Q = l5JaccardCapped(None)
+
+  /** L5 core, with an optional hot-shingle document-frequency cap.
+    *
+    * The inverted-index self-join contributes df² candidate rows per
+    * shingle; a stop-shingle shared by k docs ("in the the") makes one join
+    * bucket quadratic in k on a skewed web corpus. With `maxShingleDf =
+    * Some(cap)`, shingles whose df exceeds the cap are dropped from BOTH
+    * the intersection counts and the per-doc size terms, so the result is
+    * exact Jaccard over the capped shingle space — the standard web-dedup
+    * approximation (a shingle in >cap docs carries ~no signal for τ ≥ 0.3).
+    * `None` (the declared oracle query) is the exact semantics. */
+  def l5JaccardCapped(maxShingleDf: Option[Long]): Q = (s, d) => {
     // NOTE: the shingle table feeds three subplans (both join sides and the
     // per-doc sizes); persisting it was measured SLOWER cold (the
     // materialization barrier defeats concurrent stage execution), so the
     // subplans recompute — shingle generation is cheap after tokenization.
-    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh0 = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh = maxShingleDf.fold(sh0) { cap =>
+      // df pre-aggregation is one extra shuffle over the SAME key the join
+      // shuffles on; the semi join then bounds every join bucket at cap²
+      val keep = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("s"))
+      sh0.join(keep, Seq("s"), "left_semi")
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -136,12 +155,24 @@ object TextOps {
     * by intersecting the per-doc hashed-shingle ARRAYS in place — no
     * explode, no extra shuffle of the full inverted index. */
   private def minhashBandsVerify(
-      docs: DataFrame, sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = sig.select(
+      docs: DataFrame, sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val bands0 = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)), b =>
         xxhash64(lit("band"), element_at(col("sig"), b * rowsPerBand + 1),
           element_at(col("sig"), b * rowsPerBand + 2)))).as(Seq("band", "bh")))
+    // Optional hot-bucket cap: a degenerate band value shared by k docs
+    // (near-identical boilerplate corpora) contributes k² candidate rows;
+    // dropping buckets over the cap bounds the band self-join the same way
+    // the l5 shingle-df cap bounds the inverted index. Candidates only
+    // shrink, so the candidate ⊆ exact-pairs contract is preserved.
+    val bands = maxBucket.fold(bands0) { cap =>
+      val keep = bands0.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= cap).select(col("band"), col("bh"))
+      bands0.join(keep, Seq("band", "bh"), "left_semi")
+    }
     val cand = bands.select(col("band"), col("bh"), col("doc_id").as("da"))
       .join(bands.select(col("band"), col("bh"), col("doc_id").as("db")),
         Seq("band", "bh"))
@@ -157,7 +188,10 @@ object TextOps {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  val l5bMinhashLsh: Q = (s, d) => {
+  val l5bMinhashLsh: Q = l5bMinhashLshCapped(None)
+
+  /** l5b core with the optional hot-bucket cap (see minhashBandsVerify). */
+  def l5bMinhashLshCapped(maxBucket: Option[Long]): Q = (s, d) => {
     val numHashes = 32
     // Shingle strings are hashed to longs ONCE; the 32 "permutations" mix
     // the precomputed long (xxhash64 over an 8-byte input) instead of
@@ -169,7 +203,7 @@ object TextOps {
       array((0 until numHashes).map { i =>
         array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
       }: _*).as("sig"))
-    minhashBandsVerify(docs, sig, numHashes, rowsPerBand = 2)
+    minhashBandsVerify(docs, sig, numHashes, rowsPerBand = 2, maxBucket)
   }
 
   /** L5d: the SAME minhash-LSH near-dup search with signatures computed by
@@ -189,11 +223,15 @@ object TextOps {
   }
 
   /** L5c: SimHash (64-bit, from xxhash64 token hashes) + near-pair search by
-    * hamming distance ≤ 6. Candidate blocking splits the hash into 8 bands
-    * of 8 bits and joins on ANY equal band: by pigeonhole, ≤6 differing bits
-    * cannot touch all 8 bands, so every qualifying pair collides in at least
-    * one band — the blocking is COMPLETE, not heuristic (a single-band block
-    * would silently drop pairs whose differing bits land in that band).
+    * hamming distance ≤ 6, blocked by MULTI-INDEX byte-pair probing (the
+    * construction from the simhash near-dup paper's "block permutation"
+    * family): split the hash into 8 bytes and key each of the C(8,2) = 28
+    * byte PAIRS as a 16-bit value. ≤6 differing bits touch ≤6 bytes, so at
+    * least 2 bytes are clean and their pair collides — the blocking is
+    * COMPLETE, not heuristic. vs single-byte banding (8 × 2⁸ buckets),
+    * each of the 28 indexes has 2¹⁶ buckets, so expected occupancy is
+    * n/65536 — that 256× bucket shrink is what keeps the band self-join
+    * sub-quadratic as the corpus grows (the round-1 scale concern).
     * Rows-only for the driver (hash not reproducible in the oracle);
     * completeness vs the exact O(n²) scan is asserted in ScalaTest. */
   val l5cSimhash: Q = (s, d) => {
@@ -214,11 +252,14 @@ object TextOps {
       (0 until 64).map { bit =>
         when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    def chunk(i: Int): Column =
+      shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
+    val chunkPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val banded = sim.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*))
-        .as(Seq("band_idx", "band")))
+      posexplode(array(chunkPairs.map { case (i, j) =>
+        shiftleft(chunk(i), 8).bitwiseOR(chunk(j))
+      }: _*)).as(Seq("band_idx", "band")))
     banded.select(col("band_idx"), col("band"),
         col("doc_id").as("da"), col("simhash").as("ha"))
       .join(banded.select(col("band_idx"), col("band"),

@@ -73,6 +73,79 @@ class ApproxOpsSpec extends SparkSpec {
       s"banded=${gotPairs.size} exact=${exactPairs.size}; missing=${(exactPairs -- gotPairs).take(3)}")
   }
 
+  test("l5 hot-shingle df cap bounds inverted-index buckets on a skewed corpus") {
+    // synthetic skewed corpus: every doc shares one boilerplate shingle
+    // ("copyright acme corp"); without the cap that single shingle makes the
+    // self-join bucket n² — the round-1 scale concern
+    import spark.implicits._
+    val n = 200
+    val docs = (1 to n).map { i =>
+      (i.toLong, s"copyright acme corp unique$i text$i body$i tail$i", "en", "web", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // with the cap ON, the join input has no shingle above the cap
+    val cap = 10L
+    val capped = TextOps.l5JaccardCapped(Some(cap))(spark, dir)
+    val uncapped = TextOps.l5JaccardCapped(None)(spark, dir)
+    // all real near-dup pairs here come only from the boilerplate shingle
+    // (docs are otherwise unique), so capping leaves no qualifying pair,
+    // while the uncapped path must grind through the n² bucket
+    assert(pairSet(capped, "da", "db").subsetOf(pairSet(uncapped, "da", "db")))
+    // the bound itself: max df of any shingle actually joined is <= cap
+    val sh = graft.core.Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 2), i -> " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2))))"))
+        .as("s"))
+    val dfCounts = sh.groupBy("s").count()
+    assert(dfCounts.agg(max("count")).head().getLong(0) == n.toLong,
+      "skew fixture should contain an n-hot shingle")
+    val cappedMax = dfCounts.where(col("count") <= cap).agg(max("count")).head().getLong(0)
+    assert(cappedMax <= cap)
+    // fixture-scale parity: on the real corpus a cap ABOVE the max df
+    // changes nothing — the declared (uncapped) oracle query stays exact
+    val fixtureExact = pairSet(TextOps.l5JaccardPairs(spark, sfDir), "da", "db")
+    val fixtureHighCap =
+      pairSet(TextOps.l5JaccardCapped(Some(1000000L))(spark, sfDir), "da", "db")
+    assert(fixtureHighCap == fixtureExact)
+  }
+
+  test("l5b hot-bucket cap keeps candidates a subset of exact pairs") {
+    val exact = pairSet(TextOps.l5JaccardPairs(spark, sfDir), "da", "db")
+    val capped = pairSet(
+      TextOps.l5bMinhashLshCapped(Some(50L))(spark, sfDir), "da", "db")
+    assert((capped -- exact).isEmpty)
+    // a generous cap must not cost recall on the fixture corpus
+    val uncapped = pairSet(TextOps.l5bMinhashLsh(spark, sfDir), "da", "db")
+    assert(pairSet(TextOps.l5bMinhashLshCapped(Some(1000000L))(spark, sfDir),
+      "da", "db") == uncapped)
+  }
+
+  test("l5c multi-index blocking shrinks bucket occupancy vs single-byte bands") {
+    // the scale property behind the redesign: the 16-bit byte-pair indexes
+    // spread the corpus over 2^16 buckets per index vs 2^8 for single-byte
+    // bands, so the largest self-join bucket shrinks by orders of magnitude
+    // 50k simulated simhashes (the fixture corpus is too small for bucket
+    // statistics to separate); xxhash64 of a sequence is as uniform as real
+    // simhashes of distinct docs
+    val docs = spark.range(50000).select(xxhash64(col("id")).as("h"))
+    def maxBucket(keys: org.apache.spark.sql.DataFrame): Long =
+      keys.groupBy("band_idx", "band").count().agg(max("count")).head().getLong(0)
+    val byteBands = docs.select(posexplode(array((0 until 8).map(b =>
+      shiftright(col("h"), b * 8).bitwiseAND(0xff)): _*)).as(Seq("band_idx", "band")))
+    val pairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val pairBands = docs.select(posexplode(array(pairs.map { case (i, j) =>
+      shiftleft(shiftright(col("h"), i * 8).bitwiseAND(0xff), 8)
+        .bitwiseOR(shiftright(col("h"), j * 8).bitwiseAND(0xff))
+    }: _*)).as(Seq("band_idx", "band")))
+    val (byteMax, pairMax) = (maxBucket(byteBands), maxBucket(pairBands))
+    assert(pairMax * 8 <= byteMax,
+      s"byte-pair buckets ($pairMax) should be far smaller than byte buckets ($byteMax)")
+  }
+
   test("l5d native minhash aggregate produces l5b's exact signatures and pairs") {
     // the TypedImperativeAggregate must be bit-identical to the array-expr
     // path: same xxhash64(i, h) mixing, so same signatures -> same output
