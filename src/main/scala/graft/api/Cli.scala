@@ -31,7 +31,8 @@ object Cli {
       val port = rest.headOption.map(_.toInt).getOrElse(3315)
       val spark = Sessions.local()
       val runner = new Runner(spark, Transforms.standard(), warehouse)
-      val api = new HttpApi(runner, port).start()
+      val api = new HttpApi(runner, port,
+        Some(s => new Runner(s, Transforms.standard(), warehouse))).start()
       println(s"graft serving on port ${api.boundPort} (warehouse: $warehouse)")
       Thread.currentThread().join() // serve until killed
 

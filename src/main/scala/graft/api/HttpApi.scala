@@ -20,30 +20,63 @@ import graft.pipeline._
   *   - `GET  /ping`                        — connectivity check (A32,
   *     `/root/reference/Yuki/server/utils.py:7-13`)
   *   - `POST /run` (pipeline spec JSON)    — async submit; returns run id
-  *     (A4+A8, `/root/reference/Yuki/server/routes/execution.py:18-78`)
+  *     (A4+A8, `/root/reference/Yuki/server/routes/execution.py:18-78`);
+  *     optional `"profile"` selects a registered runner profile (A31)
+  *   - `POST /run-step/<run>/<step>`       — (re)run ONE step of a
+  *     submitted spec (A5, `execution.py:103-111`)
   *   - `GET  /status/<run>`                — workflow + per-step statuses
-  *     (A17/A23/A34, `/root/reference/Yuki/server/routes/status.py:22-138`)
+  *     (A17/A23, `/root/reference/Yuki/server/routes/status.py:22-138`)
   *   - `GET  /collect/<run>/<step>`        — output manifest (A21,
   *     `/root/reference/Yuki/server/routes/workflow.py:12-16`)
+  *   - `GET  /outputs/<run>/<step>`        — output file listing (A7,
+  *     `execution.py:114-127`)
+  *   - `GET  /export/<run>/<step>[/<f>]`   — listing / raw file bytes (A2,
+  *     `upload.py:66-90`)
+  *   - `GET  /impression-path/<run>/<step>`— impression, path, deposited
+  *     (A34, `upload.py:93-105`)
+  *   - `GET  /preview/<run>/<step>`        — head/tail row preview (A27,
+  *     `status.py:188-216`)
+  *   - `POST /ingest` `{name,path,format?,options?}` — register an external
+  *     dataset as a named source impression (A1, `upload.py:16-36`);
+  *     `GET /sources` lists them
+  *   - `GET  /tree`                        — project catalog: sources +
+  *     every run's steps with materialization state (A29–A30,
+  *     `status.py:318-447`)
+  *   - `POST /register-runner`, `GET /runners`, `GET
+  *     /runner-connection/<name>`, `POST /remove-runner/<name>` — session
+  *     profile registry (A31, `runner.py:12-136`)
   *   - `POST /purge/<run>/<step>`          — drop materialized output (A6)
   *   - `POST /kill/<run>`                  — cancel in-flight jobs (A25)
   *
   * Spec body: `{"steps": [{"id", "transform", "inputs": {alias: stepId},
-  * "params": {k: v}}], "roots": [stepId]}`.
+  * "params": {k: v}}], "roots": [stepId], "profile": "name"}`.
   *
-  * The server owns no data path — every byte moves through Spark; handlers
-  * only touch runner metadata, matching the reference's driver-side-only
-  * server role.
+  * The server owns no data path — every byte moves through Spark (export
+  * streams already-materialized warehouse files); handlers only touch
+  * runner metadata, matching the reference's driver-side-only server role.
   */
-final class HttpApi(runner: Runner, port: Int = 0) {
+final class HttpApi(runner: Runner, port: Int = 0,
+    runnerFactory: Option[org.apache.spark.sql.SparkSession => Runner] = None) {
   private implicit val formats: Formats = DefaultFormats
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(4))
 
   private case class RunState(spec: PipelineSpec, roots: Seq[String],
-      future: Future[Map[String, String]])
+      future: Future[Map[String, String]], runner: Runner)
   private val runs = new ConcurrentHashMap[String, RunState]()
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  // one Runner per resolved profile (same warehouse, profile's session);
+  // the constructor-supplied runner serves the default profile
+  private val profileRunners = new ConcurrentHashMap[String, Runner]()
+  private def runnerFor(profile: Option[String]): Runner = profile match {
+    case None => runner
+    case Some(name) =>
+      val mk = runnerFactory.getOrElse(
+        sys.error("this server was started without profile support"))
+      profileRunners.computeIfAbsent(name,
+        _ => mk(graft.core.SessionProfiles.sessionFor(name)))
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
@@ -77,12 +110,30 @@ final class HttpApi(runner: Runner, port: Int = 0) {
   server.createContext("/ping", (ex: HttpExchange) =>
     respond(ex, 200, JObject("status" -> JString("Connected"))))
 
+  server.createContext("/run-step/", (ex: HttpExchange) => {
+    // per-step (re)run of an already-submitted spec (A5): same spec, roots
+    // narrowed to the one step; a fresh run id tracks the re-execution
+    resolve(ex.getRequestURI.getPath, "/run-step/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) =>
+        val runId = s"run${counter.incrementAndGet()}"
+        runs.put(runId, RunState(st.spec, Seq(stepId),
+          Future(st.runner.execute(st.spec, Seq(stepId))), st.runner))
+        respond(ex, 202, JObject("run_id" -> JString(runId)))
+    }
+  })
+
   server.createContext("/run", (ex: HttpExchange) => {
     try {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val (spec, roots) = parseSpec(body)
+      val profile = JsonMethods.parse(body) \ "profile" match {
+        case JString(p) => Some(p)
+        case _ => None
+      }
+      val r = runnerFor(profile)
       val runId = s"run${counter.incrementAndGet()}"
-      runs.put(runId, RunState(spec, roots, Future(runner.execute(spec, roots))))
+      runs.put(runId, RunState(spec, roots, Future(r.execute(spec, roots)), r))
       respond(ex, 202, JObject("run_id" -> JString(runId)))
     } catch {
       case e: Exception =>
@@ -98,12 +149,12 @@ final class HttpApi(runner: Runner, port: Int = 0) {
         // statusOf keys by impression id, so runs whose specs reuse step
         // names don't clobber each other's reported state
         val steps = st.spec.steps.map { s =>
-          s.id -> JString(runner.statusOf(st.spec, s.id).name)
+          s.id -> JString(st.runner.statusOf(st.spec, s.id).name)
         }
         // progress over THIS run's job groups (its impression ids) only —
         // concurrent runs don't see each other's stages
-        val (done, seen) =
-          listener.progress(st.spec.steps.map(s => runner.impressionId(st.spec, s.id)).toSet)
+        val (done, seen) = listener.progress(
+          st.spec.steps.map(s => st.runner.impressionId(st.spec, s.id)).toSet)
         respond(ex, 200, JObject(
           "workflow" -> JString(workflowStatus(st)),
           "stages_completed" -> JLong(done),
@@ -124,7 +175,7 @@ final class HttpApi(runner: Runner, port: Int = 0) {
 
   server.createContext("/collect/", (ex: HttpExchange) => {
     resolve(ex.getRequestURI.getPath, "/collect/")
-      .flatMap { case (st, stepId) => runner.collect(st.spec, stepId) } match {
+      .flatMap { case (st, stepId) => st.runner.collect(st.spec, stepId) } match {
       case None => notFound(ex)
       case Some(a) => respond(ex, 200, JObject(
         "step" -> JString(a.id), "impression" -> JString(a.impression),
@@ -138,7 +189,7 @@ final class HttpApi(runner: Runner, port: Int = 0) {
       case Some((st, stepId)) =>
         // reset, not bare purge: dropping the output while leaving the
         // sticky terminal status would make the step unrunnable forever
-        runner.reset(st.spec, stepId)
+        st.runner.reset(st.spec, stepId)
         respond(ex, 200, JObject("purged" -> JString(stepId)))
       case None => notFound(ex)
     }
@@ -149,9 +200,171 @@ final class HttpApi(runner: Runner, port: Int = 0) {
     Option(runs.get(runId)) match {
       case None => notFound(ex)
       case Some(st) =>
-        st.spec.steps.foreach(s => runner.kill(st.spec, s.id))
+        st.spec.steps.foreach(s => st.runner.kill(st.spec, s.id))
         respond(ex, 200, JObject("killed" -> JString(runId)))
     }
+  })
+
+  // ---- ingest / export (A1–A3) ----------------------------------------
+
+  server.createContext("/ingest", (ex: HttpExchange) => {
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val j = JsonMethods.parse(body)
+      val options = j \ "options" match {
+        case o: JObject => o.extract[Map[String, String]]
+        case _ => Map.empty[String, String]
+      }
+      val ref = runner.ingest(
+        (j \ "name").extract[String],
+        (j \ "path").extract[String],
+        (j \ "format").extractOrElse[String]("parquet"),
+        options)
+      respond(ex, 201, JObject(
+        "name" -> JString(ref.name), "impression" -> JString(ref.impression),
+        "path" -> JString(ref.path), "format" -> JString(ref.format),
+        "schema" -> JString(ref.schemaDDL)))
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
+    }
+  })
+
+  server.createContext("/sources", (ex: HttpExchange) =>
+    respond(ex, 200, JObject("sources" -> JArray(runner.sources.map(r =>
+      JObject("name" -> JString(r.name), "impression" -> JString(r.impression),
+        "path" -> JString(r.path), "format" -> JString(r.format))).toList))))
+
+  server.createContext("/outputs/", (ex: HttpExchange) => {
+    resolve(ex.getRequestURI.getPath, "/outputs/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) => respond(ex, 200, JObject(
+        "files" -> JArray(st.runner.outputFiles(st.spec, stepId).map(JString(_)).toList)))
+    }
+  })
+
+  server.createContext("/export/", (ex: HttpExchange) => {
+    // /export/<run>/<step> -> file listing; /export/<run>/<step>/<file> ->
+    // the raw bytes (the reference's send_from_directory, upload.py:66-90)
+    ex.getRequestURI.getPath.stripPrefix("/export/").split("/") match {
+      case Array(runId, stepId) =>
+        Option(runs.get(runId)).filter(_.spec.byId.contains(stepId)) match {
+          case None => notFound(ex)
+          case Some(st) => respond(ex, 200, JObject(
+            "files" -> JArray(st.runner.outputFiles(st.spec, stepId).map(JString(_)).toList)))
+        }
+      case Array(runId, stepId, file) =>
+        Option(runs.get(runId)).filter(_.spec.byId.contains(stepId))
+          .flatMap(st => st.runner.outputFile(st.spec, stepId, file)) match {
+          case None => notFound(ex)
+          case Some(p) =>
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+            ex.getResponseHeaders.set("Content-Disposition",
+              s"""attachment; filename="$file"""")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+        }
+      case _ => notFound(ex)
+    }
+  })
+
+  server.createContext("/impression-path/", (ex: HttpExchange) => {
+    resolve(ex.getRequestURI.getPath, "/impression-path/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) =>
+        val imp = st.runner.impressionId(st.spec, stepId)
+        val art = st.runner.collect(st.spec, stepId)
+        respond(ex, 200, JObject(
+          "impression" -> JString(imp),
+          "deposited" -> JBool(art.isDefined),
+          "path" -> JString(art.map(_.path).getOrElse(""))))
+    }
+  })
+
+  server.createContext("/preview/", (ex: HttpExchange) => {
+    resolve(ex.getRequestURI.getPath, "/preview/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) =>
+        st.runner.collect(st.spec, stepId) match {
+          case None => notFound(ex)
+          case Some(a) =>
+            val df = st.runner.session.read.parquet(a.path)
+            respond(ex, 200, JObject(
+              "preview" -> JString(st.runner.preview(df, maxRows = 20))))
+        }
+    }
+  })
+
+  // ---- catalog browse (A29–A30) ---------------------------------------
+
+  server.createContext("/tree", (ex: HttpExchange) => {
+    import scala.jdk.CollectionConverters._
+    val runNodes = runs.asScala.toSeq.sortBy(_._1).map { case (runId, st) =>
+      JObject(
+        "run_id" -> JString(runId),
+        "workflow" -> JString(workflowStatus(st)),
+        "steps" -> JArray(st.spec.steps.map { s =>
+          val imp = st.runner.impressionId(st.spec, s.id)
+          val art = st.runner.collect(st.spec, s.id)
+          JObject(
+            "id" -> JString(s.id),
+            "transform" -> JString(s.transform),
+            "impression" -> JString(imp),
+            "status" -> JString(st.runner.statusOf(st.spec, s.id).name),
+            "deposited" -> JBool(art.isDefined),
+            "path" -> JString(art.map(_.path).getOrElse("")))
+        }.toList))
+    }
+    val sourceNodes = runner.sources.map(r => JObject(
+      "name" -> JString(r.name), "impression" -> JString(r.impression),
+      "path" -> JString(r.path), "format" -> JString(r.format)))
+    respond(ex, 200, JObject(
+      "sources" -> JArray(sourceNodes.toList),
+      "runs" -> JArray(runNodes.toList)))
+  })
+
+  // ---- runner-profile registry (A31) ----------------------------------
+
+  server.createContext("/register-runner", (ex: HttpExchange) => {
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val j = JsonMethods.parse(body)
+      val conf = j \ "conf" match {
+        case o: JObject => o.extract[Map[String, String]]
+        case _ => Map.empty[String, String]
+      }
+      val p = graft.core.SessionProfile(
+        (j \ "name").extract[String],
+        (j \ "master").extractOrElse[String]("local[32]"),
+        conf,
+        (j \ "backend_type").extractOrElse[String]("dry"))
+      graft.core.SessionProfiles.register(p)
+      respond(ex, 201, JObject("registered" -> JString(p.name)))
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
+    }
+  })
+
+  server.createContext("/runners", (ex: HttpExchange) =>
+    respond(ex, 200, JObject("runners" -> JArray(
+      graft.core.SessionProfiles.names.map(JString(_)).toList))))
+
+  server.createContext("/runner-connection/", (ex: HttpExchange) => {
+    val name = ex.getRequestURI.getPath.stripPrefix("/runner-connection/")
+    if (graft.core.SessionProfiles.get(name).isEmpty) notFound(ex)
+    else respond(ex, 200, JObject("status" -> JString(
+      if (graft.core.SessionProfiles.probe(name)) "Connected" else "Unreachable")))
+  })
+
+  server.createContext("/remove-runner/", (ex: HttpExchange) => {
+    val name = ex.getRequestURI.getPath.stripPrefix("/remove-runner/")
+    if (graft.core.SessionProfiles.remove(name)) {
+      profileRunners.remove(name)
+      respond(ex, 200, JObject("removed" -> JString(name)))
+    } else notFound(ex)
   })
 
   def start(): this.type = { server.start(); this }

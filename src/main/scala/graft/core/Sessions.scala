@@ -33,3 +33,65 @@ object Sessions {
     s
   }
 }
+
+/** A named execution backend — the engine's analogue of the reference's
+  * runner registry entries (name/url/token/backend_type,
+  * `/root/reference/Yuki/server/routes/runner.py:46-76`): here a runner is
+  * a Spark master plus session conf, because "where a step executes" in
+  * Spark is a session, not a container queue. `backendType` keeps the
+  * reference's dry-vs-remote distinction: "dry" = in-process local master,
+  * anything else names an external cluster profile. */
+final case class SessionProfile(
+    name: String,
+    master: String,
+    conf: Map[String, String] = Map.empty,
+    backendType: String = "dry")
+
+/** Registry of session profiles and per-profile session resolution (A31).
+  *
+  * JVM constraint, stated honestly: one JVM holds ONE SparkContext, so
+  * profiles resolved after the first share its master and differ in
+  * session-level SQL conf (isolated via `newSession()`). In a real
+  * deployment each non-dry profile is its own driver (spark-submit /
+  * Spark Connect endpoint) and `master` takes effect; the registry and
+  * spec surface are identical either way. */
+object SessionProfiles {
+  import scala.collection.concurrent.TrieMap
+
+  private val profiles = TrieMap[String, SessionProfile](
+    "local" -> SessionProfile("local", "local[32]"))
+
+  def register(p: SessionProfile): Unit = profiles.put(p.name, p)
+  def remove(name: String): Boolean = profiles.remove(name).isDefined
+  def get(name: String): Option[SessionProfile] = profiles.get(name)
+  def names: Seq[String] = profiles.keys.toSeq.sorted
+
+  /** Resolve a session for the profile: first resolution in the JVM builds
+    * the context from the profile's master; later ones get an isolated
+    * `newSession` (own SQL conf, shared context) with the profile's conf
+    * applied — runtime-settable settings take effect per session. */
+  def sessionFor(name: String): SparkSession = {
+    val p = profiles.getOrElse(name, sys.error(s"unknown runner profile '$name'"))
+    val base = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession) match {
+      case Some(existing) => existing.newSession()
+      case None =>
+        Sessions.tune(SparkSession.builder().master(p.master)
+          .appName(s"yukispark-${p.name}"), "32").getOrCreate()
+    }
+    p.conf.foreach { case (k, v) => base.conf.set(k, v) }
+    base
+  }
+
+  /** Connection probe (the reference's `/runner-connection`): a dry
+    * profile is always connected; others validate by resolving a session
+    * and running a trivial job. */
+  def probe(name: String): Boolean =
+    get(name) match {
+      case None => false
+      case Some(p) if p.backendType == "dry" => true
+      case Some(_) =>
+        try { sessionFor(name).range(1).count() == 1L }
+        catch { case scala.util.control.NonFatal(_) => false }
+    }
+}

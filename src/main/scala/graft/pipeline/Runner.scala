@@ -46,6 +46,19 @@ final case class StepRun(
 final case class StepArtifact(id: String, impression: String, path: String,
     schemaDDL: String, rows: Long)
 
+/** A registered external data source (A1–A3): the engine's analogue of the
+  * reference's upload-created impression (`Yuki/server/routes/upload.py:
+  * 16-36`) — except registration is METADATA-ONLY (schema + a file-listing
+  * fingerprint), because copying 100 TB into a warehouse is the wrong
+  * primitive; Spark reads the data where it lives. */
+final case class SourceRef(
+    name: String,
+    impression: String,
+    path: String,
+    format: String,
+    schemaDDL: String,
+    options: Map[String, String] = Map.empty)
+
 /** Pipeline runner — Yuki's workflow semantics on one SparkSession.
   *
   * Executes a [[PipelineSpec]] in topological order with content-addressed
@@ -68,6 +81,12 @@ final class Runner(
 
   /** The session this runner executes on (e.g. for listener installation). */
   def session: SparkSession = spark
+
+  // registered sources are first-class transforms: a spec step
+  // `{"transform": "ingested", "params": {"name": "mydata"}}` reads the
+  // registered external dataset (pin `"rev": <source impression>` in params
+  // to content-address the step to a specific ingest revision)
+  registry.register("ingested") { (_, _, p) => sourceDf(p("name")) }
 
   // TrieMap: HttpApi drives execute() from a Future pool while /status
   // handlers read concurrently — plain mutable.Map would corrupt.
@@ -308,6 +327,100 @@ final class Runner(
     }
     rows.toDF("step_id", "transform", "impression", "status", "path", "rows")
       .orderBy(col("path") === "", col("step_id"))
+  }
+
+  // ---- ingest / export (A1–A3) ----------------------------------------
+
+  private val sourcesDir = Paths.get(warehouse, "_sources")
+  private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def sha16(payload: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes(StandardCharsets.UTF_8))
+      .take(16).map("%02x".format(_)).mkString
+
+  private def readSource(path: String, format: String,
+      options: Map[String, String]): DataFrame = {
+    val defaults = format match {
+      case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case _ => Map.empty[String, String]
+    }
+    spark.read.format(format).options(defaults ++ options).load(path)
+  }
+
+  /** Fingerprint of a source dir without scanning data: file names, sizes
+    * and mtimes. Changing, adding or touching any part file changes the
+    * source impression — the metadata-cost analogue of content hashing. */
+  private def contentFingerprint(p: Path): String = {
+    if (!Files.exists(p)) return "absent"
+    val walk = Files.walk(p)
+    try {
+      val entries = walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted
+      sha16(entries.mkString("\n"))
+    } finally walk.close()
+  }
+
+  /** Register an external dataset as a named source impression (A1): the
+    * impression id hashes format + path + schema + file fingerprint, so
+    * re-ingesting changed data yields a NEW impression — specs that pin the
+    * returned impression in their params re-run exactly like any other
+    * content edit. The `ingested` transform (registered in the constructor)
+    * makes the source referenceable from any spec. */
+  def ingest(name: String, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): SourceRef = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid source name '$name'")
+    val df = readSource(path, format, options) // validates readability+schema
+    val imp = sha16(Seq(format, path, df.schema.toDDL,
+      contentFingerprint(Paths.get(path))).mkString(""))
+    val ref = SourceRef(name, imp, path, format, df.schema.toDDL, options)
+    Files.createDirectories(sourcesDir)
+    Files.writeString(sourcesDir.resolve(s"$name.json"),
+      org.json4s.jackson.Serialization.write(ref))
+    ref
+  }
+
+  def source(name: String): Option[SourceRef] = {
+    val p = sourcesDir.resolve(s"$name.json")
+    if (!Files.exists(p) || !name.matches("[A-Za-z0-9_.-]+")) None
+    else org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+      .extractOpt[SourceRef]
+  }
+
+  def sources: Seq[SourceRef] = {
+    if (!Files.isDirectory(sourcesDir)) return Seq.empty
+    val listing = Files.list(sourcesDir)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => source(p.getFileName.toString.stripSuffix(".json")))
+      .toSeq.sortBy(_.name)
+    finally listing.close()
+  }
+
+  def sourceDf(name: String): DataFrame = {
+    val ref = source(name).getOrElse(sys.error(s"unknown source '$name'"))
+    readSource(ref.path, ref.format, ref.options)
+  }
+
+  /** Files of a step's materialized output (A7 outputs / A2 export
+    * listing). Names only — the HTTP layer serves bytes. */
+  def outputFiles(spec: PipelineSpec, id: String): Seq[String] = {
+    val dir = outDir(impressionId(spec, id))
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally listing.close()
+  }
+
+  /** Absolute path of one output file, guarded against traversal. */
+  def outputFile(spec: PipelineSpec, id: String, file: String): Option[Path] = {
+    if (!file.matches("[A-Za-z0-9_.=-]+") || file.contains("..")) return None
+    val p = outDir(impressionId(spec, id)).resolve(file)
+    if (Files.isRegularFile(p)) Some(p) else None
   }
 
   /** Retention sweep — the reference's homekeep GC

@@ -84,6 +84,110 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  private def awaitFinished(base: String, runId: String): Unit = {
+    var status = ""
+    val deadline = System.currentTimeMillis() + 60000
+    while (status != "finished" && System.currentTimeMillis() < deadline) {
+      status = "\"workflow\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(get(s"$base/status/$runId")._2).get.group(1)
+      if (status == "failed") fail(s"run failed: ${get(s"$base/status/$runId")._2}")
+      Thread.sleep(100)
+    }
+    assert(status == "finished")
+  }
+  private def runIdOf(body: String): String =
+    "\"run_id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(body).get.group(1)
+
+  test("ingest -> run referencing the source -> export output round-trip (A1-A3)") {
+    val wh = Files.createTempDirectory("graft_api_wh3").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      // stage an external dataset OUTSIDE the warehouse
+      val ext = Files.createTempDirectory("graft_ext").toString
+      import spark.implicits._
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("k", "v").write.mode("overwrite").parquet(s"$ext/mydata")
+
+      val (ic, ingBody) = post(s"$base/ingest",
+        s"""{"name": "mydata", "path": "$ext/mydata"}""")
+      assert(ic == 201 && ingBody.contains("\"impression\""), ingBody)
+      assert(get(s"$base/sources")._2.contains("\"mydata\""))
+
+      // a pipeline step reads the registered source by name
+      val spec = """{
+        "steps": [
+          {"id": "ext", "transform": "ingested", "params": {"name": "mydata"}},
+          {"id": "agg", "transform": "sql", "inputs": {"t": "ext"},
+           "params": {"sql": "SELECT count(*) AS n, min(v) AS first_v FROM t"}}
+        ], "roots": ["agg"]}"""
+      val runId = runIdOf(post(s"$base/run", spec)._2)
+      awaitFinished(base, runId)
+      assert(get(s"$base/collect/$runId/agg")._2.contains("\"rows\":1"))
+
+      // export: listing then raw bytes of a part file
+      val (lc, listing) = get(s"$base/export/$runId/agg")
+      assert(lc == 200, listing)
+      val part = "\"(part-[^\"]+\\.parquet)\"".r
+        .findFirstMatchIn(listing).get.group(1)
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/export/$runId/agg/$part")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200 && resp.body().length > 0)
+      // PAR1 magic: we got real parquet bytes back
+      assert(new String(resp.body().take(4), "US-ASCII") == "PAR1")
+      // traversal is rejected
+      assert(get(s"$base/export/$runId/agg/..%2F..%2Fetc")._1 == 404)
+
+      // outputs + impression-path + preview (A7/A34/A27)
+      assert(get(s"$base/outputs/$runId/agg")._2.contains(part))
+      val (pc, pathBody) = get(s"$base/impression-path/$runId/agg")
+      assert(pc == 200 && pathBody.contains("\"deposited\":true"), pathBody)
+      assert(get(s"$base/preview/$runId/agg")._2.contains("alpha"))
+
+      // catalog tree aggregates runs and sources (A29-A30)
+      val tree = get(s"$base/tree")._2
+      assert(tree.contains("\"mydata\"") && tree.contains(runId)
+        && tree.contains("\"deposited\":true"), tree)
+
+      // per-step re-run (A5): purge then run just the agg step
+      assert(post(s"$base/purge/$runId/agg")._1 == 200)
+      val rerunId = runIdOf(post(s"$base/run-step/$runId/agg")._2)
+      awaitFinished(base, rerunId)
+      assert(get(s"$base/collect/$runId/agg")._2.contains("\"rows\":1"))
+    } finally api.stop()
+  }
+
+  test("runner-profile registry: register, list, probe, run under profile (A31)") {
+    val wh = Files.createTempDirectory("graft_api_wh4").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh), 0,
+      Some(s => new Runner(s, Transforms.standard(), wh))).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      assert(get(s"$base/runners")._2.contains("local"))
+      val (rc, _) = post(s"$base/register-runner",
+        """{"name": "smallshuffle", "master": "local[32]",
+            "conf": {"spark.sql.shuffle.partitions": "4"}, "backend_type": "dry"}""")
+      assert(rc == 201)
+      assert(get(s"$base/runners")._2.contains("smallshuffle"))
+      assert(get(s"$base/runner-connection/smallshuffle")._2.contains("Connected"))
+      assert(get(s"$base/runner-connection/ghost")._1 == 404)
+
+      // the same spec executes under the registered profile's session
+      val spec = s"""{
+        "steps": [{"id": "load", "transform": "source",
+                   "params": {"dir": "$sfDir", "table": "region"}}],
+        "profile": "smallshuffle"}"""
+      val runId = runIdOf(post(s"$base/run", spec)._2)
+      awaitFinished(base, runId)
+      assert(get(s"$base/collect/$runId/load")._2.contains("\"rows\":5"))
+
+      assert(post(s"$base/remove-runner/smallshuffle")._1 == 200)
+      assert(get(s"$base/runners")._2.contains("smallshuffle") == false)
+      assert(post(s"$base/remove-runner/smallshuffle")._1 == 404)
+    } finally api.stop()
+  }
+
   test("ping / run / status / collect / purge round-trip") {
     val wh = Files.createTempDirectory("graft_api_wh").toString
     val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()

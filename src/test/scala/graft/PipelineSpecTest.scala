@@ -246,6 +246,32 @@ class PipelineSpecTest extends SparkSpec {
     assert(runner.statusOf(specB, "load") == StepStatus.Raw)
   }
 
+  test("runner profiles: same spec executes under two session profiles (A31)") {
+    import graft.core.{SessionProfile, SessionProfiles}
+    SessionProfiles.register(SessionProfile("prof4", "local[32]",
+      Map("spark.sql.shuffle.partitions" -> "4")))
+    SessionProfiles.register(SessionProfile("prof16", "local[32]",
+      Map("spark.sql.shuffle.partitions" -> "16")))
+    val baseParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val spec = PipelineSpec(Seq(
+      StepSpec("src", "source", params = Map("dir" -> sfDir, "table" -> "nation")),
+      StepSpec("agg", "sql", Map("t" -> "src"),
+        Map("sql" -> "SELECT n_regionkey, count(*) AS n FROM t GROUP BY 1"))))
+    val counts = Seq("prof4" -> "4", "prof16" -> "16").map { case (pn, parts) =>
+      val s = SessionProfiles.sessionFor(pn)
+      // profile conf applied to an ISOLATED session (shared context)
+      assert(s.conf.get("spark.sql.shuffle.partitions") == parts)
+      val wh = Files.createTempDirectory(s"graft_wh_$pn").toString
+      val runner = new Runner(s, Transforms.standard(), wh)
+      val imps = runner.execute(spec, Seq("agg"))
+      s.read.parquet(s"$wh/${imps("agg")}").count()
+    }
+    assert(counts == Seq(5L, 5L))
+    // the base session's conf is untouched by profile resolution
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == baseParts)
+    SessionProfiles.remove("prof4"); SessionProfiles.remove("prof16")
+  }
+
   test("preview: head+tail with truncation marker") {
     val runner = new Runner(spark, Transforms.standard(),
       Files.createTempDirectory("graft_wh5").toString)
