@@ -116,10 +116,101 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
 
+  /** L7c: ANN via IVF (inverted-file) with LEARNED centroids — the
+    * production-shape coarse quantizer the l7 Scaladoc promises: k-means
+    * (Lloyd's) over unit vectors, cells as blocking key, multi-probe on the
+    * query side.
+    *
+    * Scale design: centroids are always driver-size (K × dim doubles —
+    * at 100 TB you train on a SAMPLE, standard IVF practice) and ship to
+    * executors as literal arrays, so assignment is K codegen'd vec_dot
+    * calls per row, no shuffle. Index vectors land in exactly ONE cell;
+    * each query probes its `nprobe` nearest cells, so the candidate join
+    * is a shuffle on (label, cell) with per-cell pair generation — the
+    * same bounded-bucket shape as l7b, but with data-adaptive buckets
+    * (LSH buckets are oblivious; learned cells track the actual density).
+    * Declared rows-only; recall vs l7 brute force asserted in ScalaTest. */
+  val l7cKnnIvf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
+    val K = 16; val iters = 3; val nprobe = 2
+    val e = Tables.embeddings(s, d)
+    // Centroids are kept UNIT-norm (spherical k-means), so cosine ordering
+    // needs only the scalar dot(raw, centroid)/|raw| — no per-element
+    // vector normalization (a transform-divide lambda would re-evaluate
+    // the norm per element: the HOF-CSE pitfall).
+    val base = e.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    base.persist() // consulted once per Lloyd iteration + once at the end
+
+    def dots(cents: Array[Array[Double]]): Column =
+      array(cents.map(c => dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    def cellOf(cents: Array[Array[Double]]): Column = {
+      val ds = dots(cents)
+      (array_position(ds, array_max(ds)) - 1).cast("int")
+    }
+    def unitize(raw: Array[Double]): Option[Array[Double]] = {
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      if (n > 0) Some(raw.map(_ / n)) else None
+    }
+
+    // deterministic init: the K lowest vec_ids unit-normalized (any fixed
+    // spread works; Lloyd's moves them to the data's density in 2-3 steps)
+    var cents = base.orderBy(col("vec_id")).limit(K)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val raw = r.getSeq[Float](0).map(_.toDouble).toArray
+        unitize(raw).getOrElse(raw) // all-zero vector: keep as-is
+      }
+    for (_ <- 1 to iters) {
+      // element-wise mean of unit vectors per cell: explode to (cell, i,
+      // x/nrm), avg, regroup on the driver — K·dim rows, metadata-scale
+      val means = base.select(cellOf(cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("i", "x")), col("nrm"))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x").cast("double") / col("nrm")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cents = cents.indices.map { c =>
+        byCell.get(c)
+          .flatMap(rows => unitize(rows.sortBy(_._2).map(_._3).toArray))
+          .getOrElse(cents(c)) // empty cell keeps its centroid
+      }.toArray
+    }
+
+    // index side: each vector in its single best cell; query side: probe
+    // the nprobe nearest cells. Ids only through the join; vectors
+    // re-attached by broadcast for exact ranking (same shape as l7b).
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
+    val probes = base.select(col("vec_id"), col("label"),
+        posexplode(dots(cents)).as(Seq("cell", "dot")))
+      .withColumn("pk", row_number().over(wProbe))
+    val queriesSide = probes.where(col("pk") <= nprobe)
+      .select(col("label"), col("cell"), col("vec_id").as("ida"))
+    val indexSide = probes.where(col("pk") === 1)
+      .select(col("label"), col("cell"), col("vec_id").as("idb"))
+    val cand = queriesSide.join(indexSide, Seq("label", "cell"))
+      .where(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    val va = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val vb = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
+    val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
+    val out = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
+    base.unpersist(blocking = false) // the final plan recomputes the cheap scan
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,
     "l7_knn_brute" -> l7KnnBruteForce,
-    "l7b_knn_lsh" -> l7bKnnLsh
+    "l7b_knn_lsh" -> l7bKnnLsh,
+    "l7c_knn_ivf" -> l7cKnnIvf
   )
 
   val oracle: Map[String, String] = Map(

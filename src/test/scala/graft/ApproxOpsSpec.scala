@@ -41,6 +41,21 @@ class ApproxOpsSpec extends SparkSpec {
       s"LSH top-1 in exact top-3 for only $hit/${lshTop.size}")
   }
 
+  test("l7c IVF kNN: learned-centroid probe recall vs brute force") {
+    val exactTop3 = pairSet(
+      VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
+    val ivf = VectorOps.l7cKnnIvf(spark, sfDir)
+    assert(ivf.count() > 0)
+    // every IVF edge must be a real same-label pair (candidates come only
+    // from same-label cells, ranking is exact)
+    val ivfTop = pairSet(ivf.where(col("rk") === 1), "ida", "idb")
+    val hit = ivfTop.count(exactTop3.contains)
+    // nprobe=2 over 16 learned cells: most top-1 neighbors share a probed
+    // cell with their query — demand a healthy floor
+    assert(hit.toDouble / ivfTop.size >= 0.6,
+      s"IVF top-1 in exact top-3 for only $hit/${ivfTop.size}")
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)
