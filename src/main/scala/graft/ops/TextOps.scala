@@ -242,15 +242,18 @@ object TextOps {
     val tokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { bit =>
-      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$bit")
+    // Branch-free bit votes: s_b = Σ bit_b(h) and n = token count give
+    // vote_b = 2·s_b − n, identical sign to the ±1 formulation but ~5×
+    // cheaper in the aggregate (shift+and+sum, no per-bit conditional).
+    val bitCols = (0 until 64).map { bit =>
+      sum(shiftright(col("h"), bit).bitwiseAND(1)).as(s"s$bit")
     }
-    val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val votes = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitCols: _*)
     val sim = votes.select(
       col("doc_id"),
       (0 until 64).map { bit =>
-        when(col(s"v$bit") > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        when(col(s"s$bit") * 2 > col("n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
     def chunk(i: Int): Column =
       shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
@@ -260,18 +263,28 @@ object TextOps {
       posexplode(array(chunkPairs.map { case (i, j) =>
         shiftleft(chunk(i), 8).bitwiseOR(chunk(j))
       }: _*)).as(Seq("band_idx", "band")))
+    // Duplicate-free emission, no distinct: a near-identical pair collides
+    // in up to 28 indexes, so deduping by shuffle would move ~28× the
+    // qualifying pairs. Both hashes are in hand after the join, so each
+    // pair is emitted ONLY from its first clean byte-pair index (computed
+    // from ha⊕hb with branch-free bit tests) — exactly-once by
+    // construction, and the dedup exchange disappears from the plan.
+    val x = col("ha").bitwiseXOR(col("hb"))
+    def byteClean(i: Int): Column =
+      shiftright(x, i * 8).bitwiseAND(0xff) === 0
+    val firstCleanIdx = chunkPairs.zipWithIndex.foldRight(lit(-1): Column) {
+      case (((i, j), idx), acc) =>
+        when(byteClean(i) && byteClean(j), lit(idx)).otherwise(acc)
+    }
     banded.select(col("band_idx"), col("band"),
         col("doc_id").as("da"), col("simhash").as("ha"))
       .join(banded.select(col("band_idx"), col("band"),
         col("doc_id").as("db"), col("simhash").as("hb")),
         Seq("band_idx", "band"))
       .where(col("da") < col("db"))
-      // hamming filter BEFORE the distinct: bit_count per collision is
-      // cheap, so only qualifying pairs (not every band collision) pay the
-      // dedup shuffle
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .where(col("hamming") <= 6)
-      .select(col("da"), col("db"), col("hamming")).distinct()
+      .where(col("hamming") <= 6 && col("band_idx") === firstCleanIdx)
+      .select(col("da"), col("db"), col("hamming"))
   }
 
   /** L8: per-language corpus stats. */
