@@ -332,6 +332,81 @@ object TextOps {
       col("doc_id"), expr("rolling_hash(text)").as("fp"))
   }
 
+  /** L5e: near-dup CLUSTERING — connected components over the τ ≥ 0.3
+    * Jaccard pair graph, the canonical post-near-dup step (a dedup policy
+    * needs one canonical doc per duplicate GROUP, and near-dup is not
+    * transitive, so pairs alone under-delete).
+    *
+    * Algorithm: iterative hash-to-min label propagation — every doc starts
+    * labeled with its own id; each round every doc takes the min label in
+    * its neighborhood; converged when no label changes. Rounds are O(graph
+    * diameter) (near-dup components are shallow), each round one shuffle on
+    * doc_id — the standard large-scale connected-components loop, all
+    * DataFrame ops. Oracle: recursive-CTE transitive closure over the same
+    * edges (fine at fixture scale; the Spark loop is the 100 TB path). */
+  val l5eDedupGroups: Q = (s, d) => {
+    val pairs = l5JaccardPairs(s, d).select(col("da"), col("db"))
+    // undirected adjacency, both directions
+    val edges = pairs.unionByName(
+      pairs.select(col("db").as("da"), col("da").as("db"))).persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("component")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      // neighbor minimum: for each doc, the smallest label among neighbors
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("db"), col("component").as("nc")), Seq("db"))
+        .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("da").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist()
+      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
+        .where(col("component") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    // the final labels STAY cached: their lineage is the whole iteration
+    // chain, and the caller's action would otherwise replay every round
+    labels.withColumn("is_canonical",
+      (col("doc_id") === col("component")).cast("boolean"))
+  }
+
+  /** L13: deterministic source-weighted mixing — the training-data "data
+    * mixture" step. Every (source, doc) decision is a pure function of the
+    * row (rate from the source name, bucket from doc_id mod 100), so the
+    * sample is reproducible on any engine/partitioning — which is exactly
+    * why it's hash-verifiable against DuckDB, unlike rand()-sampling. */
+  val l13SourceMix: Q = (s, d) => {
+    // per-source keep-rate in [40, 90]: a transparent stand-in for a tuned
+    // mixture table, computable identically in the oracle
+    val rate = (length(col("source")) * lit(37)) % 51 + 40
+    Tables.documents(s, d)
+      .withColumn("keep_rate", rate)
+      .where(pmod(col("doc_id"), lit(100)) < col("keep_rate"))
+      .select(col("doc_id"), col("source"), col("keep_rate"))
+  }
+
+  /** L14: token-budget shard packing — assign docs to training shards of
+    * ≤ `budget` tokens by running sum. Partitioned by source and ordered by
+    * doc_id WITHIN source: each source packs in parallel (a global order
+    * would serialize the window into one partition — the scale
+    * anti-pattern); shard identity is (source, shard_no). */
+  val l14TokenPack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    tokenized(s, d)
+      .select(col("doc_id"), col("source"), size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // shard of the doc's STARTING offset: a doc straddling a boundary
+      // belongs to the shard it started in
+      .withColumn("shard_no", floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_no"))
+  }
+
   val queries: Map[String, Q] = Map(
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -342,10 +417,13 @@ object TextOps {
     "l5b_minhash_lsh" -> l5bMinhashLsh,
     "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
+    "l5e_dedup_groups" -> l5eDedupGroups,
     "l8_lang_stats" -> l8LangStats,
     "l10_lang_id" -> l10LangId,
     "l11_quality" -> l11Quality,
-    "l12_rolling_fp" -> l12RollingFp
+    "l12_rolling_fp" -> l12RollingFp,
+    "l13_source_mix" -> l13SourceMix,
+    "l14_token_pack" -> l14TokenPack
   )
 
   val oracle: Map[String, String] = Map(
@@ -396,6 +474,49 @@ object TextOps {
          JOIN sizes sa ON da = sa.doc_id
          JOIN sizes sb ON db = sb.doc_id
          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3""",
+    "l5e_dedup_groups" ->
+      """WITH RECURSIVE
+            pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT da, db FROM inter
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3),
+            edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+            reach(a, b) AS (
+              SELECT doc_id AS a, doc_id AS b FROM documents
+              UNION
+              SELECT r.a, e.db AS b FROM reach r JOIN edges e ON r.b = e.da)
+         SELECT a AS doc_id, min(b) AS component,
+                a = min(b) AS is_canonical
+         FROM reach GROUP BY a""",
+    "l13_source_mix" ->
+      """SELECT doc_id, source,
+                (length(source) * 37) % 51 + 40 AS keep_rate
+         FROM documents
+         WHERE doc_id % 100 < (length(source) * 37) % 51 + 40""",
+    "l14_token_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                              AS BIGINT) AS cum
+                  FROM t)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_no
+         FROM c""",
     "l8_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
