@@ -11,9 +11,27 @@ import graft.pipeline.{Runner, Transforms}
   *   run <spec.json> <warehouse>     execute a pipeline, print the manifest
   *   serve <warehouse> [port]        start the HTTP facade (default 3315,
   *                                   the reference's port)
+  *   ingest <warehouse> <name> <path> [format]
+  *                                   register an external dataset as a
+  *                                   named source impression
+  *   sources <warehouse>             list registered sources
   */
 object Cli {
   def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: warehouse :: name :: path :: rest if rest.lengthIs <= 1 =>
+      val spark = Sessions.local()
+      try {
+        val runner = new Runner(spark, Transforms.standard(), warehouse)
+        val ref = runner.ingest(name, path, rest.headOption.getOrElse("parquet"))
+        println(s"ingested '${ref.name}' impression=${ref.impression} schema=${ref.schemaDDL}")
+      } finally spark.stop()
+
+    case "sources" :: warehouse :: Nil =>
+      val spark = Sessions.local()
+      try new Runner(spark, Transforms.standard(), warehouse).sources
+        .foreach(r => println(s"${r.name}\t${r.impression}\t${r.format}\t${r.path}"))
+      finally spark.stop()
+
     case "run" :: specPath :: warehouse :: Nil =>
       val (spec, roots) = SpecJson.parse(
         new String(Files.readAllBytes(Paths.get(specPath))))
@@ -39,7 +57,9 @@ object Cli {
     case _ =>
       System.err.println(
         """usage: graft.api.Cli run <spec.json> <warehouse>
-          |       graft.api.Cli serve <warehouse> [port]""".stripMargin)
+          |       graft.api.Cli serve <warehouse> [port]
+          |       graft.api.Cli ingest <warehouse> <name> <path> [format]
+          |       graft.api.Cli sources <warehouse>""".stripMargin)
       sys.exit(2)
   }
 }

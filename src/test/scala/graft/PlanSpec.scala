@@ -95,4 +95,36 @@ class PlanSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
       s"no codegen span in:\n$plan")
   }
+
+  test("j8 two-path: hot-key set broadcast to both slices, union before the agg") {
+    val plan = executed(Relational.j8SaltedJoin(spark, sfDir))
+    val all = collectAll(plan)
+    // semi/anti hot-key filters run as broadcast joins (the hot set is tiny)
+    val bcasts = all.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 2, s"hot-key filters should broadcast:\n$plan")
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]),
+      s"expected hot/cold union:\n$plan")
+  }
+
+  test("l5c: exactly-once pair emission — no dedup aggregate after the band join") {
+    val df = graft.ops.TextOps.l5cSimhash(spark, sfDir)
+    val plan = executed(df)
+    // the pair dedup is a filter (first clean byte-pair index), not a
+    // distinct: no aggregate keyed on the pair columns may appear
+    val pairAggs = collectAll(plan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.map(_.name).toSet == Set("da", "db", "hamming") => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.groupingExpressions.map(_.name).toSet == Set("da", "db", "hamming") => a
+    }
+    assert(pairAggs.isEmpty, s"distinct resurfaced in l5c:\n$plan")
+  }
+
+  test("l7c IVF: no cartesian or nested-loop join anywhere in the probe plan") {
+    val plan = executed(graft.ops.VectorOps.l7cKnnIvf(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unblocked join in IVF plan:\n$plan")
+  }
 }
