@@ -352,16 +352,22 @@ object TextOps {
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("component")).persist()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       // neighbor minimum: for each doc, the smallest label among neighbors
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("db"), col("component").as("nc")), Seq("db"))
         .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
-      val next = labels
+      var next = labels
         .join(neighborMin.select(col("da").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist()
+      // lineage truncation every few rounds: each round nests another
+      // join in the plan, and a deep-diameter graph would otherwise grow
+      // an unplannable lineage (and re-derive all rounds on failure)
+      next = if (round % 3 == 0) next.localCheckpoint(eager = true)
+             else next.persist()
       changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
         .where(col("component") =!= col("old")).count()
       labels.unpersist(blocking = false)
