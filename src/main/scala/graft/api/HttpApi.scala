@@ -291,6 +291,15 @@ final class HttpApi(runner: Runner, port: Int = 0,
     }
   })
 
+  server.createContext("/plan/", (ex: HttpExchange) => {
+    // the step's persisted physical plan (A12 — the engine's "Snakefile")
+    resolve(ex.getRequestURI.getPath, "/plan/")
+      .flatMap { case (st, stepId) => st.runner.plan(st.spec, stepId) } match {
+      case None => notFound(ex)
+      case Some(text) => respond(ex, 200, JObject("plan" -> JString(text)))
+    }
+  })
+
   server.createContext("/preview/", (ex: HttpExchange) => {
     resolve(ex.getRequestURI.getPath, "/preview/") match {
       case None => notFound(ex)

@@ -102,6 +102,14 @@ final class Runner(
   // hashes to a fresh impression and starts `raw`. In-memory `runs` (by
   // step id) is this session's view for status()/manifest().
   private val statusDir = Paths.get(warehouse, "_status")
+  private val plansDir = Paths.get(warehouse, "_plans")
+
+  /** The persisted physical plan of a materialized step (A12's Snakefile
+    * analogue), if the step ran in a session that dumped one. */
+  def plan(spec: PipelineSpec, id: String): Option[String] = {
+    val p = plansDir.resolve(s"${impressionId(spec, id)}.txt")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
 
   private def persistStatus(imp: String, r: StepRun): Unit = {
     Files.createDirectories(statusDir)
@@ -249,8 +257,18 @@ final class Runner(
           // (`/root/reference/Yuki/kernel/VWorkflow.py:482-543`). A literal
           // column costs nothing at scale (constant-folded, RLE'd by
           // parquet) and survives joins/unions downstream.
-          df.withColumn(Runner.LineageCol, org.apache.spark.sql.functions.lit(imp))
-            .write.mode("overwrite").parquet(outDir(imp).toString)
+          val stamped = df.withColumn(
+            Runner.LineageCol, org.apache.spark.sql.functions.lit(imp))
+          stamped.write.mode("overwrite").parquet(outDir(imp).toString)
+          // Plan dump (A12): the reference emits a Snakefile per workflow;
+          // the engine's equivalent artifact is the step's physical plan,
+          // persisted per impression for post-hoc audit (/plan route).
+          try {
+            Files.createDirectories(plansDir)
+            Files.writeString(plansDir.resolve(s"$imp.txt"),
+              stamped.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          } catch { case NonFatal(_) => () } // diagnostics must never fail a step
           setStatus(step.id, imp, StepStatus.Finished)
         } catch {
           case NonFatal(e) =>
@@ -441,6 +459,7 @@ final class Runner(
     doomed.foreach { imp =>
       deleteRecursively(root.resolve(imp))
       Files.deleteIfExists(statusDir.resolve(s"$imp.json"))
+      Files.deleteIfExists(plansDir.resolve(s"$imp.txt"))
     }
     doomed
   }

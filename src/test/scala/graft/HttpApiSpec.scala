@@ -169,6 +169,11 @@ class HttpApiSpec extends SparkSpec {
 
       // vacuum deletes nothing while every impression is referenced
       assert(post(s"$base/vacuum")._2.contains("\"deleted\":[]"))
+
+      // the persisted physical plan (A12) is servable after a re-run
+      awaitFinished(base, runIdOf(post(s"$base/run-step/$runId/agg")._2))
+      val planBody = get(s"$base/plan/$runId/agg")._2
+      assert(planBody.contains("Physical Plan"), planBody)
     } finally api.stop()
   }
 
