@@ -266,13 +266,27 @@ final class HttpApi(runner: Runner, port: Int = 0,
           .flatMap(st => st.runner.outputFile(st.spec, stepId, file)) match {
           case None => notFound(ex)
           case Some(p) =>
-            val bytes = java.nio.file.Files.readAllBytes(p)
-            ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-            ex.getResponseHeaders.set("Content-Disposition",
-              s"""attachment; filename="$file"""")
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
-            ex.close()
+            // stream, don't buffer: a part file can be GBs; and the file
+            // may vanish between the existence check and the read
+            // (concurrent purge/vacuum) — that must 404, not hang the
+            // exchange with an unanswered request
+            var headersSent = false
+            try {
+              val size = java.nio.file.Files.size(p)
+              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+              ex.getResponseHeaders.set("Content-Disposition",
+                s"""attachment; filename="$file"""")
+              ex.sendResponseHeaders(200, size)
+              headersSent = true
+              val in = java.nio.file.Files.newInputStream(p)
+              try in.transferTo(ex.getResponseBody)
+              finally { in.close(); ex.close() }
+            } catch {
+              // mid-stream failure can only abort the connection (headers
+              // are gone); pre-stream failure answers 404
+              case _: java.io.IOException =>
+                if (headersSent) ex.close() else notFound(ex)
+            }
         }
       case _ => notFound(ex)
     }
@@ -283,11 +297,11 @@ final class HttpApi(runner: Runner, port: Int = 0,
       case None => notFound(ex)
       case Some((st, stepId)) =>
         val imp = st.runner.impressionId(st.spec, stepId)
-        val art = st.runner.collect(st.spec, stepId)
+        val path = st.runner.materializedPath(st.spec, stepId)
         respond(ex, 200, JObject(
           "impression" -> JString(imp),
-          "deposited" -> JBool(art.isDefined),
-          "path" -> JString(art.map(_.path).getOrElse(""))))
+          "deposited" -> JBool(path.isDefined),
+          "path" -> JString(path.getOrElse(""))))
     }
   })
 
@@ -304,10 +318,10 @@ final class HttpApi(runner: Runner, port: Int = 0,
     resolve(ex.getRequestURI.getPath, "/preview/") match {
       case None => notFound(ex)
       case Some((st, stepId)) =>
-        st.runner.collect(st.spec, stepId) match {
+        st.runner.materializedPath(st.spec, stepId) match {
           case None => notFound(ex)
-          case Some(a) =>
-            val df = st.runner.session.read.parquet(a.path)
+          case Some(path) =>
+            val df = st.runner.session.read.parquet(path)
             respond(ex, 200, JObject(
               "preview" -> JString(st.runner.preview(df, maxRows = 20))))
         }
@@ -324,14 +338,16 @@ final class HttpApi(runner: Runner, port: Int = 0,
         "workflow" -> JString(workflowStatus(st)),
         "steps" -> JArray(st.spec.steps.map { s =>
           val imp = st.runner.impressionId(st.spec, s.id)
-          val art = st.runner.collect(st.spec, s.id)
+          // file stat only — a catalog browse must never launch R×S
+          // Spark count jobs
+          val path = st.runner.materializedPath(st.spec, s.id)
           JObject(
             "id" -> JString(s.id),
             "transform" -> JString(s.transform),
             "impression" -> JString(imp),
             "status" -> JString(st.runner.statusOf(st.spec, s.id).name),
-            "deposited" -> JBool(art.isDefined),
-            "path" -> JString(art.map(_.path).getOrElse("")))
+            "deposited" -> JBool(path.isDefined),
+            "path" -> JString(path.getOrElse("")))
         }.toList))
     }
     val sourceNodes = runner.sources.map(r => JObject(
@@ -343,11 +359,12 @@ final class HttpApi(runner: Runner, port: Int = 0,
   })
 
   server.createContext("/deposited/", (ex: HttpExchange) => {
-    // direct materialization probe (the reference's /deposited, A34)
+    // direct materialization probe (the reference's /deposited, A34):
+    // one file stat — never a Spark job
     resolve(ex.getRequestURI.getPath, "/deposited/") match {
       case None => notFound(ex)
       case Some((st, stepId)) => respond(ex, 200, JObject(
-        "deposited" -> JBool(st.runner.collect(st.spec, stepId).isDefined)))
+        "deposited" -> JBool(st.runner.materializedPath(st.spec, stepId).isDefined)))
     }
   })
 
@@ -359,11 +376,13 @@ final class HttpApi(runner: Runner, port: Int = 0,
     resolve(ex.getRequestURI.getPath, "/logs/") match {
       case None => notFound(ex)
       case Some((st, stepId)) =>
-        val run = st.runner.run(stepId)
+        // impression-keyed record: a step NAME may recur across specs, and
+        // the bare step-id view would return whichever ran last
+        val run = st.runner.runOf(st.spec, stepId)
         respond(ex, 200, JObject(
           "step" -> JString(stepId),
           "impression" -> JString(st.runner.impressionId(st.spec, stepId)),
-          "status" -> JString(st.runner.statusOf(st.spec, stepId).name),
+          "status" -> JString(run.status.name),
           "started_at" -> run.startedAt.map(JLong(_)).getOrElse(JNull),
           "finished_at" -> run.finishedAt.map(JLong(_)).getOrElse(JNull),
           "duration_ms" -> run.durationMs.map(JLong(_)).getOrElse(JNull)))

@@ -312,20 +312,23 @@ object Relational {
     * terabyte-scale exchange per join and none: bucket once on ingest, join
     * any number of times for free. Plan shape (no ShuffleExchange feeding
     * the join) is asserted in PlanSpec; the result equals the plain join. */
-  /** Bucketed tables built at most once per (session, source dir) — the
+  /** Bucketed tables built at most once per (catalog, source dir) — the
     * real-world contract is "bucket once on ingest, join many times", so
     * the benched query should time the exchange-free JOIN, not re-ingest
-    * (round-1 bench conflated both). Keyed by session so a fresh session
-    * (whose catalog is empty) rebuilds. */
-  private val bucketedFor =
-    scala.collection.concurrent.TrieMap[org.apache.spark.sql.SparkSession, String]()
+    * (round-1 bench conflated both). The fixed-name tables live in the
+    * CONTEXT-shared catalog (every `newSession()` sees them), so the cache
+    * key is the warehouse dir, not the session — a session-keyed cache
+    * would let one session's rebuild silently invalidate another's entry
+    * (and would pin session objects as strong map keys). */
+  private val bucketedFor = scala.collection.concurrent.TrieMap[String, String]()
 
   val s8BucketedJoin: Q = (s, d) => {
     val buckets = 8
+    val wh = s.conf.get("spark.sql.warehouse.dir")
     // the fixed-name tables hold ONE source dir's data at a time: rebuild
-    // whenever this session's tables were built from a different dir
-    if (!bucketedFor.get(s).contains(d)) bucketedFor.synchronized {
-      if (!bucketedFor.get(s).contains(d)) {
+    // whenever this catalog's tables were built from a different dir
+    if (!bucketedFor.get(wh).contains(d)) bucketedFor.synchronized {
+      if (!bucketedFor.get(wh).contains(d)) {
       // idempotent re-create: a table dir left by a previous session isn't
       // in this session's catalog, and saveAsTable refuses the location
       def reset(table: String): Unit = {
@@ -348,7 +351,7 @@ object Relational {
         .write.mode("overwrite")
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_bkt_orders")
-      bucketedFor.put(s, d)
+      bucketedFor.put(wh, d)
       }
     }
     val li = s.table("graft_bkt_lineitem")

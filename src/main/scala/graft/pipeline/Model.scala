@@ -34,14 +34,17 @@ final case class PipelineSpec(steps: Seq[StepSpec]) {
       require(!inStack.contains(id), s"cycle through step $id")
       inStack += id
       val step = byId.getOrElse(id, sys.error(s"unknown step $id"))
-      // length-prefixed k/v components: without the prefixes, params
-      // {"a=b":"c"} and {"a":"b=c"} (or keys/values containing the join
-      // byte) would collide to one payload and wrongly share a cached output
-      def comp(k: String, v: String) = s"${k.length}:$k=${v.length}:$v"
+      // length-prefixed, section-tagged k/v components: without the length
+      // prefixes, params {"a=b":"c"} and {"a":"b=c"} would collide; without
+      // the section tag, a param whose VALUE is a 32-hex hash (the
+      // documented "rev" pinning pattern) would collide with an input alias
+      // of the same name whose dependency hashes to that value
+      def comp(kind: String, k: String, v: String) =
+        s"$kind${k.length}:$k=${v.length}:$v"
       val inputSig = step.inputs.toSeq.sortBy(_._1)
-        .map { case (alias, dep) => comp(alias, hash(dep)) }
+        .map { case (alias, dep) => comp("i", alias, hash(dep)) }
       inStack -= id
-      val paramSig = step.params.toSeq.sorted.map { case (k, v) => comp(k, v) }
+      val paramSig = step.params.toSeq.sorted.map { case (k, v) => comp("p", k, v) }
       val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -91,9 +91,16 @@ final class Runner(
   // TrieMap: HttpApi drives execute() from a Future pool while /status
   // handlers read concurrently — plain mutable.Map would corrupt.
   private val runs = scala.collection.concurrent.TrieMap[String, StepRun]()
-  // same state keyed by impression id — the per-content view /status uses,
-  // immune to step-name collisions across different specs
-  private val impRuns = scala.collection.concurrent.TrieMap[String, StepRun]()
+  // Impression-keyed state and locks are PROCESS-GLOBAL, scoped by
+  // normalized warehouse path (Runner.impKey): the HTTP facade builds one
+  // Runner per session profile over the SAME warehouse, and per-instance
+  // maps would let two Runners both win admission for one impression and
+  // race delete-vs-write on its output dir.
+  private val whKey = Paths.get(warehouse).toAbsolutePath.normalize.toString
+  private def impRunsGet(imp: String): Option[StepRun] =
+    Runner.impRuns.get(s"$whKey#$imp")
+  private def impRunsPut(imp: String, r: StepRun): Unit =
+    Runner.impRuns.put(s"$whKey#$imp", r)
 
   // Durable status — the engine's status.json (`VJob.py:127-156`). Keyed by
   // IMPRESSION id (content-addressed, like the reference's per-impression
@@ -141,17 +148,22 @@ final class Runner(
   /** Per-content status for a step of a specific spec — collision-free
     * across runs that reuse step names (the reference keys status by
     * impression too). Falls back to the persisted record, then raw. */
-  def statusOf(spec: PipelineSpec, id: String): StepStatus = {
+  def statusOf(spec: PipelineSpec, id: String): StepStatus =
+    runOf(spec, id).status
+
+  /** Per-content run record (status + timings) for a step of a spec —
+    * collision-free across runs that reuse step names. */
+  def runOf(spec: PipelineSpec, id: String): StepRun = {
     val imp = impressionId(spec, id)
-    impRuns.get(imp).orElse(persistedStatus(imp))
-      .map(_.status).getOrElse(StepStatus.Raw)
+    impRunsGet(imp).orElse(persistedStatus(imp))
+      .getOrElse(StepRun(StepStatus.Raw))
   }
 
   /** Transition gated on the IMPRESSION's state — the step-id map is only a
     * display view. Gating on step id would let two concurrent runs whose
     * specs share a step name block each other's admission. */
   private def setStatus(id: String, imp: String, to: StepStatus): Unit = {
-    val cur = impRuns.get(imp).orElse(persistedStatus(imp))
+    val cur = impRunsGet(imp).orElse(persistedStatus(imp))
       .getOrElse(StepRun(StepStatus.Raw))
     val next = StepStatus.transition(cur.status, to)
     if (next eq to) {
@@ -164,14 +176,14 @@ final class Runner(
         case _ => cur.copy(status = to)
       }
       runs(id) = updated
-      impRuns(imp) = updated
+      impRunsPut(imp, updated)
       persistStatus(imp, updated)
     } else {
       // sticky-terminal blocked the transition: still surface the current
       // state in both views (a restarted runner's cache-hit would otherwise
       // display raw for a finished step)
       runs(id) = cur
-      impRuns(imp) = cur
+      impRunsPut(imp, cur)
     }
   }
 
@@ -189,11 +201,10 @@ final class Runner(
   // for the in-flight computation instead of skipping it and then failing
   // to read the not-yet-materialized output downstream. Driver-side only —
   // the lock is held by one driver thread while Spark runs the job; no
-  // executor ever blocks on it. Bounded by distinct impressions (metadata
-  // scale, like the status maps).
-  private val stepLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  // executor ever blocks on it. Process-global + warehouse-scoped, like
+  // the status map, so Runners on different sessions still serialize.
   private def stepLock(imp: String): Object =
-    stepLocks.getOrElseUpdate(imp, new Object)
+    Runner.stepLocks.getOrElseUpdate(s"$whKey#$imp", new Object)
 
   /** Atomically admit an impression for this thread: CAS its state from
     * absent-or-submittable to Waiting. Exactly one of N concurrent
@@ -203,20 +214,20 @@ final class Runner(
     * concurrent /run requests can't both overwrite one output dir. */
   @annotation.tailrec
   private def claim(id: String, imp: String): Boolean =
-    impRuns.get(imp) match {
+    impRunsGet(imp) match {
       case None =>
         // seed from the durable record; a persisted NON-terminal state is a
         // crash leftover (no process is running it) and demotes to raw
         val seeded = persistedStatus(imp)
           .filter(_.status.isTerminal).getOrElse(StepRun(StepStatus.Raw))
-        impRuns.putIfAbsent(imp, seeded)
+        Runner.impRuns.putIfAbsent(s"$whKey#$imp", seeded)
         claim(id, imp)
       case Some(cur) if !StepStatus.canSubmit(cur.status) =>
         runs(id) = cur // keep the per-step display view current
         false
       case Some(cur) =>
         val next = cur.copy(status = StepStatus.Waiting)
-        if (impRuns.replace(imp, cur, next)) {
+        if (Runner.impRuns.replace(s"$whKey#$imp", cur, next)) {
           runs(id) = next
           persistStatus(imp, next)
           true
@@ -290,6 +301,14 @@ final class Runner(
   def reset(spec: PipelineSpec, id: String): Unit = {
     purge(spec, id)
     setStatus(id, impressionId(spec, id), StepStatus.Raw)
+  }
+
+  /** Cheap materialization probe: the output path if the step's _SUCCESS
+    * marker exists — one file stat, no Spark job (collect() runs a count).
+    * The right primitive for catalog/tree/deposited browsing. */
+  def materializedPath(spec: PipelineSpec, id: String): Option[String] = {
+    val imp = impressionId(spec, id)
+    if (isMaterialized(imp)) Some(outDir(imp).toString) else None
   }
 
   /** Collect: manifest of a step's materialized output (A21), including
@@ -482,4 +501,12 @@ final class Runner(
 object Runner {
   /** Lineage column stamped onto every materialized step output (A26). */
   val LineageCol = "_impression_id"
+
+  // Process-global impression state + locks, keyed "warehousePath#imp":
+  // every Runner over one warehouse shares admission, whichever session it
+  // executes on. Bounded by distinct impressions (metadata scale).
+  private[pipeline] val impRuns =
+    scala.collection.concurrent.TrieMap[String, StepRun]()
+  private[pipeline] val stepLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
 }

@@ -15,14 +15,24 @@ import graft.core.Tables
   * (`/root/reference/Yuki/kernel/container_job.py:44-61`).
   */
 object Transforms {
+  // Temp-view names are session-global, and the runner executes steps from
+  // a Future pool: two concurrent sql steps registering the same alias
+  // could bind one run's SQL to the other's input. The lock covers only
+  // registration + ANALYSIS (s.sql resolves views eagerly into the plan,
+  // so the returned DataFrame is immune to later view replacement);
+  // execution runs outside it.
+  private val sqlAnalysisLock = new Object
+
   def standard(): TransformRegistry = {
     val r = new TransformRegistry
     r.register("source") { (s, _, p) => Tables.load(s, p("dir"), p("table")) }
     r.register("query") { (s, _, p) => SparkEntry.queries(p("name"))(s, p("dir")) }
     r.register("identity") { (_, in, _) => in.values.head }
     r.register("sql") { (s, in, p) =>
-      in.foreach { case (alias, df) => df.createOrReplaceTempView(alias) }
-      s.sql(ParamMap(p.params).substitute(p("sql")))
+      sqlAnalysisLock.synchronized {
+        in.foreach { case (alias, df) => df.createOrReplaceTempView(alias) }
+        s.sql(ParamMap(p.params).substitute(p("sql")))
+      }
     }
     r
   }
@@ -41,6 +51,10 @@ final class RunListener extends SparkListener {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
   private val completed =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
+  // retention: a long-lived server would otherwise accumulate an entry per
+  // stage forever — evict whole groups (oldest first) past a generous cap
+  private val groupOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxGroups = 4096
   private def setFor(m: java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]],
       g: String): java.util.Set[Int] =
     m.computeIfAbsent(g, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
@@ -49,6 +63,17 @@ final class RunListener extends SparkListener {
     val group = Option(ev.properties)
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
     if (group != null) {
+      if (!submitted.containsKey(group)) {
+        groupOrder.add(group)
+        while (submitted.size() > MaxGroups) {
+          val oldest = groupOrder.poll()
+          if (oldest != null) {
+            Option(submitted.remove(oldest)).foreach(
+              _.forEach(sid => stageGroup.remove(sid)))
+            completed.remove(oldest)
+          }
+        }
+      }
       stageGroup.put(ev.stageInfo.stageId, group)
       setFor(submitted, group).add(ev.stageInfo.stageId)
     }

@@ -54,22 +54,12 @@ def render(v):
         return ("dict", tuple(sorted((k, render(x)) for k, x in v.items())))
     return (type(v).__name__, str(v))
 
-def sort_key(row, float_cols):
-    """Stable row ordering that aligns near-equal float rows: non-float
-    cells exact-rendered and ordered first, floats rounded to 6 sig figs."""
-    nonf, fl = [], []
-    for i, v in enumerate(row):
-        if i in float_cols:
-            if v is None:
-                fl.append("None")
-            else:
-                try:
-                    fl.append("%.6g" % float(v))
-                except (TypeError, ValueError):
-                    fl.append(str(v))
-        else:
-            nonf.append(render(v))
-    return (tuple(nonf), tuple(fl))
+def nonfloat_key(row, float_cols):
+    """Group key over the exact-rendered non-float cells. Rows are matched
+    WITHIN a group by tolerant float equality (no positional zip of sorted
+    floats — rounding for a sort key can order two within-tolerance values
+    differently on each side and misalign the comparison)."""
+    return tuple(render(v) for i, v in enumerate(row) if i not in float_cols)
 
 def feq(a, b):
     if a is None or b is None:
@@ -153,11 +143,28 @@ def main(sf_dir, out_dir):
                   f"driver hash is type-sensitive; CAST the oracle side")
             n_fail += 1
             continue
-        got_s = sorted(got, key=lambda r: sort_key(r, float_cols))
-        want_s = sorted(want, key=lambda r: sort_key(r, float_cols))
-        bad = [(g, w) for g, w in zip(got_s, want_s)
-               if not all(cell_ok(x, y, i in float_cols)
-                          for i, (x, y) in enumerate(zip(g, w)))]
+        from collections import defaultdict
+        got_g, want_g = defaultdict(list), defaultdict(list)
+        for r in got:
+            got_g[nonfloat_key(r, float_cols)].append(r)
+        for r in want:
+            want_g[nonfloat_key(r, float_cols)].append(r)
+        bad = []
+        for key in set(got_g) | set(want_g):
+            gs, ws = got_g.get(key, []), list(want_g.get(key, []))
+            if len(gs) != len(ws):
+                bad.append((gs[0] if gs else None, ws[0] if ws else None))
+                continue
+            # greedy tolerant matching of float cells within the group
+            # (groups are almost always singletons)
+            for g_row in gs:
+                m = next((w for w in ws
+                          if all(cell_ok(x, y, i in float_cols)
+                                 for i, (x, y) in enumerate(zip(g_row, w)))), None)
+                if m is None:
+                    bad.append((g_row, ws[0] if ws else None))
+                else:
+                    ws.remove(m)
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: got={bad[0][0]} want={bad[0][1]}")
             n_fail += 1
