@@ -262,6 +262,43 @@ object StreamingOps {
       unix_timestamp(col("s_ts")).as("signup_sec"))
   }
 
+  /** T10: foreachBatch warehouse ingest — the custom-sink surface none of
+    * t1–t9 exercises: each micro-batch lands in a parquet warehouse dir as
+    * an atomic batch-stamped append (`_ingest_batch` carries the micro-
+    * batch id — the streaming analogue of the pipeline layer's lineage
+    * column, giving per-batch provenance and replay idempotence: a
+    * restarted query rewrites its batch id rather than duplicating rows).
+    * This is the production shape for continuous ingest into an engine
+    * warehouse; the verified result is a batch aggregate over the landed
+    * table. */
+  val t10ForeachBatchIngest: Q = (s, d) => t10Ingest(s, d)._1
+
+  /** t10 internals; returns (result, landing dir) so tests can inspect the
+    * batch-stamped table itself. */
+  private[graft] def t10Ingest(s: SparkSession, d: String): (DataFrame, String) = {
+    val out = graft.core.TempDirs.scratch("t10_out").toString
+    val ckpt = ckptDir("t10")
+    val q = eventsStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("_ingest_batch", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the landed table carries _ingest_batch (asserted in StreamingSpec);
+    // the oracle-checked result is the batch aggregate over it
+    (s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")) / 100.0).as("spent")), out)
+  }
+
   val queries: Map[String, Q] = Map(
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t1_tumbling_window" -> t1Tumbling,
@@ -271,7 +308,8 @@ object StreamingOps {
     "t5_stream_dedup" -> t5Dedup,
     "t6_stateful" -> t6Stateful,
     "t7_stream_static_join" -> t7StreamStaticJoin,
-    "t8_file_sink" -> t8FileSink
+    "t8_file_sink" -> t8FileSink,
+    "t10_foreachbatch_ingest" -> t10ForeachBatchIngest
   )
 
   val oracle: Map[String, String] = Map(
@@ -338,6 +376,11 @@ object StreamingOps {
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1""",
     "t8_file_sink" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS spent
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1""",
+    "t10_foreachbatch_ingest" ->
       """SELECT user_id, count(*) AS n_purchases,
                 sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS spent
          FROM events WHERE event_type = 'purchase'

@@ -96,4 +96,16 @@ class StreamingSpec extends SparkSpec {
     val purchases = events.where(col("event_type") === "purchase")
     assert(got.agg(sum(col("n_purchases"))).head().getLong(0) == purchases.count())
   }
+
+  test("t10 foreachBatch ingest lands batch-stamped rows matching the batch twin") {
+    val (got, landingDir) = StreamingOps.t10Ingest(spark, sfDir)
+    val purchases = events.where(col("event_type") === "purchase")
+    assert(got.agg(sum(col("n_purchases"))).head().getLong(0) == purchases.count())
+    // every landed row carries the micro-batch provenance stamp (the
+    // streaming analogue of the pipeline lineage column)
+    val landed = spark.read.parquet(landingDir)
+    assert(landed.columns.contains("_ingest_batch"))
+    assert(landed.where(col("_ingest_batch").isNull).count() == 0)
+    assert(landed.count() == purchases.count())
+  }
 }
