@@ -233,6 +233,25 @@ class PipelineSpecTest extends SparkSpec {
     assert(out.count() == 5)
   }
 
+  test("admission is atomic ACROSS Runner instances sharing a warehouse") {
+    // the HTTP facade builds one Runner per session profile over the same
+    // warehouse — admission state must be shared process-wide or two
+    // profile runners could both overwrite one impression's output dir
+    val wh = Files.createTempDirectory("graft_wh12").toString
+    val r1 = new Runner(spark, Transforms.standard(), wh)
+    val r2 = new Runner(spark.newSession(), Transforms.standard(), wh)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = Seq(r1, r2).flatMap(r =>
+      (1 to 2).map(_ => Future(r.execute(diamond, Seq("join")))))
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    assert(results.toSet.size == 1)
+    val out = spark.read.parquet(s"$wh/${results.head("join")}")
+    assert(out.count() == 5)
+  }
+
   test("statusOf is keyed per impression: same step name, different specs") {
     val wh = Files.createTempDirectory("graft_wh9").toString
     val specA = PipelineSpec(Seq(
