@@ -56,8 +56,11 @@ case class MinHashSketch(
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < numHashes) {
-        // bit-identical to xxhash64(lit(i), h)
-        val mixed = XxHash64Function.hash(h, LongType, seeds(i))
+        // bit-identical to xxhash64(lit(i), h): XxHash64Function.hash on a
+        // LongType is exactly XXH64.hashLong, minus the per-call DataType
+        // dispatch this hot loop (k hashes × every shingle) shouldn't pay
+        val mixed =
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h, seeds(i))
         if (mixed < buf(i)) buf(i) = mixed
         i += 1
       }
