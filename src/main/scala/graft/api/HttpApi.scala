@@ -358,6 +358,22 @@ final class HttpApi(runner: Runner, port: Int = 0,
       "runs" -> JArray(runNodes.toList)))
   })
 
+  server.createContext("/impression-status/", (ex: HttpExchange) => {
+    // status by raw impression id — the reference's content-addressed
+    // status view, independent of any run id
+    val imp = ex.getRequestURI.getPath.stripPrefix("/impression-status/")
+    if (!imp.matches("[0-9a-f]{8,64}")) notFound(ex)
+    else runner.statusByImpression(imp) match {
+      case None => notFound(ex)
+      case Some(r) => respond(ex, 200, JObject(
+        "impression" -> JString(imp),
+        "status" -> JString(r.status.name),
+        "started_at" -> r.startedAt.map(JLong(_)).getOrElse(JNull),
+        "finished_at" -> r.finishedAt.map(JLong(_)).getOrElse(JNull),
+        "duration_ms" -> r.durationMs.map(JLong(_)).getOrElse(JNull)))
+    }
+  })
+
   server.createContext("/deposited/", (ex: HttpExchange) => {
     // direct materialization probe (the reference's /deposited, A34):
     // one file stat — never a Spark job

@@ -183,8 +183,14 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
         Encoders.product[UserState], Encoders.product[UserSummary])
 
-    // update mode may emit one row per user per micro-batch; keep the final
-    // state = the row with the max n_events per user
+    // Update mode may emit one row per user per micro-batch; keep the final
+    // state = the row with the max n_events per user. Measured cost of this
+    // post-hoc dedup (round-2, sf0.1): t6 benches the SAME as the stateless
+    // t1 on the same source (~1.4 s both), i.e. the dedup window over the
+    // per-batch emissions (~150 rows/batch) is free and the whole cost is
+    // micro-batch startup + source scan — restructuring to
+    // append-on-timeout would drop tail groups under AvailableNow (the
+    // watermark can't pass the last events) for no measurable win.
     val all = runToMemory(updated.toDF(), "t6_sink", "update")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)

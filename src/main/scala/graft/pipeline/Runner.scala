@@ -155,9 +155,14 @@ final class Runner(
     * collision-free across runs that reuse step names. */
   def runOf(spec: PipelineSpec, id: String): StepRun = {
     val imp = impressionId(spec, id)
-    impRunsGet(imp).orElse(persistedStatus(imp))
-      .getOrElse(StepRun(StepStatus.Raw))
+    statusByImpression(imp).getOrElse(StepRun(StepStatus.Raw))
   }
+
+  /** Status record by RAW impression id — the reference's
+    * impression-centric view (`status.py:22-138` keys by impression, not
+    * run): live state first, then the durable record. */
+  def statusByImpression(imp: String): Option[StepRun] =
+    impRunsGet(imp).orElse(persistedStatus(imp))
 
   /** Transition gated on the IMPRESSION's state — the step-id map is only a
     * display view. Gating on step id would let two concurrent runs whose

@@ -158,6 +158,11 @@ class HttpApiSpec extends SparkSpec {
 
       // deposited probe + durable log record (A34/A33 surface)
       assert(get(s"$base/deposited/$runId/agg")._2.contains("\"deposited\":true"))
+      // impression-centric status: look the step up by its content id alone
+      val impId = "\"impression\"\\s*:\\s*\"([0-9a-f]+)\"".r
+        .findFirstMatchIn(get(s"$base/impression-path/$runId/agg")._2).get.group(1)
+      assert(get(s"$base/impression-status/$impId")._2.contains("\"status\":\"finished\""))
+      assert(get(s"$base/impression-status/ffffffffffffffff")._1 == 404)
       val logBody = get(s"$base/logs/$runId/agg")._2
       assert(logBody.contains("\"status\":\"finished\"")
         && logBody.contains("duration_ms"), logBody)
