@@ -272,15 +272,19 @@ final class HttpApi(runner: Runner, port: Int = 0,
             // exchange with an unanswered request
             var headersSent = false
             try {
+              // open the stream BEFORE committing headers: a file deleted
+              // in the size→open window (concurrent purge/vacuum) must
+              // answer 404, not a truncated 200
               val size = java.nio.file.Files.size(p)
-              ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
-              ex.getResponseHeaders.set("Content-Disposition",
-                s"""attachment; filename="$file"""")
-              ex.sendResponseHeaders(200, size)
-              headersSent = true
               val in = java.nio.file.Files.newInputStream(p)
-              try in.transferTo(ex.getResponseBody)
-              finally { in.close(); ex.close() }
+              try {
+                ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+                ex.getResponseHeaders.set("Content-Disposition",
+                  s"""attachment; filename="$file"""")
+                ex.sendResponseHeaders(200, size)
+                headersSent = true
+                in.transferTo(ex.getResponseBody)
+              } finally { in.close(); ex.close() }
             } catch {
               // mid-stream failure can only abort the connection (headers
               // are gone); pre-stream failure answers 404

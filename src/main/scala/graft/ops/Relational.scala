@@ -325,20 +325,30 @@ object Relational {
   val s8BucketedJoin: Q = (s, d) => {
     val buckets = 8
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    // the fixed-name tables hold ONE source dir's data at a time: rebuild
-    // whenever this catalog's tables were built from a different dir
-    if (!bucketedFor.get(wh).contains(d)) bucketedFor.synchronized {
-      if (!bucketedFor.get(wh).contains(d)) {
+    // The fixed-name tables hold ONE source dir's data at a time: rebuild
+    // whenever this catalog's tables were built from a different dir — or
+    // when the catalog doesn't actually have them (a restarted
+    // SparkContext reusing the same warehouse dir starts with an empty
+    // in-memory catalog; the cache alone would then skip the build and the
+    // join would fail TABLE_OR_VIEW_NOT_FOUND).
+    def cached: Boolean = bucketedFor.get(wh).contains(d) &&
+      s.catalog.tableExists("graft_bkt_lineitem") &&
+      s.catalog.tableExists("graft_bkt_orders")
+    if (!cached) bucketedFor.synchronized {
+      if (!cached) {
       // idempotent re-create: a table dir left by a previous session isn't
       // in this session's catalog, and saveAsTable refuses the location
       def reset(table: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $table")
         val loc = java.nio.file.Paths.get(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-        if (java.nio.file.Files.exists(loc))
-          java.nio.file.Files.walk(loc)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        if (java.nio.file.Files.exists(loc)) {
+          // close the walk stream — it holds the directory fd until closed
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => java.nio.file.Files.delete(p))
+          finally walk.close()
+        }
       }
       reset("graft_bkt_lineitem"); reset("graft_bkt_orders")
       Tables.lineitem(s, d)

@@ -269,14 +269,14 @@ object StreamingOps {
   }
 
   /** T10: foreachBatch warehouse ingest — the custom-sink surface none of
-    * t1–t9 exercises: each micro-batch lands in a parquet warehouse dir as
-    * an atomic batch-stamped append (`_ingest_batch` carries the micro-
-    * batch id — the streaming analogue of the pipeline layer's lineage
-    * column, giving per-batch provenance and replay idempotence: a
-    * restarted query rewrites its batch id rather than duplicating rows).
-    * This is the production shape for continuous ingest into an engine
-    * warehouse; the verified result is a batch aggregate over the landed
-    * table. */
+    * t1–t9 exercises: each micro-batch lands in a parquet warehouse dir
+    * PARTITIONED BY its micro-batch id with dynamic partition overwrite,
+    * so a restarted query that replays a batch (crash between the write
+    * and the checkpoint commit) overwrites that batch's own partition
+    * instead of appending duplicates — genuine replay idempotence, not
+    * just a provenance stamp. This is the production shape for continuous
+    * ingest into an engine warehouse; the verified result is a batch
+    * aggregate over the landed table. */
   val t10ForeachBatchIngest: Q = (s, d) => t10Ingest(s, d)._1
 
   /** t10 internals; returns (result, landing dir) so tests can inspect the
@@ -290,8 +290,13 @@ object StreamingOps {
         round(col("value") * 100).cast("long").as("cents"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // overwrite ONLY this batch's partition: replayed batches rewrite
+        // themselves (idempotent); other batches' partitions are untouched
         batch.withColumn("_ingest_batch", lit(batchId))
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_ingest_batch")
+          .parquet(out)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

@@ -363,11 +363,17 @@ object TextOps {
         .join(neighborMin.select(col("da").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-      // lineage truncation every few rounds: each round nests another
-      // join in the plan, and a deep-diameter graph would otherwise grow
-      // an unplannable lineage (and re-derive all rounds on failure)
-      next = if (round % 3 == 0) next.localCheckpoint(eager = true)
-             else next.persist()
+      // Lineage truncation every few rounds: each round nests another join
+      // in the plan, and a deep-diameter graph would otherwise grow an
+      // unplannable lineage. A reliable checkpoint (recoverable on
+      // executor loss) is used when the context has a checkpoint dir; the
+      // local[*] fallback is localCheckpoint, which trades executor-loss
+      // recovery for zero setup — on a real cluster set
+      // sparkContext.setCheckpointDir and the loop upgrades itself.
+      next = if (round % 3 == 0) {
+        if (s.sparkContext.getCheckpointDir.isDefined) next.checkpoint(eager = true)
+        else next.localCheckpoint(eager = true)
+      } else next.persist()
       changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
         .where(col("component") =!= col("old")).count()
       labels.unpersist(blocking = false)

@@ -45,7 +45,12 @@ final case class PipelineSpec(steps: Seq[StepSpec]) {
         .map { case (alias, dep) => comp("i", alias, hash(dep)) }
       inStack -= id
       val paramSig = step.params.toSeq.sorted.map { case (k, v) => comp("p", k, v) }
-      val payload = (step.transform +: (paramSig ++ inputSig)).mkString("\u001f")
+      // the transform name gets the same length prefix as the other
+      // components: an unprefixed head would let a crafted transform name
+      // embedding the separator byte forge another step's payload
+      val payload =
+        (s"t${step.transform.length}:${step.transform}" +: (paramSig ++ inputSig))
+          .mkString("\u001f")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(16).map("%02x".format(_)).mkString

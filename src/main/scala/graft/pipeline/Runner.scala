@@ -290,6 +290,14 @@ final class Runner(
           case NonFatal(e) =>
             setStatus(step.id, imp, StepStatus.Failed)
             throw new RuntimeException(s"step ${step.id} failed", e)
+          case fatal: Throwable =>
+            // best-effort even on fatal errors (OOM, LinkageError): the
+            // admission map is process-global now, and a stranded Running
+            // entry would block this impression for EVERY runner until JVM
+            // restart — Failed is re-admittable
+            try setStatus(step.id, imp, StepStatus.Failed)
+            catch { case NonFatal(_) => () }
+            throw fatal
         } finally spark.sparkContext.clearJobGroup()
       }
       // else: the impression finished without materializing (purged but

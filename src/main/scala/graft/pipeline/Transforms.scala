@@ -65,12 +65,28 @@ final class RunListener extends SparkListener {
     if (group != null) {
       if (!submitted.containsKey(group)) {
         groupOrder.add(group)
-        while (submitted.size() > MaxGroups) {
+        // Evict oldest QUIESCENT groups (all submitted stages completed)
+        // past the cap. An in-flight group is rotated to the back, never
+        // evicted — dropping one would lose its completed-stage ids and
+        // make /status progress jump backwards mid-run. If every group is
+        // somehow active we accept temporary overage rather than corrupt
+        // live runs (the cap is a leak bound, not a hard limit).
+        var scans = groupOrder.size()
+        while (submitted.size() > MaxGroups && scans > 0) {
+          scans -= 1
           val oldest = groupOrder.poll()
           if (oldest != null) {
-            Option(submitted.remove(oldest)).foreach(
-              _.forEach(sid => stageGroup.remove(sid)))
-            completed.remove(oldest)
+            val sub = submitted.get(oldest)
+            val done = completed.get(oldest)
+            if (sub != null && done != null && done.containsAll(sub)) {
+              sub.forEach(sid => stageGroup.remove(sid))
+              submitted.remove(oldest)
+              completed.remove(oldest)
+            } else if (sub == null) {
+              completed.remove(oldest)
+            } else {
+              groupOrder.add(oldest) // still active: rotate, don't evict
+            }
           }
         }
       }

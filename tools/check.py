@@ -155,16 +155,26 @@ def main(sf_dir, out_dir):
             if len(gs) != len(ws):
                 bad.append((gs[0] if gs else None, ws[0] if ws else None))
                 continue
-            # greedy tolerant matching of float cells within the group
-            # (groups are almost always singletons)
-            for g_row in gs:
-                m = next((w for w in ws
-                          if all(cell_ok(x, y, i in float_cols)
-                                 for i, (x, y) in enumerate(zip(g_row, w)))), None)
-                if m is None:
-                    bad.append((g_row, ws[0] if ws else None))
-                else:
-                    ws.remove(m)
+            # Pair rows within the group sorted by their float values:
+            # insertion-order greedy can reject sets that have a valid
+            # tolerant matching, while sorted positional pairing is optimal
+            # for 1-D tolerances (it minimizes the max pairwise distance,
+            # so if any within-tolerance assignment exists, the sorted one
+            # is within tolerance too). Groups are almost always singletons.
+            def fkey(row):
+                out = []
+                for i in sorted(float_cols):
+                    v = row[i]
+                    try:
+                        out.append((0, float(v)))
+                    except (TypeError, ValueError):
+                        out.append((1, 0.0) if v is None else (2, 0.0))
+                return out
+            gs_s, ws_s = sorted(gs, key=fkey), sorted(ws, key=fkey)
+            for g_row, w_row in zip(gs_s, ws_s):
+                if not all(cell_ok(x, y, i in float_cols)
+                           for i, (x, y) in enumerate(zip(g_row, w_row))):
+                    bad.append((g_row, w_row))
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: got={bad[0][0]} want={bad[0][1]}")
             n_fail += 1
