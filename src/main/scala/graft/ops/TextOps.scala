@@ -335,55 +335,16 @@ object TextOps {
   /** L5e: near-dup CLUSTERING — connected components over the τ ≥ 0.3
     * Jaccard pair graph, the canonical post-near-dup step (a dedup policy
     * needs one canonical doc per duplicate GROUP, and near-dup is not
-    * transitive, so pairs alone under-delete).
-    *
-    * Algorithm: iterative hash-to-min label propagation — every doc starts
-    * labeled with its own id; each round every doc takes the min label in
-    * its neighborhood; converged when no label changes. Rounds are O(graph
-    * diameter) (near-dup components are shallow), each round one shuffle on
-    * doc_id — the standard large-scale connected-components loop, all
-    * DataFrame ops. Oracle: recursive-CTE transitive closure over the same
+    * transitive, so pairs alone under-delete). The CC loop itself is
+    * [[Graphs.connectedComponents]] (shared with the embedding-cosine
+    * dedup l6b). Oracle: recursive-CTE transitive closure over the same
     * edges (fine at fixture scale; the Spark loop is the 100 TB path). */
   val l5eDedupGroups: Q = (s, d) => {
     val pairs = l5JaccardPairs(s, d).select(col("da"), col("db"))
-    // undirected adjacency, both directions
-    val edges = pairs.unionByName(
-      pairs.select(col("db").as("da"), col("da").as("db"))).persist()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("component")).persist()
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      // neighbor minimum: for each doc, the smallest label among neighbors
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("db"), col("component").as("nc")), Seq("db"))
-        .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
-      var next = labels
-        .join(neighborMin.select(col("da").as("doc_id"), col("nmin")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-      // Lineage truncation every few rounds: each round nests another join
-      // in the plan, and a deep-diameter graph would otherwise grow an
-      // unplannable lineage. A reliable checkpoint (recoverable on
-      // executor loss) is used when the context has a checkpoint dir; the
-      // local[*] fallback is localCheckpoint, which trades executor-loss
-      // recovery for zero setup — on a real cluster set
-      // sparkContext.setCheckpointDir and the loop upgrades itself.
-      next = if (round % 3 == 0) {
-        if (s.sparkContext.getCheckpointDir.isDefined) next.checkpoint(eager = true)
-        else next.localCheckpoint(eager = true)
-      } else next.persist()
-      changed = next.join(labels.select(col("doc_id"), col("component").as("old")), Seq("doc_id"))
-        .where(col("component") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
-    }
-    edges.unpersist(blocking = false)
-    // the final labels STAY cached: their lineage is the whole iteration
-    // chain, and the caller's action would otherwise replay every round
-    labels.withColumn("is_canonical",
-      (col("doc_id") === col("component")).cast("boolean"))
+    val ids = Tables.documents(s, d).select(col("doc_id").as("id"))
+    Graphs.connectedComponents(ids, pairs)
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("boolean").as("is_canonical"))
   }
 
   /** L13: deterministic source-weighted mixing — the training-data "data

@@ -48,6 +48,23 @@ object VectorOps {
       .where(col("cos") > 0.2)
   }
 
+  /** L6b: embedding-cosine near-dup DEDUP — semantic duplicate groups:
+    * connected components ([[Graphs.connectedComponents]], shared with the
+    * shingle path l5e) over the cosine-similarity pair graph, one
+    * canonical vector per group. The θ here is calibrated to the fixture
+    * distribution (random-ish synthetic embeddings have no 0.95-cosine
+    * twins); a production semantic-dedup run sets θ ≈ 0.95 on real
+    * embeddings — the plan is identical, only the literal changes. */
+  val l6bEmbedDedup: Q = (s, d) => {
+    val theta = 0.35
+    val pairs = l6CosinePairs(s, d).where(col("cos") >= theta)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    Graphs.connectedComponents(ids, pairs)
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).cast("boolean").as("is_canonical"))
+  }
+
   /** L7: top-3 nearest neighbors per vector (brute force within label,
     * ranked by unrounded cosine with id tiebreak). */
   val l7KnnBruteForce: Q = (s, d) => {
@@ -220,12 +237,34 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,
+    "l6b_embed_dedup" -> l6bEmbedDedup,
     "l7_knn_brute" -> l7KnnBruteForce,
     "l7b_knn_lsh" -> l7bKnnLsh,
     "l7c_knn_ivf" -> l7cKnnIvf
   )
 
   val oracle: Map[String, String] = Map(
+    "l6b_embed_dedup" ->
+      """WITH RECURSIVE
+            e AS (SELECT vec_id, label, embedding,
+                  sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                        FROM (SELECT unnest(embedding) AS x))) AS nrm
+                FROM embeddings),
+            p AS (SELECT * FROM (
+                   SELECT a.vec_id AS da, b.vec_id AS db,
+                          round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                                 FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                                / (a.nrm * b.nrm), 6) AS cos
+                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+                  WHERE cos >= 0.35),
+            edges AS (SELECT da, db FROM p UNION SELECT db AS da, da AS db FROM p),
+            reach(a, b) AS (
+              SELECT vec_id AS a, vec_id AS b FROM embeddings
+              UNION
+              SELECT r.a, x.db AS b FROM reach r JOIN edges x ON r.b = x.da)
+         SELECT a AS vec_id, min(b) AS component,
+                a = min(b) AS is_canonical
+         FROM reach GROUP BY a""",
     "l6_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, label, embedding,
                 sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
