@@ -83,4 +83,30 @@ class PropertySpec extends SparkSpec {
       assert(got == want.toLong)
     }
   }
+
+  test("connectedComponents equals brute-force union-find on random graphs") {
+    import s.implicits._
+    // the shared CC engine under l5e/l6b, checked against a driver-side
+    // union-find on random graphs (chains force multiple hash-to-min
+    // rounds, so the convergence + lineage-truncation path is exercised)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val ids = (0L until n).toList
+      val edges = List.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // brute-force union-find
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.map(i => i -> find(i.toInt).toLong).toMap
+      val got = graft.ops.Graphs.connectedComponents(
+          ids.toDF("id"), edges.toDF("da", "db"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed=$seed: ${got.toSeq.diff(want.toSeq).take(5)}")
+    }
+  }
 }
