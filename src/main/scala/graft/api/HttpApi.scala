@@ -332,6 +332,29 @@ final class HttpApi(runner: Runner, port: Int = 0,
     }
   })
 
+  server.createContext("/workflows", (ex: HttpExchange) => {
+    // flat run listing (the reference's /workflows/<project>): id + state
+    import scala.jdk.CollectionConverters._
+    respond(ex, 200, JObject("workflows" -> JArray(
+      runs.asScala.toSeq.sortBy(_._1).map { case (id, st) =>
+        JObject("run_id" -> JString(id),
+          "workflow" -> JString(workflowStatus(st)))
+      }.toList)))
+  })
+
+  server.createContext("/dite-status", (ex: HttpExchange) => {
+    // server vitals (the reference's /dite-status health endpoint)
+    import scala.jdk.CollectionConverters._
+    val states = runs.asScala.values.map(workflowStatus).toSeq
+    respond(ex, 200, JObject(
+      "runs" -> JLong(runs.size().toLong),
+      "running" -> JLong(states.count(_ == "running").toLong),
+      "finished" -> JLong(states.count(_ == "finished").toLong),
+      "failed" -> JLong(states.count(_ == "failed").toLong),
+      "sources" -> JLong(runner.sources.size.toLong),
+      "profiles" -> JLong(graft.core.SessionProfiles.names.size.toLong)))
+  })
+
   // ---- catalog browse (A29–A30) ---------------------------------------
 
   server.createContext("/tree", (ex: HttpExchange) => {

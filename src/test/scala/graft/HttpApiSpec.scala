@@ -175,6 +175,11 @@ class HttpApiSpec extends SparkSpec {
       // vacuum deletes nothing while every impression is referenced
       assert(post(s"$base/vacuum")._2.contains("\"deleted\":[]"))
 
+      // run listing + server vitals
+      assert(get(s"$base/workflows")._2.contains(runId))
+      val vitals = get(s"$base/dite-status")._2
+      assert(vitals.contains("\"runs\":") && vitals.contains("\"sources\":1"), vitals)
+
       // the persisted physical plan (A12) is servable after a re-run
       awaitFinished(base, runIdOf(post(s"$base/run-step/$runId/agg")._2))
       val planBody = get(s"$base/plan/$runId/agg")._2
