@@ -21,7 +21,12 @@ object Bench {
     // first-shuffle jitter (single-run totals varied ±10% run to run).
     // A failed query reports -1, NOT its (near-zero) time-to-throw — a
     // regression must read as a failure, never as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=l5e_dedup_groups,l6b_embed_dedup — iterate on a
+    // subset locally; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -20,6 +20,9 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
+    // iterative ops (Graphs.connectedComponents) checkpoint per round when
+    // a checkpoint dir is set; delete those files once the RDD is GC'd
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // absolute PER-PROCESS warehouse path: saveAsTable (bucketed tables)
     // must not depend on the launcher's cwd being writable, and two JVMs
     // sharing one dir would delete each other's fixed-name tables

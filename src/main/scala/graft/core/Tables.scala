@@ -27,8 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Widen a scan whose split count under-parallelizes the session: a
+    * single small parquet file yields ONE scan partition, which serializes
+    * every CPU-heavy narrow transform downstream (tokenize/shingle/hash,
+    * vector math) onto one core — measured 4-10× on the l5 family at
+    * sf0.1. At production scale the scan has thousands of row-group splits
+    * (≥ cores) and this is the identity — no extra shuffle ever reaches a
+    * plan that is already parallel. */
+  private def widened(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, cores / 2)) df.repartition(cores)
+    else df
+  }
+
+  /** documents/embeddings feed CPU-bound per-row work (tokenization,
+    * shingling, vector ops) — widened; the TPC-H-ish relational tables
+    * feed shuffle-bound plans where the scan partitioning is irrelevant. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    widened(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    widened(s, load(s, d, "embeddings"))
 
   /** events.parquet may store `ts` as parquet TIMESTAMP(NANOS). Spark's
     * vectorized reader cannot represent nanos in TimestampType (micros);

@@ -8,16 +8,39 @@ import org.apache.spark.sql.functions._
   * an id universe and an undirected pair list, label each id with the
   * smallest id reachable from it.
   *
-  * Algorithm: iterative hash-to-min label propagation. Every id starts as
-  * its own label; each round every id takes the minimum label in its
-  * neighborhood; converged when no label changes. Rounds are O(graph
-  * diameter) (near-dup components are shallow), each round one shuffle on
-  * the id — the standard large-scale CC loop, all DataFrame ops. Lineage
-  * is truncated every third round: reliable checkpoint when the context
-  * has a checkpoint dir (executor-loss recovery at cluster scale),
-  * localCheckpoint as the zero-setup local fallback.
+  * Algorithm: iterative hash-to-min label propagation with a FRONTIER.
+  * Every id starts as its own label; each round, only vertices whose label
+  * changed last round broadcast their (new, strictly smaller) label into
+  * their neighborhood — sound because labels are monotone decreasing, so
+  * an unchanged neighbor's label was already min'd in the round after it
+  * last changed. Rounds are O(graph diameter) (near-dup components are
+  * shallow); each round is one shuffle on the id.
+  *
+  * Convergence detection is FREE: `next` carries the previous label as a
+  * column, so the changed-count is a filter over the already-materialized
+  * round result — no per-round re-join against the old labels (that join
+  * was 1 of the 2 joins per round in the first version of this engine).
+  *
+  * The loop runs over EDGE ENDPOINTS only, not the full id universe: in a
+  * dedup graph the vertices with at least one near-dup edge are a small
+  * fraction of the corpus (and stay so at 100 TB), so per-round shuffles
+  * are sized to the duplicate graph, not the dataset. Singletons are
+  * re-attached with `component = id` by one anti-join at the end.
+  *
+  * Memory/lineage, two postures:
+  *  - checkpoint dir set (cluster): persist each round, reliable
+  *    `checkpoint` every 3rd — recomputation after executor loss bottoms
+  *    out at files; the final round is checkpoint-backed and every
+  *    CacheManager entry is unpersisted before returning.
+  *  - no checkpoint dir (local / test): `localCheckpoint` each round —
+  *    blocks live outside the CacheManager, so the ContextCleaner reclaims
+  *    them once the caller drops the DataFrame (a CacheManager `persist`
+  *    of the final result would pin them for the JVM lifetime — the
+  *    round-2 leak).
   */
 object Graphs {
+
+  private val CheckpointEvery = 3
 
   /** @param ids   one column `id` — the full vertex universe (singletons
     *              keep their own id as component)
@@ -25,32 +48,77 @@ object Graphs {
     * @return columns `id`, `component` (= min reachable id) */
   def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val s = ids.sparkSession
+    val reliable = s.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame, round: Int): DataFrame =
+      if (!reliable) df.localCheckpoint(eager = true)
+      else if (round % CheckpointEvery == 0) df.checkpoint(eager = true)
+      else df.persist()
+
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     val edges = pairs.select(col("da"), col("db")).unionByName(
       pairs.select(col("db").as("da"), col("da").as("db"))).persist()
-    var labels = ids.select(col("id"), col("id").as("component")).persist()
-    var changed = 1L
-    var round = 0
+    // Round 1 fused with vertex discovery: initial labels are the ids
+    // themselves, so round 1's neighborhood-min over initial labels is just
+    // min(db) per da — ONE groupBy over the edge list, no join, no separate
+    // distinct — and its keyset IS the duplicate-graph vertex set (both
+    // edge directions are present, so `da` covers every endpoint).
+    var round = 1
+    var cached = truncate(
+      edges.groupBy(col("da")).agg(min(col("db")).as("nmin"))
+        .select(col("da").as("id"), col("da").as("prev"),
+          least(col("da"), col("nmin")).as("component")), round)
+    var labels = cached.select(col("id"), col("component"))
+    var frontier = cached.where(col("component") < col("prev"))
+      .select(col("id"), col("component"))
+    var changed = cached.where(col("component") < col("prev")).count()
+    if (debug) System.err.println(s"[cc] round=1 changed=$changed")
+    // The frontier's exact row count is known (it IS `changed`), so hint
+    // broadcast whenever it provably fits: the per-round edges⋈frontier
+    // join then probes the CACHED edge partitions in place — no exchange,
+    // no per-round sort of the edge list. Stats-blind planning can't do
+    // this itself (localCheckpoint-backed relations carry no sizeInBytes),
+    // and on a huge early-round frontier the hint is simply not applied —
+    // the plain shuffle join is the honest fallback at 100 TB.
+    val bcastBytes = s.sessionState.conf.autoBroadcastJoinThreshold
+    def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+      if (bcastBytes > 0 && rows * 64L < bcastBytes) broadcast(df) else df
     while (changed > 0) {
       round += 1
       val neighborMin = edges
-        .join(labels.select(col("id").as("db"), col("component").as("nc")), Seq("db"))
+        .join(maybeBroadcast(frontier, changed)
+          .select(col("id").as("db"), col("component").as("nc")), Seq("db"))
         .groupBy(col("da")).agg(min(col("nc")).as("nmin"))
-      var next = labels
-        .join(neighborMin.select(col("da").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-      next = if (round % 3 == 0) {
-        if (s.sparkContext.getCheckpointDir.isDefined) next.checkpoint(eager = true)
-        else next.localCheckpoint(eager = true)
-      } else next.persist()
-      changed = next.join(labels.select(col("id"), col("component").as("old")), Seq("id"))
-        .where(col("component") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val next = truncate(
+        labels
+          .join(neighborMin.select(col("da").as("id"), col("nmin")), Seq("id"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nmin"), col("component"))).as("component")),
+        round)
+      // labels are monotone decreasing: changed ⟺ strictly smaller
+      changed = next.where(col("component") < col("prev")).count()
+      if (debug) System.err.println(s"[cc] round=$round changed=$changed")
+      frontier = next.where(col("component") < col("prev"))
+        .select(col("id"), col("component"))
+      labels = next.select(col("id"), col("component"))
+      cached.unpersist(blocking = false)
+      cached = next
     }
+    if (reliable && round % CheckpointEvery != 0) {
+      // move the final round out of the CacheManager: checkpoint-backed
+      // result, nothing pinned after the caller drops the DataFrame
+      labels = labels.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+    }
+    // singletons (no edges) never entered the loop: component = own id.
+    // The anti-join is broadcast-or-shuffle on the SMALL duplicate-vertex
+    // set; labels has flat lineage (no iteration replay on the caller's
+    // action) and on the local path its localCheckpoint blocks are
+    // GC-reclaimed once the caller drops the DataFrame.
+    val out = labels.unionByName(
+      ids.select(col("id"))
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
     edges.unpersist(blocking = false)
-    // the final labels STAY cached: their lineage is the whole iteration
-    // chain, and the caller's action would otherwise replay every round
-    labels
+    out
   }
 }
