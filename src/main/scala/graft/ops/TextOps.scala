@@ -234,7 +234,20 @@ object TextOps {
     * sub-quadratic as the corpus grows (the round-1 scale concern).
     * Rows-only for the driver (hash not reproducible in the oracle);
     * completeness vs the exact O(n²) scan is asserted in ScalaTest. */
-  val l5cSimhash: Q = (s, d) => {
+  val l5cSimhash: Q = l5cSimhashCapped(None)
+
+  /** l5c core with the optional hot-bucket cap — same `left_semi` pattern
+    * as the l5 shingle-df cap and the l5b band cap: a boilerplate-heavy
+    * corpus (identical headers → identical byte-pairs) makes one 16-bit
+    * bucket quadratic; dropping buckets over the cap bounds every band
+    * self-join at cap². `None` is the declared EXACT mode (the completeness
+    * contract — pigeonhole over all 28 indexes — holds only there, and it
+    * keeps the exchange-free exactly-once emission). With a cap, a pair's
+    * first clean index may be a dropped bucket while a later one survives,
+    * so emission falls back to an explicit dedup over the (already capped,
+    * bounded) candidate set — the dedup exchange is the price of the cap,
+    * not of the default path. */
+  def l5cSimhashCapped(maxBucket: Option[Long]): Q = (s, d) => {
     // simhash: for each bit, sign(sum over distinct tokens of ±1). One pass:
     // explode distinct tokens, hash each ONCE, and take the 64 bit-votes as
     // 64 cheap bit-twiddle sums in a single grouped aggregation — instead of
@@ -258,11 +271,17 @@ object TextOps {
     def chunk(i: Int): Column =
       shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
     val chunkPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-    val banded = sim.select(
+    val banded0 = sim.select(
       col("doc_id"), col("simhash"),
       posexplode(array(chunkPairs.map { case (i, j) =>
         shiftleft(chunk(i), 8).bitwiseOR(chunk(j))
       }: _*)).as(Seq("band_idx", "band")))
+    val banded = maxBucket.fold(banded0) { cap =>
+      val keep = banded0.groupBy(col("band_idx"), col("band"))
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= cap).select(col("band_idx"), col("band"))
+      banded0.join(keep, Seq("band_idx", "band"), "left_semi")
+    }
     // Duplicate-free emission, no distinct: a near-identical pair collides
     // in up to 28 indexes, so deduping by shuffle would move ~28× the
     // qualifying pairs. Both hashes are in hand after the join, so each
@@ -276,15 +295,24 @@ object TextOps {
       case (((i, j), idx), acc) =>
         when(byteClean(i) && byteClean(j), lit(idx)).otherwise(acc)
     }
-    banded.select(col("band_idx"), col("band"),
+    val joined = banded.select(col("band_idx"), col("band"),
         col("doc_id").as("da"), col("simhash").as("ha"))
       .join(banded.select(col("band_idx"), col("band"),
         col("doc_id").as("db"), col("simhash").as("hb")),
         Seq("band_idx", "band"))
       .where(col("da") < col("db"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .where(col("hamming") <= 6 && col("band_idx") === firstCleanIdx)
-      .select(col("da"), col("db"), col("hamming"))
+    maxBucket match {
+      case None =>
+        joined.where(col("hamming") <= 6 && col("band_idx") === firstCleanIdx)
+          .select(col("da"), col("db"), col("hamming"))
+      case Some(_) =>
+        // capped: the first clean index may have been a dropped bucket, so
+        // exactly-once-by-construction doesn't apply — dedup the bounded
+        // candidate set instead
+        joined.where(col("hamming") <= 6)
+          .select(col("da"), col("db"), col("hamming")).distinct()
+    }
   }
 
   /** L8: per-language corpus stats. */

@@ -139,6 +139,56 @@ class ApproxOpsSpec extends SparkSpec {
       "da", "db") == uncapped)
   }
 
+  test("l5c hot-bucket cap bounds band buckets on a boilerplate corpus") {
+    // synthetic boilerplate corpus: many docs share their ENTIRE text
+    // except one trailing token, so their simhashes agree on most bytes and
+    // pile into the same byte-pair buckets — the quadratic corner the cap
+    // exists for. Plus unique filler docs that land in sparse buckets.
+    import spark.implicits._
+    val boiler = "terms of service copyright acme corp all rights reserved " +
+      "no warranty of any kind applies to this document whatsoever"
+    val docs = ((1 to 120).map { i =>
+      (i.toLong, s"$boiler v$i", "en", "web", 100L)
+    } ++ (200 to 260).map { i =>
+      (i.toLong, s"unique$i totally different body$i content$i tail$i end$i", "en", "web", 50L)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_skew").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cap = 20L
+    val capped = pairSet(TextOps.l5cSimhashCapped(Some(cap))(spark, dir), "da", "db")
+    val uncapped = pairSet(TextOps.l5cSimhashCapped(None)(spark, dir), "da", "db")
+    // candidates only shrink under the cap
+    assert(capped.subsetOf(uncapped), s"capped added pairs: ${(capped -- uncapped).take(3)}")
+    // the fixture really is skewed: some byte-pair bucket exceeds the cap
+    // uncapped, and the capped band table is bounded at cap everywhere
+    val tokens = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { bit =>
+      sum(shiftright(col("h"), bit).bitwiseAND(1)).as(s"s$bit")
+    }
+    val votes = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("n"), bitCols: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until 64).map { bit =>
+        when(col(s"s$bit") * 2 > col("n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    def chunk(i: Int): org.apache.spark.sql.Column =
+      shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
+    val cps = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val bands = sim.select(col("doc_id"), posexplode(array(cps.map { case (i, j) =>
+      shiftleft(chunk(i), 8).bitwiseOR(chunk(j))
+    }: _*)).as(Seq("band_idx", "band")))
+    val counts = bands.groupBy("band_idx", "band").count()
+    assert(counts.agg(max("count")).head().getLong(0) > cap,
+      "skew fixture should overflow at least one byte-pair bucket")
+    val cappedMax = counts.where(col("count") <= cap).agg(max("count")).head().getLong(0)
+    assert(cappedMax <= cap)
+    // fixture-scale parity: a cap above every bucket count changes nothing
+    assert(pairSet(TextOps.l5cSimhashCapped(Some(1000000L))(spark, sfDir), "da", "db")
+      == pairSet(TextOps.l5cSimhash(spark, sfDir), "da", "db"))
+  }
+
   test("l5c multi-index blocking shrinks bucket occupancy vs single-byte bands") {
     // the scale property behind the redesign: the 16-bit byte-pair indexes
     // spread the corpus over 2^16 buckets per index vs 2^8 for single-byte
