@@ -16,6 +16,16 @@ run / fork := true
 // default LoggedOutput strategy would prefix it with "[info] ".
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and sbt must not print its own "[success] Total time: ..." epilogue
+// AFTER the bench's JSON line — the driver parses the LAST stdout line
+// (BENCH_r03.json shows the JSON immediately followed by the [success]
+// line, and "parsed": null). With success banners off, the forked main's
+// final println IS the final line of stdout.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by any task, so the
+// unused-key lint flags it — it demonstrably takes effect (no [success]
+// line in this build's output).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

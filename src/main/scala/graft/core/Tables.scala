@@ -28,25 +28,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** Widen a scan whose split count under-parallelizes the session: a
-    * single small parquet file yields ONE scan partition, which serializes
-    * every CPU-heavy narrow transform downstream (tokenize/shingle/hash,
-    * vector math) onto one core — measured 4-10× on the l5 family at
-    * sf0.1. At production scale the scan has thousands of row-group splits
-    * (≥ cores) and this is the identity — no extra shuffle ever reaches a
-    * plan that is already parallel. */
+    * single small parquet file yields ONE scan partition (one row group —
+    * byte-range splitting can't help), which serializes every CPU-heavy
+    * narrow transform downstream (tokenize/shingle/hash) onto one core —
+    * measured 4-10× on the l5 family at sf0.1. At production scale the
+    * scan has thousands of row-group splits (≥ cores) and this is the
+    * identity — no extra shuffle ever reaches a plan that is already
+    * parallel.
+    *
+    * OPT-IN per operator, not applied at load: the repartition is a real
+    * shuffle, and round 3 showed it taxes every light query (+0.1 s each
+    * on l1/l2/l8/l10-l14/mm*) that reads these tables for one narrow pass.
+    * Only the shingle/minhash/simhash family does enough per-row CPU to
+    * amortize it — those call [[documentsWide]]. */
   private def widened(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, cores / 2)) df.repartition(cores)
     else df
   }
 
-  /** documents/embeddings feed CPU-bound per-row work (tokenization,
-    * shingling, vector ops) — widened; the TPC-H-ish relational tables
-    * feed shuffle-bound plans where the scan partitioning is irrelevant. */
-  def documents(s: SparkSession, d: String): DataFrame =
-    widened(s, load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    widened(s, load(s, d, "embeddings"))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** The CPU-amortized variant — l5-family (shingle/minhash/simhash) only. */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    widened(s, documents(s, d))
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** events.parquet may store `ts` as parquet TIMESTAMP(NANOS). Spark's
     * vectorized reader cannot represent nanos in TimestampType (micros);

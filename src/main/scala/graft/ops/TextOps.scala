@@ -23,8 +23,11 @@ object TextOps {
     * lambdas over `split(text)` inline would re-evaluate the split per array
     * element (interpreted path, no common-subexpression elimination) —
     * measured 9× slower at sf0.1. Everything downstream references `t`. */
-  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).withColumn("t", toks(col("text")))
+  private def tokenized(s: org.apache.spark.sql.SparkSession, d: String,
+      wide: Boolean = false): DataFrame = {
+    val docs = if (wide) Tables.documentsWide(s, d) else Tables.documents(s, d)
+    docs.withColumn("t", toks(col("text")))
+  }
 
   /** 3-word shingles (distinct per doc) over a MATERIALIZED token column.
     * Docs shorter than 3 tokens get their whole text as the single shingle. */
@@ -40,7 +43,7 @@ object TextOps {
   }
 
   private def shingleTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    tokenized(s, d)
+    tokenized(s, d, wide = true)
       .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
 
   /** L1: text normalization chain + md5 content fingerprint. */
@@ -146,7 +149,7 @@ object TextOps {
     * asserted in ScalaTest. */
   /** Docs with per-doc hashed-shingle arrays (shared by the minhash paths). */
   private def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    tokenized(s, d)
+    tokenized(s, d, wide = true)
       .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
 
@@ -252,7 +255,7 @@ object TextOps {
     // explode distinct tokens, hash each ONCE, and take the 64 bit-votes as
     // 64 cheap bit-twiddle sums in a single grouped aggregation — instead of
     // 64 aggregate() lambdas each re-hashing the whole token array.
-    val tokens = Tables.documents(s, d)
+    val tokens = Tables.documentsWide(s, d)
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // Branch-free bit votes: s_b = Σ bit_b(h) and n = token count give

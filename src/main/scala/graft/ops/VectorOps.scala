@@ -156,9 +156,16 @@ object VectorOps {
     // needs only the scalar dot(raw, centroid)/|raw| — no per-element
     // vector normalization (a transform-divide lambda would re-evaluate
     // the norm per element: the HOF-CSE pitfall).
+    // Materialized ONCE, eagerly: training collects (once per Lloyd
+    // iteration), the probe/index sides, and the ranking re-attach all read
+    // these blocks. Round 3 used persist() + an unpersist(blocking=false)
+    // after plan CONSTRUCTION — which evicted the cache before the caller
+    // ever executed the returned plan, so all four consumers recomputed the
+    // scan+norm (driver bench 0.54→2.52 s). localCheckpoint lives outside
+    // the CacheManager: the ContextCleaner reclaims the blocks when the
+    // caller drops the DataFrame, same posture as Graphs.connectedComponents.
     val base = e.select(col("vec_id"), col("label"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    base.persist() // consulted once per Lloyd iteration + once at the end
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
 
     def dots(cents: Array[Array[Double]]): Column =
       array(cents.map(c => dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
@@ -215,18 +222,16 @@ object VectorOps {
     val cand = queriesSide.join(indexSide, Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
       .select(col("ida"), col("idb")).distinct()
-    val va = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      norm(col("embedding")).as("na"))
-    val vb = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb"))
+    val va = base.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val vb = base.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    val out = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
-    base.unpersist(blocking = false) // the final plan recomputes the cheap scan
-    out
   }
 
   /** Trained coarse quantizers, keyed by source dir: the training is a
