@@ -45,19 +45,22 @@ object Cli {
       } finally spark.stop()
 
     case "serve" :: warehouse :: rest
-        if rest.lengthIs <= 1 && rest.forall(_.forall(_.isDigit)) =>
+        if rest.lengthIs <= 2 && rest.headOption.forall(_.forall(_.isDigit)) =>
       val port = rest.headOption.map(_.toInt).getOrElse(3315)
+      // loopback unless explicitly exposed: serve <wh> [port] [bindHost]
+      val host = rest.drop(1).headOption.getOrElse("127.0.0.1")
       val spark = Sessions.local()
       val runner = new Runner(spark, Transforms.standard(), warehouse)
       val api = new HttpApi(runner, port,
-        Some(s => new Runner(s, Transforms.standard(), warehouse))).start()
-      println(s"graft serving on port ${api.boundPort} (warehouse: $warehouse)")
+        Some(s => new Runner(s, Transforms.standard(), warehouse)),
+        bindHost = host).start()
+      println(s"graft serving on $host:${api.boundPort} (warehouse: $warehouse)")
       Thread.currentThread().join() // serve until killed
 
     case _ =>
       System.err.println(
         """usage: graft.api.Cli run <spec.json> <warehouse>
-          |       graft.api.Cli serve <warehouse> [port]
+          |       graft.api.Cli serve <warehouse> [port] [bindHost]
           |       graft.api.Cli ingest <warehouse> <name> <path> [format]
           |       graft.api.Cli sources <warehouse>""".stripMargin)
       sys.exit(2)

@@ -39,9 +39,18 @@ import graft.pipeline._
   *   - `POST /ingest` `{name,path,format?,options?}` — register an external
   *     dataset as a named source impression (A1, `upload.py:16-36`);
   *     `GET /sources` lists them
+  *   - `POST /upload?name=<src>[&format=f]` (body = tar/tar.gz bytes) —
+  *     byte-level ingest: extract into warehouse staging, register as a
+  *     source (A1's transport, `upload.py:16-36`)
+  *   - `GET  /collect-all/<run>/<step>`    — cross-runner collect dispatch
+  *     (A24, `kernel/impression_storage.py:21-75`): finished runners
+  *     contribute results, failed ones logs
   *   - `GET  /tree`                        — project catalog: sources +
   *     every run's steps with materialization state (A29–A30,
   *     `status.py:318-447`)
+  *   - `POST /tree` `{project,manifest,docs?}` — bookkeep write/sync (A30,
+  *     `status.py:396-447`): wipe + rewrite the project's catalog tree;
+  *     `GET /tree/<project>[/<doc>]` reads it back
   *   - `POST /register-runner`, `GET /runners`, `GET
   *     /runner-connection/<name>`, `POST /remove-runner/<name>` — session
   *     profile registry (A31, `runner.py:12-136`)
@@ -64,7 +73,8 @@ import graft.pipeline._
   * runner metadata, matching the reference's driver-side-only server role.
   */
 final class HttpApi(runner: Runner, port: Int = 0,
-    runnerFactory: Option[org.apache.spark.sql.SparkSession => Runner] = None) {
+    runnerFactory: Option[org.apache.spark.sql.SparkSession => Runner] = None,
+    bindHost: String = "127.0.0.1") {
   private implicit val formats: Formats = DefaultFormats
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(Executors.newFixedThreadPool(4))
@@ -86,7 +96,12 @@ final class HttpApi(runner: Runner, port: Int = 0,
         _ => mk(graft.core.SessionProfiles.sessionFor(name)))
   }
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // LOOPBACK by default: /ingest registers any server-readable path and
+  // /export//preview then serve its contents — on a wildcard bind that is
+  // an unauthenticated arbitrary-file-read primitive for the whole network
+  // segment. Exposing beyond localhost is an explicit operator decision
+  // (`bindHost = "0.0.0.0"`), not a default.
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
   server.setExecutor(Executors.newFixedThreadPool(8))
 
   // push-based stage progress for /status (reference polled .done markers)
@@ -181,6 +196,42 @@ final class HttpApi(runner: Runner, port: Int = 0,
       case _ => None
     }
 
+  /** Every live runner (default + resolved profiles), name-keyed — the
+    * registry the cross-runner dispatch sweeps (A24). */
+  private def storage: ImpressionStorage = {
+    import scala.jdk.CollectionConverters._
+    new ImpressionStorage(
+      ("default" -> runner) +: profileRunners.asScala.toSeq.sortBy(_._1))
+  }
+
+  server.createContext("/collect-all/", (ex: HttpExchange) => {
+    // cross-runner collect dispatch (A24, the reference's
+    // `ImpressionStorage.collect`, impression_storage.py:39-47): sweep
+    // EVERY registered runner, dispatching on each runner's own status —
+    // finished → results manifest, failed → the durable log record
+    resolve(ex.getRequestURI.getPath, "/collect-all/") match {
+      case None => notFound(ex)
+      case Some((st, stepId)) =>
+        val dispatches = storage.collect(st.spec, stepId).map { d =>
+          JObject(
+            "runner" -> JString(d.runner),
+            "status" -> JString(d.status.name),
+            "action" -> JString(d.action),
+            "artifact" -> d.artifact.map(a => JObject(
+              "path" -> JString(a.path), "rows" -> JLong(a.rows),
+              "schema" -> JString(a.schemaDDL))).getOrElse(JNull),
+            "log" -> d.record.map(r => JObject(
+              "started_at" -> r.startedAt.map(JLong(_)).getOrElse(JNull),
+              "finished_at" -> r.finishedAt.map(JLong(_)).getOrElse(JNull),
+              "duration_ms" -> r.durationMs.map(JLong(_)).getOrElse(JNull))).getOrElse(JNull))
+        }
+        respond(ex, 200, JObject(
+          "step" -> JString(stepId),
+          "info" -> JString(storage.getInfo(st.spec, stepId)),
+          "dispatches" -> JArray(dispatches.toList)))
+    }
+  })
+
   server.createContext("/collect/", (ex: HttpExchange) => {
     resolve(ex.getRequestURI.getPath, "/collect/")
       .flatMap { case (st, stepId) => st.runner.collect(st.spec, stepId) } match {
@@ -208,7 +259,10 @@ final class HttpApi(runner: Runner, port: Int = 0,
     Option(runs.get(runId)) match {
       case None => notFound(ex)
       case Some(st) =>
-        st.spec.steps.foreach(s => st.runner.kill(st.spec, s.id))
+        // cross-runner kill (impression_storage.py:33-37): cancel on EVERY
+        // registered runner, not only the one that submitted the run —
+        // each cancels its own session's job group for the impression
+        st.spec.steps.foreach(s => storage.kill(st.spec, s.id))
         respond(ex, 200, JObject("killed" -> JString(runId)))
     }
   })
@@ -232,6 +286,74 @@ final class HttpApi(runner: Runner, port: Int = 0,
         "name" -> JString(ref.name), "impression" -> JString(ref.impression),
         "path" -> JString(ref.path), "format" -> JString(ref.format),
         "schema" -> JString(ref.schemaDDL)))
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
+    }
+  })
+
+  /** Query-string params of an exchange (`?name=x&format=y`). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
+  /** Extract a tar / tar.gz payload into `target`, traversal-guarded.
+    * Returns the number of regular files written. */
+  private def extractTar(bytes: Array[Byte], target: java.nio.file.Path): Int = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    // the reference opens mode "r:*" (sniff the compression); we sniff the
+    // gzip magic — plain tar otherwise
+    val in: java.io.InputStream =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new java.util.zip.GZIPInputStream(raw)
+      else raw
+    val tar = new TarArchiveInputStream(in)
+    try {
+      var written = 0
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        // normalize-then-containment: "../../etc/x" must be refused, not
+        // extracted (the classic tar-slip the reference's extractall had)
+        val dest = target.resolve(entry.getName).normalize()
+        require(dest.startsWith(target), s"archive entry escapes target: ${entry.getName}")
+        if (entry.isDirectory) java.nio.file.Files.createDirectories(dest)
+        else {
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.copy(tar, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          written += 1
+        }
+        entry = tar.getNextEntry
+      }
+      written
+    } finally tar.close()
+  }
+
+  server.createContext("/upload", (ex: HttpExchange) => {
+    // Byte-level ingest (A1's actual transport,
+    // `/root/reference/Yuki/server/routes/upload.py:16-36`): the request
+    // BODY is a tar or tar.gz archive; the server materializes it into the
+    // warehouse's upload staging area and registers the extracted dir as a
+    // named source impression via the existing /ingest machinery — no
+    // pre-staged server-side files needed.
+    //   POST /upload?name=<source>[&format=parquet|csv|json|text]
+    try {
+      val params = queryParams(ex)
+      val name = params.getOrElse("name", sys.error("missing ?name= parameter"))
+      val format = params.getOrElse("format", "parquet")
+      val bytes = ex.getRequestBody.readAllBytes()
+      val target = runner.uploadTarget(name)
+      val files = extractTar(bytes, target)
+      require(files > 0, "archive contained no files")
+      val ref = runner.ingest(name, target.toString, format)
+      respond(ex, 201, JObject(
+        "name" -> JString(ref.name), "impression" -> JString(ref.impression),
+        "path" -> JString(ref.path), "format" -> JString(ref.format),
+        "files" -> JLong(files.toLong), "schema" -> JString(ref.schemaDDL)))
     } catch {
       case e: Exception =>
         respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
@@ -358,6 +480,66 @@ final class HttpApi(runner: Runner, port: Int = 0,
   // ---- catalog browse (A29–A30) ---------------------------------------
 
   server.createContext("/tree", (ex: HttpExchange) => {
+    (ex.getRequestMethod, ex.getRequestURI.getPath.stripPrefix("/tree")
+        .stripPrefix("/").split("/", 2).filter(_.nonEmpty)) match {
+      case ("POST", Array()) => treeWrite(ex)
+      case ("GET", Array()) => treeCatalog(ex)
+      case ("GET", Array(project)) => treeProject(ex, project)
+      case ("GET", Array(project, doc)) => treeDoc(ex, project, doc)
+      case _ => notFound(ex)
+    }
+  })
+
+  /** Bookkeep write/sync (A30, the reference's `/bookkeeping` route,
+    * `/root/reference/Yuki/server/routes/status.py:396-447`): wipe and
+    * rewrite the project's catalog tree from the posted manifest + docs.
+    * Body: `{"project": id, "manifest": {...}, "docs": {relpath: content}}`. */
+  private def treeWrite(ex: HttpExchange): Unit = {
+    try {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val j = JsonMethods.parse(body)
+      val project = j \ "project" match {
+        case JString(p) => p
+        case _ => sys.error("missing project")
+      }
+      val manifest = j \ "manifest" match {
+        case JNothing => sys.error("missing manifest")
+        case m => JsonMethods.compact(JsonMethods.render(m))
+      }
+      val docs = j \ "docs" match {
+        case o: JObject => o.extract[Map[String, String]]
+        case _ => Map.empty[String, String]
+      }
+      val root = runner.bookkeepWrite(project, manifest, docs)
+      respond(ex, 200, JObject(
+        "status" -> JString("success"),
+        "project" -> JString(project),
+        "docs" -> JLong(docs.size.toLong),
+        "path" -> JString(root.toString)))
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))
+    }
+  }
+
+  private def treeProject(ex: HttpExchange, project: String): Unit =
+    runner.bookkeepRead(project) match {
+      case None => notFound(ex)
+      case Some((manifest, docs)) => respond(ex, 200, JObject(
+        "project" -> JString(project),
+        "manifest" -> JsonMethods.parse(manifest),
+        "docs" -> JArray(docs.map(JString(_)).toList)))
+    }
+
+  private def treeDoc(ex: HttpExchange, project: String, doc: String): Unit =
+    runner.bookkeepDoc(project, doc) match {
+      case None => notFound(ex)
+      case Some(content) => respond(ex, 200, JObject(
+        "project" -> JString(project), "doc" -> JString(doc),
+        "content" -> JString(content)))
+    }
+
+  private def treeCatalog(ex: HttpExchange): Unit = {
     import scala.jdk.CollectionConverters._
     val runNodes = runs.asScala.toSeq.sortBy(_._1).map { case (runId, st) =>
       JObject(
@@ -382,8 +564,9 @@ final class HttpApi(runner: Runner, port: Int = 0,
       "path" -> JString(r.path), "format" -> JString(r.format)))
     respond(ex, 200, JObject(
       "sources" -> JArray(sourceNodes.toList),
-      "runs" -> JArray(runNodes.toList)))
-  })
+      "runs" -> JArray(runNodes.toList),
+      "bookkeep" -> JArray(runner.bookkeepProjects.map(JString(_)).toList)))
+  }
 
   server.createContext("/impression-status/", (ex: HttpExchange) => {
     // status by raw impression id — the reference's content-addressed

@@ -473,6 +473,82 @@ final class Runner(
     if (Files.isRegularFile(p)) Some(p) else None
   }
 
+  // ---- upload staging (A1 byte path) + bookkeep (A30) ------------------
+
+  /** Safe relative path: every segment a plain filename, no traversal. */
+  private def safeRel(rel: String): Boolean =
+    rel.nonEmpty && rel.split("/").forall(seg =>
+      seg.matches("[A-Za-z0-9_.=-]+") && seg != ".." && seg != ".")
+
+  /** Fresh staging dir for a byte-level upload (the reference's
+    * `config.storage_path/<project>/<tarname>` target,
+    * `/root/reference/Yuki/server/routes/upload.py:21-25`): wiped first so
+    * a re-upload replaces, never merges with, the previous payload. The
+    * HTTP layer extracts archive bytes here, then registers the dir via
+    * [[ingest]] — which fingerprints the fresh files into a NEW impression. */
+  def uploadTarget(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid upload name '$name'")
+    val dir = Paths.get(warehouse, "_uploads", name)
+    deleteRecursively(dir)
+    Files.createDirectories(dir)
+    dir
+  }
+
+  private val bookkeepDir = Paths.get(warehouse, "_bookkeep")
+
+  /** Bookkeep write/sync (A30) — the reference's `/bookkeeping` route
+    * (`/root/reference/Yuki/server/routes/status.py:396-447`): wipe the
+    * project's bookkeep tree, write the manifest verbatim as
+    * `manifest.json`, then materialize each transmitted doc at its
+    * relative path. Returns the project root. */
+  def bookkeepWrite(project: String, manifestJson: String,
+      docs: Map[String, String]): Path = {
+    require(project.matches("[A-Za-z0-9_.-]+"), s"invalid project '$project'")
+    docs.keys.foreach(rel =>
+      require(safeRel(rel), s"invalid doc path '$rel'"))
+    val root = bookkeepDir.resolve(project)
+    deleteRecursively(root) // clean-first, like the reference's rmtree
+    Files.createDirectories(root)
+    Files.writeString(root.resolve("manifest.json"), manifestJson)
+    docs.foreach { case (rel, content) =>
+      val target = root.resolve(rel)
+      Files.createDirectories(target.getParent)
+      Files.writeString(target, content)
+    }
+    root
+  }
+
+  /** Read side of the bookkeep tree: manifest + sorted doc paths. */
+  def bookkeepRead(project: String): Option[(String, Seq[String])] = {
+    if (!project.matches("[A-Za-z0-9_.-]+")) return None
+    val root = bookkeepDir.resolve(project)
+    val mf = root.resolve("manifest.json")
+    if (!Files.isRegularFile(mf)) return None
+    val walk = Files.walk(root)
+    val docs =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p != mf)
+        .map(p => root.relativize(p).toString).toSeq.sorted
+      finally walk.close()
+    Some((Files.readString(mf), docs))
+  }
+
+  /** One bookkept doc's content, traversal-guarded. */
+  def bookkeepDoc(project: String, rel: String): Option[String] = {
+    if (!project.matches("[A-Za-z0-9_.-]+") || !safeRel(rel)) return None
+    val p = bookkeepDir.resolve(project).resolve(rel)
+    if (Files.isRegularFile(p)) Some(Files.readString(p)) else None
+  }
+
+  def bookkeepProjects: Seq[String] = {
+    if (!Files.isDirectory(bookkeepDir)) return Seq.empty
+    val listing = Files.list(bookkeepDir)
+    try listing.iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally listing.close()
+  }
+
   /** Retention sweep — the reference's homekeep GC
     * (`/root/reference/Yuki/kernel/reana_workflow.py:386-425`): delete any
     * warehouse impression dir not referenced by the given specs (old runs

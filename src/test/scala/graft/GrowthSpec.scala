@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.TextOps
+
+/** Scale-growth regression net for the quadratic-RISK family: the near-dup
+  * operators are all bucketed (inverted-index / LSH-band / byte-pair
+  * multi-index self-joins) precisely so that corpus growth does NOT square
+  * the work. A future edit that accidentally reintroduces an unblocked
+  * pair join (the O(n²) failure mode) passes every fixed-size correctness
+  * test and only shows up as super-linear wall-time growth — this spec is
+  * the guard for exactly that.
+  *
+  * Method: run each operator on the sf0.01 corpus (500 docs) and the
+  * sf0.1 corpus (5,000 docs) — 10× the rows, so a quadratic plan costs
+  * ~100× — and assert the wall-time ratio stays far below quadratic. The
+  * bound (25×) is loose on purpose: it tolerates machine-load noise and
+  * fixed per-job overheads while still catching any O(n²) regression by an
+  * order of magnitude (an unblocked 5,000-doc cross join also blows past
+  * it on absolute time). A denominator floor keeps sub-100ms small-corpus
+  * runs from turning scheduler jitter into a ratio.
+  */
+class GrowthSpec extends SparkSpec {
+  private val small = "/root/testdata/sf0.01"
+  private val large = "/root/testdata/sf0.1"
+
+  private def secs(work: => Unit): Double = {
+    val t0 = System.nanoTime()
+    work
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  for ((name, q) <- Seq(
+      "l5_jaccard_pairs" -> TextOps.l5JaccardPairs,
+      "l5b_minhash_lsh" -> TextOps.l5bMinhashLsh,
+      "l5c_simhash" -> TextOps.l5cSimhash)) {
+    test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
+      q(spark, small).count() // warm-up: codegen + first-shuffle costs
+      val tSmall = math.max(secs(q(spark, small).count()), 0.25)
+      val tLarge = secs(q(spark, large).count())
+      val ratio = tLarge / tSmall
+      info(f"$name: ${tSmall}%.2fs -> ${tLarge}%.2fs at 10x rows (${ratio}%.1fx)")
+      assert(ratio < 25.0,
+        f"$name grew ${ratio}%.1fx on 10x rows — quadratic-risk regression " +
+          "(a bucketed plan should stay near-linear; ~100x means an unblocked pair join)")
+    }
+  }
+}

@@ -279,4 +279,158 @@ class HttpApiSpec extends SparkSpec {
       assert(post(s"$base/run", "{bad json")._1 == 400)
     } finally api.stop()
   }
+
+  private def postBytes(url: String, body: Array[Byte]): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  /** In-memory tar.gz of (name -> content) text entries. */
+  private def tarGz(entries: (String, String)*): Array[Byte] = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val tar = new TarArchiveOutputStream(new java.util.zip.GZIPOutputStream(bos))
+    entries.foreach { case (name, content) =>
+      val b = content.getBytes("UTF-8")
+      val e = new TarArchiveEntry(name)
+      e.setSize(b.length.toLong)
+      tar.putArchiveEntry(e)
+      tar.write(b)
+      tar.closeArchiveEntry()
+    }
+    tar.close()
+    bos.toByteArray
+  }
+
+  test("byte-level upload -> run -> export without pre-staged files (A1)") {
+    val wh = Files.createTempDirectory("graft_api_wh5").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      // the ONLY bytes the server ever sees arrive over HTTP — nothing is
+      // staged on its filesystem beforehand (the round-2/3 gap: /ingest
+      // required a server-readable path)
+      val archive = tarGz(
+        "part1.csv" -> "k,v\n1,alpha\n2,beta\n",
+        "part2.csv" -> "k,v\n3,gamma\n")
+      val (uc, upBody) = postBytes(s"$base/upload?name=up1&format=csv", archive)
+      assert(uc == 201 && upBody.contains("\"files\":2"), upBody)
+      assert(get(s"$base/sources")._2.contains("\"up1\""))
+
+      val spec = """{
+        "steps": [
+          {"id": "ext", "transform": "ingested", "params": {"name": "up1"}},
+          {"id": "agg", "transform": "sql", "inputs": {"t": "ext"},
+           "params": {"sql": "SELECT count(*) AS n, min(v) AS first_v FROM t"}}
+        ], "roots": ["agg"]}"""
+      val runId = runIdOf(post(s"$base/run", spec)._2)
+      awaitFinished(base, runId)
+      assert(get(s"$base/collect/$runId/agg")._2.contains("\"rows\":1"))
+      assert(get(s"$base/preview/$runId/agg")._2.contains("3"), "count over 3 uploaded rows")
+      val listing = get(s"$base/export/$runId/agg")._2
+      assert(listing.contains("part-"), listing)
+
+      // cross-runner collect dispatch over the live registry (A24): the
+      // single finished runner contributes a results manifest
+      val sweep = get(s"$base/collect-all/$runId/agg")._2
+      assert(sweep.contains("\"action\":\"results\"")
+        && sweep.contains("\"runner\":\"default\"")
+        && sweep.contains("\"rows\":1"), sweep)
+      assert(get(s"$base/collect-all/$runId/typo")._1 == 404)
+
+      // re-upload with NEW content replaces, never merges: one file now,
+      // and a fresh impression (content fingerprint changed)
+      val imp1 = "\"impression\"\\s*:\\s*\"([0-9a-f]+)\"".r
+        .findFirstMatchIn(upBody).get.group(1)
+      val (uc2, upBody2) = postBytes(s"$base/upload?name=up1&format=csv",
+        tarGz("only.csv" -> "k,v\n9,delta\n"))
+      assert(uc2 == 201 && upBody2.contains("\"files\":1"), upBody2)
+      val imp2 = "\"impression\"\\s*:\\s*\"([0-9a-f]+)\"".r
+        .findFirstMatchIn(upBody2).get.group(1)
+      assert(imp1 != imp2, "re-upload with changed bytes must mint a new impression")
+
+      // tar-slip is refused, not extracted
+      val (tc, tbody) = postBytes(s"$base/upload?name=evil",
+        tarGz("../escape.txt" -> "x"))
+      assert(tc == 400 && tbody.contains("escapes"), tbody)
+      // an empty archive is an error, not an empty source
+      assert(postBytes(s"$base/upload?name=empty", tarGz())._1 == 400)
+      assert(postBytes(s"$base/upload", tarGz("a.csv" -> "k\n1\n"))._1 == 400)
+    } finally api.stop()
+  }
+
+  test("bookkeep write/sync round-trip: POST /tree rewrites, GET reads back (A30)") {
+    val wh = Files.createTempDirectory("graft_api_wh6").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      val (c1, b1) = post(s"$base/tree",
+        """{"project": "proj1",
+            "manifest": {"title": "first", "steps": ["a", "b"]},
+            "docs": {"README.md": "hello bookkeep",
+                     "sub/notes.txt": "nested doc"}}""")
+      assert(c1 == 200 && b1.contains("success") && b1.contains("\"docs\":2"), b1)
+
+      // read back: project view, nested doc content, catalog listing
+      val proj = get(s"$base/tree/proj1")._2
+      assert(proj.contains("\"title\":\"first\"")
+        && proj.contains("README.md") && proj.contains("sub/notes.txt"), proj)
+      assert(get(s"$base/tree/proj1/README.md")._2.contains("hello bookkeep"))
+      assert(get(s"$base/tree/proj1/sub/notes.txt")._2.contains("nested doc"))
+      assert(get(s"$base/tree")._2.contains("\"bookkeep\":[\"proj1\"]"))
+
+      // sync is wipe-and-rewrite (the reference rmtree's first): docs from
+      // the first manifest must NOT survive the second
+      val (c2, _) = post(s"$base/tree",
+        """{"project": "proj1", "manifest": {"title": "second"},
+            "docs": {"ONLY.md": "fresh"}}""")
+      assert(c2 == 200)
+      assert(get(s"$base/tree/proj1/README.md")._1 == 404)
+      assert(get(s"$base/tree/proj1/ONLY.md")._2.contains("fresh"))
+      assert(get(s"$base/tree/proj1")._2.contains("\"title\":\"second\""))
+
+      // guards: traversal in doc paths, missing manifest, unknown project
+      assert(post(s"$base/tree",
+        """{"project": "p2", "manifest": {}, "docs": {"../evil": "x"}}""")._1 == 400)
+      assert(post(s"$base/tree", """{"project": "p3"}""")._1 == 400)
+      assert(get(s"$base/tree/ghost")._1 == 404)
+    } finally api.stop()
+  }
+
+  test("cross-runner collect dispatch: finished -> results, failed -> logs (A24)") {
+    import graft.pipeline.{ImpressionStorage, PipelineSpec, StepSpec, StepStatus}
+    // two runner profiles over SEPARATE warehouses (the reference's
+    // per-machine job dirs): the same step finished on one and failed on
+    // the other; one sweep dispatches each by its own status
+    val ra = new Runner(spark, Transforms.standard(),
+      Files.createTempDirectory("graft_is_a").toString)
+    val rb = new Runner(spark, Transforms.standard(),
+      Files.createTempDirectory("graft_is_b").toString)
+    val spec = PipelineSpec(Seq(StepSpec("load", "source",
+      params = Map("dir" -> sfDir, "table" -> "region"))))
+    ra.execute(spec, Seq("load")) // finished on runner A
+    rb.kill(spec, "load")         // failed on runner B
+    val storage = new ImpressionStorage(Seq("alpha" -> ra, "beta" -> rb))
+
+    val byName = storage.collect(spec, "load").map(d => d.runner -> d).toMap
+    assert(byName("alpha").action == "results"
+      && byName("alpha").artifact.exists(_.rows == 5L), byName("alpha").toString)
+    assert(byName("beta").action == "logs"
+      && byName("beta").artifact.isEmpty
+      && byName("beta").record.isDefined, byName("beta").toString)
+
+    // outputs-only narrows to finished; logs covers both terminal states
+    assert(storage.collectOutputs(spec, "load").map(_.runner) == Seq("alpha"))
+    assert(storage.collectLogs(spec, "load").map(_.runner).sorted == Seq("alpha", "beta"))
+    assert(storage.getInfo(spec, "load").startsWith("alpha "))
+
+    // kill sweeps EVERY runner, but the sticky-terminal machine holds:
+    // alpha's FINISHED output stays finished (nothing in flight to kill),
+    // beta stays failed — no runner's valid materialization is demoted
+    storage.kill(spec, "load")
+    assert(ra.statusOf(spec, "load") == StepStatus.Finished)
+    assert(rb.statusOf(spec, "load") == StepStatus.Failed)
+  }
 }
