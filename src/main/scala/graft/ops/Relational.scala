@@ -326,12 +326,16 @@ object Relational {
     val buckets = 8
     val wh = s.conf.get("spark.sql.warehouse.dir")
     // The fixed-name tables hold ONE source dir's data at a time: rebuild
-    // whenever this catalog's tables were built from a different dir — or
-    // when the catalog doesn't actually have them (a restarted
-    // SparkContext reusing the same warehouse dir starts with an empty
-    // in-memory catalog; the cache alone would then skip the build and the
-    // join would fail TABLE_OR_VIEW_NOT_FOUND).
-    def cached: Boolean = bucketedFor.get(wh).contains(d) &&
+    // whenever this catalog's tables were built from a different dir, from
+    // the same dir whose FILES have since changed (the content fingerprint
+    // in the key — stale bucketed data must not be served after an
+    // in-place mutation), or when the catalog doesn't actually have them
+    // (a restarted SparkContext reusing the same warehouse dir starts with
+    // an empty in-memory catalog; the cache alone would then skip the
+    // build and the join would fail TABLE_OR_VIEW_NOT_FOUND).
+    val srcKey = s"$d#${graft.core.Fingerprint.of(Tables.path(d, "lineitem"))}" +
+      s"#${graft.core.Fingerprint.of(Tables.path(d, "orders"))}"
+    def cached: Boolean = bucketedFor.get(wh).contains(srcKey) &&
       s.catalog.tableExists("graft_bkt_lineitem") &&
       s.catalog.tableExists("graft_bkt_orders")
     if (!cached) bucketedFor.synchronized {
@@ -361,7 +365,7 @@ object Relational {
         .write.mode("overwrite")
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_bkt_orders")
-      bucketedFor.put(wh, d)
+      bucketedFor.put(wh, srcKey)
       }
     }
     val li = s.table("graft_bkt_lineitem")

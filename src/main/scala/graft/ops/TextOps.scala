@@ -147,11 +147,22 @@ object TextOps {
     * candidates, which are then exact-verified at τ = 0.3. Declared
     * rows-only (DuckDB cannot reproduce xxhash64); candidate ⊆ l5 output is
     * asserted in ScalaTest. */
-  /** Docs with per-doc hashed-shingle arrays (shared by the minhash paths). */
+  /** Docs with per-doc hashed-shingle arrays (shared by the minhash paths).
+    *
+    * MATERIALIZED once per invocation (eager localCheckpoint): the frame
+    * feeds the signature computation AND both sides of the candidate
+    * verification join, and without the checkpoint each consumer re-runs
+    * tokenize→shingle→hash over the corpus — the CPU-dominant stage, three
+    * times. What's materialized is (doc_id, hs) — 8 bytes per shingle, the
+    * signature index a 100 TB dedup run builds once anyway, never the text.
+    * (The l5 inverted-index path deliberately does NOT persist its exploded
+    * shingle table: that one is shuffle-bound, and the barrier was measured
+    * slower; this one is compute-bound and wins.) */
   private def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     tokenized(s, d, wide = true)
       .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
+      .localCheckpoint(eager = true)
 
   /** LSH banding + exact candidate verification, given per-doc signatures.
     * Candidates collide in any band; the few survivors are exactly verified
@@ -266,11 +277,20 @@ object TextOps {
     }
     val votes = tokens.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitCols: _*)
+    // MATERIALIZED once (eager localCheckpoint): both self-join sides read
+    // the (doc_id, simhash) sketch — 16 bytes per doc. ReuseExchange does
+    // NOT cover this: AQE turns the band self-join into a BROADCAST join
+    // (the banded sketch is small), and a broadcast build side has no
+    // exchange to reuse — the plan dump showed the tokenize→explode→
+    // 64-bit-vote aggregation, the CPU-dominant stage, duplicated into
+    // both sides. Same posture as the minhash signature index: sketches
+    // are built once, probed many times.
     val sim = votes.select(
       col("doc_id"),
       (0 until 64).map { bit =>
         when(col(s"s$bit") * 2 > col("n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
       }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+      .localCheckpoint(eager = true)
     def chunk(i: Int): Column =
       shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
     val chunkPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)

@@ -399,19 +399,10 @@ final class Runner(
   }
 
   /** Fingerprint of a source dir without scanning data: file names, sizes
-    * and mtimes. Changing, adding or touching any part file changes the
-    * source impression — the metadata-cost analogue of content hashing. */
-  private def contentFingerprint(p: Path): String = {
-    if (!Files.exists(p)) return "absent"
-    val walk = Files.walk(p)
-    try {
-      val entries = walk.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(f => s"${p.relativize(f)}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-        .toSeq.sorted
-      sha16(entries.mkString("\n"))
-    } finally walk.close()
-  }
+    * and mtimes ([[graft.core.Fingerprint]]). Changing, adding or touching
+    * any part file changes the source impression — the metadata-cost
+    * analogue of content hashing. */
+  private def contentFingerprint(p: Path): String = graft.core.Fingerprint.of(p)
 
   /** Register an external dataset as a named source impression (A1): the
     * impression id hashes format + path + schema + file fingerprint, so
