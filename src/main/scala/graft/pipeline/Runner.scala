@@ -211,31 +211,103 @@ final class Runner(
   private def stepLock(imp: String): Object =
     Runner.stepLocks.getOrElseUpdate(s"$whKey#$imp", new Object)
 
+  // ---- cross-JVM admission lease --------------------------------------
+  // The in-memory CAS below is process-global, so two RUNNERS in one JVM
+  // can't double-admit — but two JVMs sharing a warehouse (`Cli run`
+  // concurrent with `Cli serve`) each saw the other's persisted
+  // non-terminal status as a crash leftover, demoted it to raw, and both
+  // could win admission and race delete-vs-write on one output dir. The
+  // lease is a pid-stamped lock file created atomically (CREATE_NEW)
+  // under _status: a persisted non-terminal record counts as "in flight"
+  // only while a LIVE process holds the lease; a dead holder's lease is
+  // stale and stolen (the crash-leftover rule, now actually checked).
+  // The steal itself has a tiny two-dead-JVM race window — acceptable for
+  // a crash-recovery path the reference serves with NO lock at all.
+
+  private def leasePath(imp: String): Path = statusDir.resolve(s"$imp.lock")
+
+  private def leaseHolder(imp: String): Option[Long] =
+    try Some(Files.readString(leasePath(imp)).trim.toLong)
+    catch { case NonFatal(_) => None }
+
+  /** True iff another live OS process holds this impression's lease. */
+  private def leaseHeldElsewhere(imp: String): Boolean =
+    leaseHolder(imp).exists { pid =>
+      pid != ProcessHandle.current().pid() &&
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    }
+
+  /** Acquire the cross-JVM lease: atomic create, or steal from a dead
+    * (or our own) holder. Returns false if a live foreign process holds it. */
+  private def leaseAcquire(imp: String): Boolean = {
+    val pid = ProcessHandle.current().pid().toString
+    try {
+      Files.createDirectories(statusDir)
+      Files.write(leasePath(imp), pid.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        if (leaseHeldElsewhere(imp)) false
+        else { // stale (dead holder) or re-acquired by this process
+          try { Files.writeString(leasePath(imp), pid); true }
+          catch { case NonFatal(_) => false }
+        }
+      case NonFatal(_) =>
+        // an unwritable _status dir must not dead-lock admission: fall back
+        // to in-process-only serialization (the pre-lease behavior)
+        true
+    }
+  }
+
+  private def leaseRelease(imp: String): Unit =
+    if (leaseHolder(imp).contains(ProcessHandle.current().pid()))
+      try Files.deleteIfExists(leasePath(imp)) catch { case NonFatal(_) => () }
+
   /** Atomically admit an impression for this thread: CAS its state from
-    * absent-or-submittable to Waiting. Exactly one of N concurrent
-    * execute() calls sharing an impression wins the claim; losers observe
-    * waiting/running (not submittable) and skip — the reference's
-    * raw/failed admission rule (`execution.py:42-44`), made atomic so two
-    * concurrent /run requests can't both overwrite one output dir. */
+    * absent-or-submittable to Waiting, then take the cross-JVM lease.
+    * Exactly one of N concurrent execute() calls sharing an impression
+    * wins the claim; losers observe waiting/running (not submittable) and
+    * skip — the reference's raw/failed admission rule
+    * (`execution.py:42-44`), made atomic so two concurrent /run requests
+    * can't both overwrite one output dir. */
   @annotation.tailrec
   private def claim(id: String, imp: String): Boolean =
     impRunsGet(imp) match {
       case None =>
-        // seed from the durable record; a persisted NON-terminal state is a
-        // crash leftover (no process is running it) and demotes to raw
-        val seeded = persistedStatus(imp)
-          .filter(_.status.isTerminal).getOrElse(StepRun(StepStatus.Raw))
-        Runner.impRuns.putIfAbsent(s"$whKey#$imp", seeded)
-        claim(id, imp)
+        persistedStatus(imp) match {
+          case Some(r) if !r.status.isTerminal && leaseHeldElsewhere(imp) =>
+            // a live process in ANOTHER JVM is running this impression:
+            // busy, not a crash leftover. Don't cache the foreign state —
+            // its terminal write lands in the durable record, re-read on
+            // the next poll.
+            runs(id) = r
+            false
+          case other =>
+            // seed from the durable record; a persisted NON-terminal state
+            // with no live leaseholder is a crash leftover → raw
+            val seeded = other.filter(_.status.isTerminal)
+              .getOrElse(StepRun(StepStatus.Raw))
+            Runner.impRuns.putIfAbsent(s"$whKey#$imp", seeded)
+            claim(id, imp)
+        }
       case Some(cur) if !StepStatus.canSubmit(cur.status) =>
         runs(id) = cur // keep the per-step display view current
         false
       case Some(cur) =>
         val next = cur.copy(status = StepStatus.Waiting)
         if (Runner.impRuns.replace(s"$whKey#$imp", cur, next)) {
-          runs(id) = next
-          persistStatus(imp, next)
-          true
+          if (leaseAcquire(imp)) {
+            runs(id) = next
+            persistStatus(imp, next)
+            true
+          } else {
+            // lost the cross-JVM race: revert the in-memory claim and let
+            // the foreign holder's durable writes win
+            Runner.impRuns.replace(s"$whKey#$imp", next, cur)
+            runs(id) = cur
+            false
+          }
         } else claim(id, imp)
     }
 
@@ -298,7 +370,13 @@ final class Runner(
             try setStatus(step.id, imp, StepStatus.Failed)
             catch { case NonFatal(_) => () }
             throw fatal
-        } finally spark.sparkContext.clearJobGroup()
+        } finally {
+          spark.sparkContext.clearJobGroup()
+          // the step reached a terminal state either way — the cross-JVM
+          // lease must not outlive the run (a held lease would read as
+          // "in flight" to other processes until this JVM died)
+          leaseRelease(imp)
+        }
       }
       // else: the impression finished without materializing (purged but
       // terminal-finished) — skip; an in-flight claim by another thread is
@@ -559,6 +637,7 @@ final class Runner(
       deleteRecursively(root.resolve(imp))
       Files.deleteIfExists(statusDir.resolve(s"$imp.json"))
       Files.deleteIfExists(plansDir.resolve(s"$imp.txt"))
+      Files.deleteIfExists(leasePath(imp)) // stray lease of a dead holder
     }
     doomed
   }

@@ -302,4 +302,40 @@ class PipelineSpecTest extends SparkSpec {
     assert(cut.contains("[30 rows truncated]"))
     assert(cut.startsWith("[1]") && cut.endsWith("[50]"))
   }
+
+  test("cross-JVM admission lease: live holder blocks, dead holder is stolen") {
+    val wh = Files.createTempDirectory("graft_lease_wh").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val spec = PipelineSpec(Seq(StepSpec("load", "source",
+      params = Map("dir" -> sfDir, "table" -> "region"))))
+    val imp = runner.impressionId(spec, "load")
+    val statusDir = java.nio.file.Paths.get(wh, "_status")
+    Files.createDirectories(statusDir)
+    val lease = statusDir.resolve(s"$imp.lock")
+
+    // simulate ANOTHER JVM mid-run over the same warehouse: a live
+    // process's pid in the lease file plus a persisted running record —
+    // this runner must treat the impression as busy, NOT as a crash
+    // leftover to demote and re-admit (the round-3 double-admission race)
+    val foreign = new ProcessBuilder("sleep", "30").start()
+    try {
+      Files.writeString(lease, foreign.pid().toString)
+      Files.writeString(statusDir.resolve(s"$imp.json"),
+        """{"status": "running", "started_at": 1}""")
+      runner.execute(spec, Seq("load"))
+      assert(runner.materializedPath(spec, "load").isEmpty,
+        "must not run while a live foreign process holds the lease")
+      assert(Files.readString(lease) == foreign.pid().toString,
+        "the foreign holder's lease must not be overwritten")
+      assert(runner.statusOf(spec, "load") == StepStatus.Running,
+        "the foreign in-flight state is surfaced, not demoted")
+    } finally { foreign.destroyForcibly(); foreign.waitFor() }
+
+    // the holder died: its lease is stale, the persisted non-terminal
+    // record is now genuinely a crash leftover — stolen, run, released
+    runner.execute(spec, Seq("load"))
+    assert(runner.materializedPath(spec, "load").isDefined)
+    assert(runner.statusOf(spec, "load") == StepStatus.Finished)
+    assert(!Files.exists(lease), "the lease must not outlive the run")
+  }
 }
