@@ -431,7 +431,61 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_no"))
   }
 
+  /** L15: per-source token-length quantiles — the corpus-profiling step a
+    * mixture/packing policy is tuned against (sequence-length budgeting
+    * needs p50/p90/p99 per source, not a global mean). EXACT `percentile`
+    * here because the oracle must reproduce it; at 100 TB the one-line
+    * swap is `approx_percentile` (t-digest sketch, mergeable map-side,
+    * same plan shape) — the exact variant's per-group value map is only
+    * safe while token counts are bounded-cardinality. */
+  val l15LenQuantiles: Q = (s, d) =>
+    tokenized(s, d)
+      .select(col("source"), size(col("t")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_tokens, 0.5D)").as("p50"),
+        expr("percentile(n_tokens, 0.9D)").as("p90"),
+        expr("percentile(n_tokens, 0.99D)").as("p99"))
+
+  /** L16: hash-stratified deterministic sampling — the production sibling
+    * of l13's mod-bucket mixing: the keep/drop decision hashes the ROW
+    * identity (md5 of source:doc_id), so the sample is (a) reproducible on
+    * any engine and partitioning — pure function of the row, no rand(), no
+    * sampleBy seed coupling — and (b) uncorrelated with doc_id order,
+    * which mod-bucketing is not if ids carry ingest order. Per-source rates
+    * stand in for a tuned mixture table, as in l13. */
+  val l16HashSample: Q = (s, d) => {
+    val rate = (length(col("source")) * lit(7)) % 41 + 30 // [30, 70]
+    val bucket = (conv(
+      substring(md5(concat(col("source"), lit(":"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 100).cast("long")
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("keep_rate", rate)
+      .where(col("bucket") < col("keep_rate"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"))
+  }
+
+  /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
+    * exactly the canonical doc of every near-dup group (l5e's components),
+    * carrying the group size for retention audit. Composes the family:
+    * pairs (l5) → groups (l5e) → deduped corpus (l5f). One extra
+    * aggregation + broadcast-size join over the group table — the group
+    * table is |corpus| rows of two longs, and the canonical filter reduces
+    * it before the join. */
+  val l5fDedupApply: Q = (s, d) => {
+    val groups = l5eDedupGroups(s, d)
+    val sizes = groups.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    groups.where(col("is_canonical"))
+      .join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("group_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "l15_len_quantiles" -> l15LenQuantiles,
+    "l16_hash_sample" -> l16HashSample,
+    "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
     "l3_word_freq" -> l3WordFreq,
@@ -450,7 +504,57 @@ object TextOps {
     "l14_token_pack" -> l14TokenPack
   )
 
+  /** l5e's DuckDB twin — also the base CTE of the l5f apply oracle. */
+  private val l5eOracleSql =
+    """WITH RECURSIVE
+            pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (SELECT da, db FROM inter
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3),
+            edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+            reach(a, b) AS (
+              SELECT doc_id AS a, doc_id AS b FROM documents
+              UNION
+              SELECT r.a, e.db AS b FROM reach r JOIN edges e ON r.b = e.da)
+         SELECT a AS doc_id, min(b) AS component,
+                a = min(b) AS is_canonical
+         FROM reach GROUP BY a"""
+
   val oracle: Map[String, String] = Map(
+    "l15_len_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50,
+                CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE) AS p90,
+                CAST(quantile_cont(n_tokens, 0.99) AS DOUBLE) AS p99
+         FROM (SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents)
+         GROUP BY source""",
+    "l16_hash_sample" ->
+      """SELECT doc_id, source,
+                ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket,
+                (length(source) * 7) % 41 + 30 AS keep_rate
+         FROM documents
+         WHERE ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+               < (length(source) * 7) % 41 + 30""",
+    "l5f_dedup_apply" ->
+      s"""WITH groups AS ($l5eOracleSql)
+          SELECT g.doc_id, g.component, sz.group_size
+          FROM groups g
+          JOIN (SELECT component, count(*) AS group_size
+                FROM groups GROUP BY 1) sz USING (component)
+          WHERE g.is_canonical""",
     "l1_normalize" ->
       """SELECT doc_id,
                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -498,33 +602,7 @@ object TextOps {
          JOIN sizes sa ON da = sa.doc_id
          JOIN sizes sb ON db = sb.doc_id
          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3""",
-    "l5e_dedup_groups" ->
-      """WITH RECURSIVE
-            pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
-                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-            sh AS (SELECT DISTINCT doc_id,
-                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                               ELSE NULL END AS s
-                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
-                   UNION
-                   SELECT DISTINCT doc_id, text AS s FROM documents
-                   WHERE len(string_split(text, ' ')) < 3),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2),
-            pairs AS (SELECT da, db FROM inter
-                      JOIN sizes sa ON da = sa.doc_id
-                      JOIN sizes sb ON db = sb.doc_id
-                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3),
-            edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
-            reach(a, b) AS (
-              SELECT doc_id AS a, doc_id AS b FROM documents
-              UNION
-              SELECT r.a, e.db AS b FROM reach r JOIN edges e ON r.b = e.da)
-         SELECT a AS doc_id, min(b) AS component,
-                a = min(b) AS is_canonical
-         FROM reach GROUP BY a""",
+    "l5e_dedup_groups" -> l5eOracleSql,
     "l13_source_mix" ->
       """SELECT doc_id, source,
                 (length(source) * 37) % 51 + 40 AS keep_rate
