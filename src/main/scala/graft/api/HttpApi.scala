@@ -300,8 +300,16 @@ final class HttpApi(runner: Runner, port: Int = 0,
         k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
       }.toMap
 
-  /** Extract a tar / tar.gz payload into `target`, traversal-guarded.
-    * Returns the number of regular files written. */
+  // Upload bounds: the request body is heap-buffered and gzip can expand
+  // ~1000×, so BOTH sides are capped — a small gzip bomb must not exhaust
+  // heap/disk through the shared request executor.
+  private val maxUploadBytes: Long =
+    sys.env.get("GRAFT_MAX_UPLOAD_MB").flatMap(_.toLongOption)
+      .getOrElse(256L) * 1024 * 1024
+  private val maxExtractedBytes: Long = 4L * maxUploadBytes
+
+  /** Extract a tar / tar.gz payload into `target`, traversal-guarded and
+    * size-capped. Returns the number of regular files written. */
   private def extractTar(bytes: Array[Byte], target: java.nio.file.Path): Int = {
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
     val raw = new java.io.ByteArrayInputStream(bytes)
@@ -314,6 +322,7 @@ final class HttpApi(runner: Runner, port: Int = 0,
     val tar = new TarArchiveInputStream(in)
     try {
       var written = 0
+      var extracted = 0L
       var entry = tar.getNextEntry
       while (entry != null) {
         // normalize-then-containment: "../../etc/x" must be refused, not
@@ -322,6 +331,9 @@ final class HttpApi(runner: Runner, port: Int = 0,
         require(dest.startsWith(target), s"archive entry escapes target: ${entry.getName}")
         if (entry.isDirectory) java.nio.file.Files.createDirectories(dest)
         else {
+          extracted += entry.getSize.max(0L)
+          require(extracted <= maxExtractedBytes,
+            s"archive expands past $maxExtractedBytes bytes")
           java.nio.file.Files.createDirectories(dest.getParent)
           java.nio.file.Files.copy(tar, dest,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -332,6 +344,11 @@ final class HttpApi(runner: Runner, port: Int = 0,
       written
     } finally tar.close()
   }
+
+  // one upload at a time PER SOURCE NAME: uploadTarget wipes the staging
+  // dir, so a concurrent same-name upload could delete files mid-extract
+  // and the ingest would fingerprint the other request's bytes
+  private val uploadLocks = new ConcurrentHashMap[String, Object]()
 
   server.createContext("/upload", (ex: HttpExchange) => {
     // Byte-level ingest (A1's actual transport,
@@ -345,15 +362,23 @@ final class HttpApi(runner: Runner, port: Int = 0,
       val params = queryParams(ex)
       val name = params.getOrElse("name", sys.error("missing ?name= parameter"))
       val format = params.getOrElse("format", "parquet")
-      val bytes = ex.getRequestBody.readAllBytes()
-      val target = runner.uploadTarget(name)
-      val files = extractTar(bytes, target)
-      require(files > 0, "archive contained no files")
-      val ref = runner.ingest(name, target.toString, format)
+      // reject oversized bodies BEFORE buffering when the client declares a
+      // length; the buffered read is capped regardless (chunked encoding)
+      Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption).foreach(len =>
+          require(len <= maxUploadBytes, s"body exceeds $maxUploadBytes bytes"))
+      val bytes = ex.getRequestBody.readNBytes(maxUploadBytes.toInt + 1)
+      require(bytes.length <= maxUploadBytes, s"body exceeds $maxUploadBytes bytes")
+      val ref = uploadLocks.computeIfAbsent(name, _ => new Object).synchronized {
+        val target = runner.uploadTarget(name)
+        val files = extractTar(bytes, target)
+        require(files > 0, "archive contained no files")
+        (files, runner.ingest(name, target.toString, format))
+      }
       respond(ex, 201, JObject(
-        "name" -> JString(ref.name), "impression" -> JString(ref.impression),
-        "path" -> JString(ref.path), "format" -> JString(ref.format),
-        "files" -> JLong(files.toLong), "schema" -> JString(ref.schemaDDL)))
+        "name" -> JString(ref._2.name), "impression" -> JString(ref._2.impression),
+        "path" -> JString(ref._2.path), "format" -> JString(ref._2.format),
+        "files" -> JLong(ref._1.toLong), "schema" -> JString(ref._2.schemaDDL)))
     } catch {
       case e: Exception =>
         respond(ex, 400, JObject("error" -> JString(String.valueOf(e.getMessage))))

@@ -189,11 +189,13 @@ object VectorOps {
     // Train once per (source dir, content fingerprint) — the IVF contract
     // is "train the quantizer once, probe many queries", so repeated
     // invocations (and the bench's min-of-2) measure the probe path, not
-    // re-training. The fingerprint in the key means a dataset mutated in
-    // place retrains instead of serving stale centroids for the JVM
-    // lifetime (the fingerprint is one file listing — metadata cost).
-    val centKey = s"$d#${graft.core.Fingerprint.of(Tables.path(d, "embeddings"))}"
-    val cents = VectorOps.centroidCache.getOrElseUpdate(centKey, {
+    // re-training. The fingerprint is the STALENESS CHECK of the per-dir
+    // entry, not part of the key: a dataset mutated in place retrains
+    // instead of serving stale centroids, and superseded fingerprints are
+    // REPLACED, not accumulated (a fingerprint-keyed map would grow one
+    // dead K×dim entry per in-place rewrite for the JVM lifetime).
+    val fp = graft.core.Fingerprint.of(Tables.path(d, "embeddings"))
+    def train(): Array[Array[Double]] = {
       // deterministic init: the K lowest vec_ids unit-normalized (any
       // fixed spread works; Lloyd's moves them to the density in 2-3 steps)
       var cs = base.orderBy(col("vec_id")).limit(K)
@@ -218,7 +220,12 @@ object VectorOps {
         }.toArray
       }
       cs
-    })
+    }
+    val cents = VectorOps.centroidCache.compute(d, (_, cur) =>
+      cur match {
+        case (`fp`, cached) => (fp, cached) // fresh: reuse
+        case _ => (fp, train()) // absent or superseded: (re)train, replace
+      })._2
 
     // index side: each vector in its single best cell; query side: probe
     // the nprobe nearest cells. Ids only through the join; vectors
@@ -246,12 +253,14 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
 
-  /** Trained coarse quantizers, keyed by source dir + content fingerprint:
-    * the training is a deterministic function of the data, so any session
-    * may share the result (and a session key would pin session objects in
-    * the map); the fingerprint invalidates on in-place data changes. */
+  /** Trained coarse quantizers: one entry per source dir, stamped with the
+    * content fingerprint it was trained on. The training is a
+    * deterministic function of the data, so any session may share the
+    * result (and a session key would pin session objects in the map); a
+    * changed fingerprint REPLACES the entry — bounded by distinct dirs,
+    * never growing with in-place rewrites. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
 
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,

@@ -226,31 +226,49 @@ final class Runner(
 
   private def leasePath(imp: String): Path = statusDir.resolve(s"$imp.lock")
 
-  private def leaseHolder(imp: String): Option[Long] =
-    try Some(Files.readString(leasePath(imp)).trim.toLong)
-    catch { case NonFatal(_) => None }
+  /** Lease stamp "pid:startMillis" — the start time disambiguates a
+    * recycled pid: a crash leftover whose pid the OS later reassigned to
+    * an unrelated process must read as STALE, not as a live holder that
+    * blocks the impression until that stranger exits. */
+  private def leaseStamp: String = {
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(0L)
+    s"${self.pid()}:$start"
+  }
 
-  /** True iff another live OS process holds this impression's lease. */
-  private def leaseHeldElsewhere(imp: String): Boolean =
-    leaseHolder(imp).exists { pid =>
+  private def leaseHolder(imp: String): Option[(Long, Long)] =
+    try Files.readString(leasePath(imp)).trim.split(":") match {
+      case Array(pid, start) => Some((pid.toLong, start.toLong))
+      case Array(pid) => Some((pid.toLong, 0L)) // legacy pid-only stamp
+      case _ => None
+    } catch { case NonFatal(_) => None }
+
+  /** True iff another live OS process (same pid AND same start time — pid
+    * reuse reads as dead) holds this impression's lease. */
+  private[pipeline] def leaseHeldElsewhere(imp: String): Boolean =
+    leaseHolder(imp).exists { case (pid, start) =>
       pid != ProcessHandle.current().pid() &&
-        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        ProcessHandle.of(pid).map[Boolean] { h =>
+          h.isAlive && (start == 0L || // legacy stamp: liveness only
+            h.info().startInstant().map[Boolean](_.toEpochMilli == start)
+              .orElse(true)) // unreadable start info: trust liveness
+        }.orElse(false)
     }
 
   /** Acquire the cross-JVM lease: atomic create, or steal from a dead
     * (or our own) holder. Returns false if a live foreign process holds it. */
-  private def leaseAcquire(imp: String): Boolean = {
-    val pid = ProcessHandle.current().pid().toString
+  private def leaseAcquire(imp: String): Boolean =
     try {
       Files.createDirectories(statusDir)
-      Files.write(leasePath(imp), pid.getBytes(StandardCharsets.UTF_8),
+      Files.write(leasePath(imp), leaseStamp.getBytes(StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         if (leaseHeldElsewhere(imp)) false
         else { // stale (dead holder) or re-acquired by this process
-          try { Files.writeString(leasePath(imp), pid); true }
+          try { Files.writeString(leasePath(imp), leaseStamp); true }
           catch { case NonFatal(_) => false }
         }
       case NonFatal(_) =>
@@ -258,10 +276,9 @@ final class Runner(
         // to in-process-only serialization (the pre-lease behavior)
         true
     }
-  }
 
   private def leaseRelease(imp: String): Unit =
-    if (leaseHolder(imp).contains(ProcessHandle.current().pid()))
+    if (leaseHolder(imp).exists(_._1 == ProcessHandle.current().pid()))
       try Files.deleteIfExists(leasePath(imp)) catch { case NonFatal(_) => () }
 
   /** Atomically admit an impression for this thread: CAS its state from
@@ -299,7 +316,10 @@ final class Runner(
         if (Runner.impRuns.replace(s"$whKey#$imp", cur, next)) {
           if (leaseAcquire(imp)) {
             runs(id) = next
-            persistStatus(imp, next)
+            // a failure between acquire and the execute() finally would
+            // otherwise leak a live-pid lease for the JVM lifetime
+            try persistStatus(imp, next)
+            catch { case NonFatal(e) => leaseRelease(imp); throw e }
             true
           } else {
             // lost the cross-JVM race: revert the in-memory claim and let
@@ -332,8 +352,10 @@ final class Runner(
         // Terminal dep becomes an input leaf (VWorkflow.py:429-437).
         setStatus(step.id, imp, StepStatus.Archived)
       } else if (claim(step.id, imp)) {
-        setStatus(step.id, imp, StepStatus.Running)
+        // Running transition INSIDE the try: every post-claim failure path
+        // must reach the finally's leaseRelease (and the catch's Failed)
         try {
+          setStatus(step.id, imp, StepStatus.Running)
           val inputs = step.inputs.map { case (alias, dep) => alias -> load(dep) }
           val params = ParamMap(step.params)
           spark.sparkContext.setJobGroup(imp, s"graft step ${step.id}",
@@ -544,10 +566,16 @@ final class Runner(
 
   // ---- upload staging (A1 byte path) + bookkeep (A30) ------------------
 
+  /** Safe single path segment: a plain filename — the charset alone is NOT
+    * enough ("." and ".." both match `[A-Za-z0-9_.-]+`, and either one
+    * resolved against a staging root and handed to deleteRecursively wipes
+    * the parent tree). */
+  private def safeName(seg: String): Boolean =
+    seg.matches("[A-Za-z0-9_.=-]+") && seg != ".." && seg != "."
+
   /** Safe relative path: every segment a plain filename, no traversal. */
   private def safeRel(rel: String): Boolean =
-    rel.nonEmpty && rel.split("/").forall(seg =>
-      seg.matches("[A-Za-z0-9_.=-]+") && seg != ".." && seg != ".")
+    rel.nonEmpty && rel.split("/").forall(safeName)
 
   /** Fresh staging dir for a byte-level upload (the reference's
     * `config.storage_path/<project>/<tarname>` target,
@@ -556,7 +584,7 @@ final class Runner(
     * HTTP layer extracts archive bytes here, then registers the dir via
     * [[ingest]] — which fingerprints the fresh files into a NEW impression. */
   def uploadTarget(name: String): Path = {
-    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid upload name '$name'")
+    require(safeName(name), s"invalid upload name '$name'")
     val dir = Paths.get(warehouse, "_uploads", name)
     deleteRecursively(dir)
     Files.createDirectories(dir)
@@ -572,7 +600,7 @@ final class Runner(
     * relative path. Returns the project root. */
   def bookkeepWrite(project: String, manifestJson: String,
       docs: Map[String, String]): Path = {
-    require(project.matches("[A-Za-z0-9_.-]+"), s"invalid project '$project'")
+    require(safeName(project), s"invalid project '$project'")
     docs.keys.foreach(rel =>
       require(safeRel(rel), s"invalid doc path '$rel'"))
     val root = bookkeepDir.resolve(project)
@@ -589,7 +617,7 @@ final class Runner(
 
   /** Read side of the bookkeep tree: manifest + sorted doc paths. */
   def bookkeepRead(project: String): Option[(String, Seq[String])] = {
-    if (!project.matches("[A-Za-z0-9_.-]+")) return None
+    if (!safeName(project)) return None
     val root = bookkeepDir.resolve(project)
     val mf = root.resolve("manifest.json")
     if (!Files.isRegularFile(mf)) return None
@@ -604,7 +632,7 @@ final class Runner(
 
   /** One bookkept doc's content, traversal-guarded. */
   def bookkeepDoc(project: String, rel: String): Option[String] = {
-    if (!project.matches("[A-Za-z0-9_.-]+") || !safeRel(rel)) return None
+    if (!safeName(project) || !safeRel(rel)) return None
     val p = bookkeepDir.resolve(project).resolve(rel)
     if (Files.isRegularFile(p)) Some(Files.readString(p)) else None
   }
@@ -631,7 +659,13 @@ final class Runner(
       try listing.iterator().asScala
         .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString)
           && !p.getFileName.toString.startsWith("_")) // _status is metadata
-        .map(_.getFileName.toString).toList
+        .map(_.getFileName.toString)
+        // an impression mid-run in ANOTHER process is not garbage even if
+        // no local spec references it — deleting its output dir races its
+        // writer, and deleting its lease would re-open the very
+        // double-admission window the lease exists to close
+        .filterNot(leaseHeldElsewhere)
+        .toList
       finally listing.close()
     doomed.foreach { imp =>
       deleteRecursively(root.resolve(imp))

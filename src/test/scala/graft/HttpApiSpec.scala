@@ -358,6 +358,13 @@ class HttpApiSpec extends SparkSpec {
       // an empty archive is an error, not an empty source
       assert(postBytes(s"$base/upload?name=empty", tarGz())._1 == 400)
       assert(postBytes(s"$base/upload", tarGz("a.csv" -> "k\n1\n"))._1 == 400)
+      // name=".." resolves the staging dir to the WAREHOUSE ROOT — it must
+      // be refused before the wipe-first staging delete runs (the charset
+      // regex alone accepted it)
+      assert(postBytes(s"$base/upload?name=..", tarGz("a.csv" -> "k\n1\n"))._1 == 400)
+      assert(postBytes(s"$base/upload?name=.", tarGz("a.csv" -> "k\n1\n"))._1 == 400)
+      assert(get(s"$base/sources")._2.contains("\"up1\""),
+        "warehouse must survive the rejected traversal uploads")
     } finally api.stop()
   }
 
@@ -396,6 +403,12 @@ class HttpApiSpec extends SparkSpec {
         """{"project": "p2", "manifest": {}, "docs": {"../evil": "x"}}""")._1 == 400)
       assert(post(s"$base/tree", """{"project": "p3"}""")._1 == 400)
       assert(get(s"$base/tree/ghost")._1 == 404)
+      // project ".." resolves the bookkeep root to the WAREHOUSE ROOT and
+      // the write is wipe-first — must be refused, and the surviving proj1
+      // proves nothing was deleted
+      assert(post(s"$base/tree", """{"project": "..", "manifest": {}}""")._1 == 400)
+      assert(post(s"$base/tree", """{"project": ".", "manifest": {}}""")._1 == 400)
+      assert(get(s"$base/tree/proj1/ONLY.md")._2.contains("fresh"))
     } finally api.stop()
   }
 
