@@ -512,7 +512,7 @@ final class Runner(
     * makes the source referenceable from any spec. */
   def ingest(name: String, path: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): SourceRef = {
-    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid source name '$name'")
+    require(safeName(name), s"invalid source name '$name'")
     val df = readSource(path, format, options) // validates readability+schema
     val imp = sha16(Seq(format, path, df.schema.toDDL,
       contentFingerprint(Paths.get(path))).mkString(""))
@@ -525,7 +525,7 @@ final class Runner(
 
   def source(name: String): Option[SourceRef] = {
     val p = sourcesDir.resolve(s"$name.json")
-    if (!Files.exists(p) || !name.matches("[A-Za-z0-9_.-]+")) None
+    if (!Files.exists(p) || !safeName(name)) None
     else org.json4s.jackson.JsonMethods.parse(Files.readString(p))
       .extractOpt[SourceRef]
   }
