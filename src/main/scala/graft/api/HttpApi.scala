@@ -302,11 +302,18 @@ final class HttpApi(runner: Runner, port: Int = 0,
 
   // Upload bounds: the request body is heap-buffered and gzip can expand
   // ~1000×, so BOTH sides are capped — a small gzip bomb must not exhaust
-  // heap/disk through the shared request executor.
-  private val maxUploadBytes: Long =
-    sys.env.get("GRAFT_MAX_UPLOAD_MB").flatMap(_.toLongOption)
-      .getOrElse(256L) * 1024 * 1024
+  // heap/disk through the shared request executor. The body cap is
+  // clamped below Int.MaxValue because the buffered read takes an Int —
+  // a larger configured cap would overflow and break every upload.
+  private val maxUploadBytes: Int =
+    math.min(
+      sys.env.get("GRAFT_MAX_UPLOAD_MB").flatMap(_.toLongOption)
+        .getOrElse(256L) * 1024 * 1024,
+      Int.MaxValue.toLong - 8).toInt
   private val maxExtractedBytes: Long = 4L * maxUploadBytes
+  // entry-count cap: a tar of millions of ZERO-byte files/dirs never
+  // advances the byte cap but still exhausts inodes
+  private val maxArchiveEntries = 100000
 
   /** Extract a tar / tar.gz payload into `target`, traversal-guarded and
     * size-capped. Returns the number of regular files written. */
@@ -322,9 +329,13 @@ final class HttpApi(runner: Runner, port: Int = 0,
     val tar = new TarArchiveInputStream(in)
     try {
       var written = 0
+      var entries = 0
       var extracted = 0L
       var entry = tar.getNextEntry
       while (entry != null) {
+        entries += 1
+        require(entries <= maxArchiveEntries,
+          s"archive exceeds $maxArchiveEntries entries")
         // normalize-then-containment: "../../etc/x" must be refused, not
         // extracted (the classic tar-slip the reference's extractall had)
         val dest = target.resolve(entry.getName).normalize()
@@ -361,13 +372,16 @@ final class HttpApi(runner: Runner, port: Int = 0,
     try {
       val params = queryParams(ex)
       val name = params.getOrElse("name", sys.error("missing ?name= parameter"))
+      // validated BEFORE the per-name lock map: rejected requests must not
+      // insert attacker-chosen keys into a process-lifetime map
+      require(Runner.safeSegment(name), s"invalid upload name '$name'")
       val format = params.getOrElse("format", "parquet")
       // reject oversized bodies BEFORE buffering when the client declares a
       // length; the buffered read is capped regardless (chunked encoding)
       Option(ex.getRequestHeaders.getFirst("Content-Length"))
         .flatMap(_.toLongOption).foreach(len =>
           require(len <= maxUploadBytes, s"body exceeds $maxUploadBytes bytes"))
-      val bytes = ex.getRequestBody.readNBytes(maxUploadBytes.toInt + 1)
+      val bytes = ex.getRequestBody.readNBytes(maxUploadBytes + 1)
       require(bytes.length <= maxUploadBytes, s"body exceeds $maxUploadBytes bytes")
       val ref = uploadLocks.computeIfAbsent(name, _ => new Object).synchronized {
         val target = runner.uploadTarget(name)

@@ -221,11 +221,18 @@ object VectorOps {
       }
       cs
     }
-    val cents = VectorOps.centroidCache.compute(d, (_, cur) =>
-      cur match {
-        case (`fp`, cached) => (fp, cached) // fresh: reuse
-        case _ => (fp, train()) // absent or superseded: (re)train, replace
-      })._2
+    // get-check / put, NOT compute(): training runs multiple Spark collect
+    // jobs and must not execute inside the map's bin lock (it would stall
+    // unrelated keys and violates the compute contract). Two concurrent
+    // first-callers may both train; the training is deterministic, so
+    // last-put-wins is harmless — idempotent work, never a wrong answer.
+    val cents = Option(VectorOps.centroidCache.get(d)) match {
+      case Some((`fp`, cached)) => cached
+      case _ =>
+        val trained = train()
+        VectorOps.centroidCache.put(d, (fp, trained))
+        trained
+    }
 
     // index side: each vector in its single best cell; query side: probe
     // the nprobe nearest cells. Ids only through the join; vectors

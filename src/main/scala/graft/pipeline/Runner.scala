@@ -317,9 +317,18 @@ final class Runner(
           if (leaseAcquire(imp)) {
             runs(id) = next
             // a failure between acquire and the execute() finally would
-            // otherwise leak a live-pid lease for the JVM lifetime
+            // otherwise leak a live-pid lease for the JVM lifetime — AND a
+            // stranded in-memory Waiting entry would block the impression
+            // in this process (canSubmit(Waiting) is false), so the CAS is
+            // reverted too
             try persistStatus(imp, next)
-            catch { case NonFatal(e) => leaseRelease(imp); throw e }
+            catch {
+              case NonFatal(e) =>
+                leaseRelease(imp)
+                Runner.impRuns.replace(s"$whKey#$imp", next, cur)
+                runs(id) = cur
+                throw e
+            }
             true
           } else {
             // lost the cross-JVM race: revert the in-memory claim and let
@@ -559,19 +568,14 @@ final class Runner(
 
   /** Absolute path of one output file, guarded against traversal. */
   def outputFile(spec: PipelineSpec, id: String, file: String): Option[Path] = {
-    if (!file.matches("[A-Za-z0-9_.=-]+") || file.contains("..")) return None
+    if (!safeName(file)) return None
     val p = outDir(impressionId(spec, id)).resolve(file)
     if (Files.isRegularFile(p)) Some(p) else None
   }
 
   // ---- upload staging (A1 byte path) + bookkeep (A30) ------------------
 
-  /** Safe single path segment: a plain filename — the charset alone is NOT
-    * enough ("." and ".." both match `[A-Za-z0-9_.-]+`, and either one
-    * resolved against a staging root and handed to deleteRecursively wipes
-    * the parent tree). */
-  private def safeName(seg: String): Boolean =
-    seg.matches("[A-Za-z0-9_.=-]+") && seg != ".." && seg != "."
+  private def safeName(seg: String): Boolean = Runner.safeSegment(seg)
 
   /** Safe relative path: every segment a plain filename, no traversal. */
   private def safeRel(rel: String): Boolean =
@@ -660,11 +664,16 @@ final class Runner(
         .filter(p => Files.isDirectory(p) && !keep.contains(p.getFileName.toString)
           && !p.getFileName.toString.startsWith("_")) // _status is metadata
         .map(_.getFileName.toString)
-        // an impression mid-run in ANOTHER process is not garbage even if
-        // no local spec references it — deleting its output dir races its
-        // writer, and deleting its lease would re-open the very
-        // double-admission window the lease exists to close
-        .filterNot(leaseHeldElsewhere)
+        // an impression mid-run is not garbage even if no local spec
+        // references it — deleting its output dir races the writer, and
+        // deleting its lease would re-open the very double-admission
+        // window the lease exists to close. "Mid-run" means a live lease
+        // in ANY process: a foreign live holder, or our own pid (this
+        // JVM only holds a lease while a thread is inside the step run,
+        // so an own-pid lease is an in-flight sibling thread, possibly
+        // executing a spec this vacuum caller doesn't know about).
+        .filterNot(imp => leaseHeldElsewhere(imp) ||
+          leaseHolder(imp).exists(_._1 == ProcessHandle.current().pid()))
         .toList
       finally listing.close()
     doomed.foreach { imp =>
@@ -694,6 +703,14 @@ final class Runner(
 object Runner {
   /** Lineage column stamped onto every materialized step output (A26). */
   val LineageCol = "_impression_id"
+
+  /** Safe single path segment: a plain filename — the charset alone is NOT
+    * enough ("." and ".." both match `[A-Za-z0-9_.-]+`, and either one
+    * resolved against a staging root and handed to deleteRecursively wipes
+    * the parent tree). Shared with the HTTP layer so request validation
+    * and filesystem validation can never diverge. */
+  private[graft] def safeSegment(seg: String): Boolean =
+    seg.matches("[A-Za-z0-9_.=-]+") && seg != ".." && seg != "."
 
   // Process-global impression state + locks, keyed "warehousePath#imp":
   // every Runner over one warehouse shares admission, whichever session it
