@@ -302,13 +302,15 @@ final class HttpApi(runner: Runner, port: Int = 0,
 
   // Upload bounds: the request body is heap-buffered and gzip can expand
   // ~1000×, so BOTH sides are capped — a small gzip bomb must not exhaust
-  // heap/disk through the shared request executor. The body cap is
-  // clamped below Int.MaxValue because the buffered read takes an Int —
-  // a larger configured cap would overflow and break every upload.
+  // heap/disk through the shared request executor. Default matches the
+  // reference's 1 GiB Flask MAX_CONTENT_LENGTH
+  // (`/root/reference/Yuki/server/app.py:32`). The body cap is clamped
+  // below Int.MaxValue because the buffered read takes an Int — a larger
+  // configured cap would overflow and break every upload.
   private val maxUploadBytes: Int =
     math.min(
       sys.env.get("GRAFT_MAX_UPLOAD_MB").flatMap(_.toLongOption)
-        .getOrElse(256L) * 1024 * 1024,
+        .getOrElse(1024L) * 1024 * 1024,
       Int.MaxValue.toLong - 8).toInt
   private val maxExtractedBytes: Long = 4L * maxUploadBytes
   // entry-count cap: a tar of millions of ZERO-byte files/dirs never
