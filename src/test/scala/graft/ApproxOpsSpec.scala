@@ -56,6 +56,24 @@ class ApproxOpsSpec extends SparkSpec {
       s"IVF top-1 in exact top-3 for only $hit/${ivfTop.size}")
   }
 
+  test("l7d PQ kNN: ADC-ranked neighbors recall vs brute force") {
+    val exactTop3 = pairSet(
+      VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
+    val pq = VectorOps.l7dKnnPq(spark, sfDir)
+    assert(pq.count() > 0)
+    // 8 subspaces x 16 codes on 64-dim vectors is a coarse sketch, but the
+    // ADC ordering should still put most true top-3 neighbors first —
+    // recall@top-1-in-exact-top-3 floor, same contract shape as l7b/l7c
+    val pqTop = pairSet(pq.where(col("rk") === 1), "ida", "idb")
+    val hit = pqTop.count(exactTop3.contains)
+    info(s"PQ top-1 in exact top-3: $hit/${pqTop.size}")
+    assert(hit.toDouble / pqTop.size >= 0.5,
+      s"PQ top-1 in exact top-3 for only $hit/${pqTop.size}")
+    // determinism: cached codebooks -> identical result on re-run
+    val again = pairSet(VectorOps.l7dKnnPq(spark, sfDir).where(col("rk") === 1), "ida", "idb")
+    assert(again == pqTop, "PQ ranking must be deterministic across invocations")
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)
