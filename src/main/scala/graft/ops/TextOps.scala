@@ -247,7 +247,16 @@ object TextOps {
     * n/65536 — that 256× bucket shrink is what keeps the band self-join
     * sub-quadratic as the corpus grows (the round-1 scale concern).
     * Rows-only for the driver (hash not reproducible in the oracle);
-    * completeness vs the exact O(n²) scan is asserted in ScalaTest. */
+    * completeness vs the exact O(n²) scan is asserted in ScalaTest.
+    *
+    * Bench note (profiled, stage-by-stage): on the sf0.1 FIXTURE the
+    * templated synthetic corpus is extremely self-similar at the simhash
+    * level — the band join emits 12.6M candidates of which 5.1M genuinely
+    * pass hamming ≤ 6, so wall time is OUTPUT-bound (generating and
+    * counting 5M result rows), not plan-bound. A real web corpus at this
+    * row count has orders of magnitude fewer true near-dups; the plan's
+    * cost tracks the duplicate mass, which is exactly what a blocked
+    * near-dup join should do. */
   val l5cSimhash: Q = l5cSimhashCapped(None)
 
   /** l5c core with the optional hot-bucket cap — same `left_semi` pattern
