@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       SortsSets.queries ++ Functions.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultiModal.queries ++ StreamingOps.queries
+      VectorOps.queries ++ MultiModal.queries ++ StreamingOps.queries ++
+      EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       SortsSets.oracle ++ Functions.oracle ++ TextOps.oracle ++
-      VectorOps.oracle ++ MultiModal.oracle ++ StreamingOps.oracle
+      VectorOps.oracle ++ MultiModal.oracle ++ StreamingOps.oracle ++
+      EventOps.oracle
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Batch event-analytics operators over the `events` table — the classic
+  * product-analytics trio (sessionize / funnel / retention) every
+  * analytics engine is asked for, here as single declarative plans.
+  *
+  * Parity discipline: ALL event-time arithmetic runs on exact MICROSECOND
+  * longs (`unix_micros` / DuckDB `epoch_us`) — second-floored casts would
+  * split sessions differently from the oracle whenever a gap straddles the
+  * threshold inside a second, and money sums go through the same
+  * cents-as-long trick the streaming family established (t1).
+  *
+  * Scale notes: every operator is one shuffle on `user_id` (window or
+  * groupBy) plus driver-free aggregation — user-partitioned analytics is
+  * the textbook well-distributed workload; no global windows anywhere.
+  */
+object EventOps {
+  import Relational.Q
+
+  private def us(c: org.apache.spark.sql.Column) = unix_micros(c)
+
+  /** E1: gap-based batch sessionization (30-min inactivity boundary) —
+    * the batch twin of the streaming session window (t3): lag-gap flag →
+    * running sum = session number → per-session rollup. Window is
+    * partitioned by user: sessions build in parallel per user, never a
+    * global sort. */
+  val e1Sessionize: Q = (s, d) => {
+    val gapUs = 1800L * 1000000 // 30 min in µs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .withColumn("ts_us", us(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
+  /** E2: signup→purchase conversion funnel (24 h window) — per user: first
+    * signup, then the first purchase within 24 h of it. Two filtered
+    * min-aggregations and one join, all keyed on user_id. */
+  val e2Funnel: Q = (s, d) => {
+    val dayUs = 86400L * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .join(signups, Seq("user_id"))
+      .where(col("ts_us") >= col("signup_us") &&
+        col("ts_us") <= col("signup_us") + dayUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("first_purchase_us"),
+        col("first_purchase_us").isNotNull.as("converted"))
+  }
+
+  /** E3: weekly cohort retention — cohort = Monday-truncated week of the
+    * user's first event; one row per (cohort week, week offset) with the
+    * distinct active users. Week offsets are exact integer division on
+    * µs-longs, so both engines bucket identically. */
+  val e3Retention: Q = (s, d) => {
+    val weekUs = 604800L * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val first = ev.groupBy(col("user_id")).agg(
+      min(col("ts_us")).as("first_us"),
+      us(date_trunc("week", min(col("ts")))).as("cohort_week_us"))
+    ev.select(col("user_id"), col("ts_us"))
+      .join(first, Seq("user_id"))
+      .withColumn("week_offset",
+        ((col("ts_us") - col("first_us")) / weekUs).cast("long"))
+      .groupBy(col("cohort_week_us"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e1_sessionize" -> e1Sessionize,
+    "e2_funnel" -> e2Funnel,
+    "e3_retention" -> e3Retention
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM o)
+         SELECT user_id, session_no, count(*) AS n_events,
+                min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM s GROUP BY 1, 2""",
+    "e2_funnel" ->
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                     FROM events WHERE event_type = 'signup' GROUP BY 1),
+            pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+                   FROM events e JOIN su ON e.user_id = su.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) >= su.signup_us
+                     AND epoch_us(e.ts) <= su.signup_us + 86400000000
+                   GROUP BY 1)
+         SELECT su.user_id, su.signup_us, pu.first_purchase_us,
+                pu.first_purchase_us IS NOT NULL AS converted
+         FROM su LEFT JOIN pu ON su.user_id = pu.user_id""",
+    "e3_retention" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+                           epoch_us(date_trunc('week', min(ts))) AS cohort_week_us
+                    FROM events GROUP BY 1)
+         SELECT f.cohort_week_us,
+                (epoch_us(e.ts) - f.first_us) // 604800000000 AS week_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2"""
+  )
+}
