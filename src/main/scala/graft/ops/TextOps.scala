@@ -457,6 +457,24 @@ object TextOps {
         expr("percentile(n_tokens, 0.9D)").as("p90"),
         expr("percentile(n_tokens, 0.99D)").as("p99"))
 
+  /** L15b: the DECLARED scale path for corpus profiling — the same
+    * per-source quantiles through `approx_percentile` (Greenwald-Khanna
+    * sketch: mergeable map-side, bounded memory at any group size, rank
+    * error ≤ n/accuracy). Rows-only for the driver (the sketch picks an
+    * actual element, not an interpolation, and DuckDB has no twin);
+    * the rank-error contract vs exact l15 is asserted in ScalaTest. */
+  val l15bLenQuantilesApprox: Q = (s, d) =>
+    tokenized(s, d)
+      .select(col("source"), size(col("t")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), 1000)").as("qs"))
+      .select(col("source"), col("n_docs"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"))
+
   /** L16: hash-stratified deterministic sampling — the production sibling
     * of l13's mod-bucket mixing: the keep/drop decision hashes the ROW
     * identity (md5 of source:doc_id), so the sample is (a) reproducible on
@@ -493,6 +511,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "l15_len_quantiles" -> l15LenQuantiles,
+    "l15b_len_quantiles_approx" -> l15bLenQuantilesApprox,
     "l16_hash_sample" -> l16HashSample,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,

@@ -56,6 +56,34 @@ class ApproxOpsSpec extends SparkSpec {
       s"IVF top-1 in exact top-3 for only $hit/${ivfTop.size}")
   }
 
+  test("l15b approx quantiles stay within the sketch's rank-error band of exact") {
+    // Greenwald-Khanna with accuracy=1000 bounds rank error at n/1000; the
+    // fixture groups are far smaller, so the approx element must sit
+    // between the exact values at p±0.05 — a generous band that still
+    // catches a wrong percentile index, a broken sketch merge, or a
+    // mis-wired column
+    val bands = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("source", "size(split(text, ' ')) AS n_tokens")
+      .groupBy(col("source"))
+      .agg(expr("percentile(n_tokens, array(0.45D, 0.55D, 0.85D, 0.95D, 0.94D, 1.0D))").as("b"))
+      .select(col("source"),
+        element_at(col("b"), 1).as("lo50"), element_at(col("b"), 2).as("hi50"),
+        element_at(col("b"), 3).as("lo90"), element_at(col("b"), 4).as("hi90"),
+        element_at(col("b"), 5).as("lo99"), element_at(col("b"), 6).as("hi99"))
+    val approx = TextOps.l15bLenQuantilesApprox(spark, sfDir)
+    val joined = approx.join(bands, Seq("source")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      def d(name: String) = r.getAs[Number](name).doubleValue()
+      assert(d("p50") >= d("lo50") && d("p50") <= d("hi50"),
+        s"${r.getAs[String]("source")}: p50 ${d("p50")} outside [${d("lo50")}, ${d("hi50")}]")
+      assert(d("p90") >= d("lo90") && d("p90") <= d("hi90"),
+        s"${r.getAs[String]("source")}: p90 ${d("p90")} outside [${d("lo90")}, ${d("hi90")}]")
+      assert(d("p99") >= d("lo99") && d("p99") <= d("hi99"),
+        s"${r.getAs[String]("source")}: p99 ${d("p99")} outside [${d("lo99")}, ${d("hi99")}]")
+    }
+  }
+
   test("l7d PQ kNN: ADC-ranked neighbors recall vs brute force") {
     val exactTop3 = pairSet(
       VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
