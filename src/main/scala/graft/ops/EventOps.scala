@@ -43,7 +43,7 @@ object EventOps {
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("sess_start_us"),
         max(col("ts_us")).as("sess_end_us"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(Relational.cents(col("value"))).as("value_cents"))
   }
 
   /** E2: signup→purchase conversion funnel (24 h window) — per user: first

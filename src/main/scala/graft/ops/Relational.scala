@@ -20,6 +20,13 @@ object Relational {
   private val D2 = DecimalType(18, 2)
   /** Exact, order-independent sum of a 2-decimal money column. */
   def dsum(c: Column): Column = sum(c.cast(D2)).cast("double")
+
+  /** The money-parity twin for long arithmetic: a double amount as exact
+    * cents. Spark round() is HALF_UP like DuckDB's round(), so the paired
+    * oracle `CAST(round(value * 100) AS BIGINT)` lands on identical longs
+    * — any change to this rule must change BOTH sides, in one place each
+    * (this helper and the oracle strings that cite it). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
   /** sum(a * (1 - b)) in exact decimal arithmetic. */
   def revenue(price: Column, disc: Column): Column =
     sum(price.cast(D2) * (lit(1) - disc.cast(D2))).cast("double")

@@ -85,7 +85,7 @@ object StreamingOps {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        sum(Relational.cents(col("value"))).as("value_cents"))
     runToMemory(agg, "t1_sink", "complete")
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
@@ -162,7 +162,7 @@ object StreamingOps {
         col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
+        Relational.cents(col("value")).as("cents"))
       .as(Encoders.product[EvRow])
 
     val fn = (user: Long, rows: Iterator[EvRow], state: GroupState[UserState]) => {
@@ -217,7 +217,7 @@ object StreamingOps {
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"))
+          sum(Relational.cents(col("value"))).as("cents"))
       runToMemory(agg, "t7_sink", "complete")
         .select(col("c_mktsegment"), col("n"), (col("cents") / 100.0).as("total_value"))
     } finally dimSrc.unpersist(blocking = false)
@@ -231,7 +231,7 @@ object StreamingOps {
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+        Relational.cents(col("value")).as("cents"))
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow())
@@ -287,7 +287,7 @@ object StreamingOps {
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
+        Relational.cents(col("value")).as("cents"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // overwrite ONLY this batch's partition: replayed batches rewrite
