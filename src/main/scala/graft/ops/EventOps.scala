@@ -23,16 +23,16 @@ object EventOps {
 
   private def us(c: org.apache.spark.sql.Column) = unix_micros(c)
 
-  /** E1: gap-based batch sessionization (30-min inactivity boundary) —
-    * the batch twin of the streaming session window (t3): lag-gap flag →
-    * running sum = session number → per-session rollup. Window is
-    * partitioned by user: sessions build in parallel per user, never a
-    * global sort. */
-  val e1Sessionize: Q = (s, d) => {
-    val gapUs = 1800L * 1000000 // 30 min in µs
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val flagged = Tables.events(s, d)
-      .withColumn("ts_us", us(col("ts")))
+  /** Core gap-sessionizer over (user_id, event_id, ts_us, value) — a gap
+    * STRICTLY greater than `gapUs` opens a new session; (ts_us, event_id)
+    * is the total order (the id tiebreak pins same-microsecond events).
+    * Exposed for the ScalaCheck law that pits it against a driver-side
+    * brute-force sessionizer on adversarial inputs (exact-gap boundaries,
+    * timestamp ties) the fixture may not contain. */
+  private[graft] def sessionize(ev: org.apache.spark.sql.DataFrame,
+      gapUs: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val flagged = ev
       .withColumn("new_sess",
         when(lag(col("ts_us"), 1).over(w).isNull ||
           col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -45,6 +45,16 @@ object EventOps {
         max(col("ts_us")).as("sess_end_us"),
         sum(Relational.cents(col("value"))).as("value_cents"))
   }
+
+  /** E1: gap-based batch sessionization (30-min inactivity boundary) —
+    * the batch twin of the streaming session window (t3): lag-gap flag →
+    * running sum = session number → per-session rollup. Window is
+    * partitioned by user: sessions build in parallel per user, never a
+    * global sort. */
+  val e1Sessionize: Q = (s, d) =>
+    sessionize(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      gapUs = 1800L * 1000000)
 
   /** E2: signup→purchase conversion funnel (24 h window) — per user: first
     * signup, then the first purchase within 24 h of it. Two filtered

@@ -109,4 +109,46 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$seed: ${got.toSeq.diff(want.toSeq).take(5)}")
     }
   }
+
+  test("sessionize equals brute-force grouping on adversarial gaps and ties") {
+    import s.implicits._
+    val gapUs = 1800L * 1000000
+    // timestamps on a 10-minute grid: consecutive deltas hit EXACTLY the
+    // 30-minute gap (same session — the boundary is strict-greater) as
+    // well as ties (same µs, different event_id) and >gap splits
+    val grid = 600L * 1000000
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 60).map { i =>
+        (i.toLong,                                 // event_id (unique)
+          rnd.nextInt(4).toLong,                   // user_id
+          rnd.nextInt(12).toLong * grid,           // ts_us on the grid
+          rnd.nextInt(10000) / 100.0)              // value, 2 decimals >= 0
+      }
+      // brute force: per user, order by (ts, id), split on gap > gapUs
+      def cents(v: Double): Long =
+        new java.math.BigDecimal(v * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val want = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        var sess = 0L
+        var prev = Long.MinValue
+        val tagged = sorted.map { e =>
+          if (prev == Long.MinValue || e._3 - prev > gapUs) sess += 1
+          prev = e._3
+          (sess, e)
+        }
+        tagged.groupBy(_._1).map { case (sn, ses) =>
+          val ts = ses.map(_._2._3)
+          (u, sn, ses.size.toLong, ts.min, ts.max, ses.map(e => cents(e._2._4)).sum)
+        }
+      }.toSet
+      val got = graft.ops.EventOps.sessionize(
+          rows.toDF("event_id", "user_id", "ts_us", "value"), gapUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == want, s"seed=$seed: spark-only=${(got -- want).take(3)} " +
+        s"brute-only=${(want -- got).take(3)}")
+    }
+  }
 }
