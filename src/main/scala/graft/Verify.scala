@@ -17,6 +17,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sequential harness = quiescent point; don't let one query's
+      // checkpoint blocks degrade the next hundred (see core.Caches)
+      graft.core.Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

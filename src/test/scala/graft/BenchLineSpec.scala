@@ -1,0 +1,87 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the LAST 2000 characters of benchmark stdout
+  * (every BENCH_r*.json `tail` is exactly 2000 chars) and parses the final
+  * JSON line out of that window. Four rounds of `"parsed": null` traced to
+  * one cause: the full 100+-query line is ~3 kB and can never fit. These
+  * tests pin the stdout-line contract — always within budget, always valid
+  * JSON, failures never trimmed away — for any future query-count growth.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q${i}%03d_some_operator_name", i * 0.037))
+
+  test("fmt renders centisecond JSON numbers without locale or -0 artifacts") {
+    assert(Bench.fmt(3.734115948) == "3.73")
+    assert(Bench.fmt(0.1) == "0.1")
+    assert(Bench.fmt(0.0) == "0")
+    assert(Bench.fmt(-1.0) == "-1")
+    assert(Bench.fmt(-0.0001) == "0")
+    assert(Bench.fmt(12.0) == "12")
+  }
+
+  test("stdout line fits the driver tail budget at any query count") {
+    for (n <- Seq(5, 50, 104, 250)) {
+      val line = Bench.stdoutLine(fakeResults(n), "/root/testdata/sf0.1")
+      assert(line.length <= 1900, s"n=$n line is ${line.length} chars")
+      assert(!line.contains('\n'))
+      val parsed = JsonMethods.parse(line)
+      assert((parsed \ "metric") == JString("total"))
+      assert((parsed \ "unit") == JString("sec"))
+      assert((parsed \ "queries").isInstanceOf[JObject])
+    }
+  }
+
+  test("trimming drops the cheapest queries first and keeps the slowest") {
+    val results = fakeResults(250) // far over budget, forces trimming
+    val line = Bench.stdoutLine(results, "/root/testdata/sf0.1")
+    val kept = (JsonMethods.parse(line) \ "queries").asInstanceOf[JObject].obj.map(_._1).toSet
+    assert(kept.size < results.size)
+    val slowest = results.sortBy(-_._2).take(10).map(_._1)
+    slowest.foreach(q => assert(kept(q), s"slowest query $q was trimmed"))
+    val cheapest = results.sortBy(_._2).take(10).map(_._1)
+    cheapest.foreach(q => assert(!kept(q), s"cheapest query $q survived while over budget"))
+  }
+
+  test("failed queries (-1) are never trimmed and total sums successes only") {
+    val results = fakeResults(249) :+ ("q999_broken_operator" -> -1.0)
+    val line = Bench.stdoutLine(results, "/root/testdata/sf0.1")
+    val parsed = JsonMethods.parse(line)
+    val kept = (parsed \ "queries").asInstanceOf[JObject].obj.toMap
+    assert(kept("q999_broken_operator") == JInt(-1) || kept("q999_broken_operator") == JDouble(-1.0) || kept("q999_broken_operator") == JDecimal(-1))
+    val JInt(nTotal) = (parsed \ "queries_total"): @unchecked
+    assert(nTotal.toInt == 250)
+  }
+
+  test("total reflects ALL queries even when some are trimmed from the line") {
+    val results = fakeResults(250)
+    val line = Bench.stdoutLine(results, "/root/testdata/sf0.1")
+    val parsed = JsonMethods.parse(line)
+    val total = (parsed \ "value") match {
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case JInt(i) => i.toDouble
+      case other => fail(s"unexpected total $other")
+    }
+    val expected = results.map(_._2).sum
+    assert(math.abs(total - expected) < 0.01)
+  }
+
+  test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
+    // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
+    val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))
+    val heavy = Seq("o3_topk_global" -> 6.1, "l5c_simhash" -> 3.73,
+      "l5b_minhash_lsh" -> 2.7, "t9_stream_stream_join" -> 2.1,
+      "t1_tumbling_window" -> 1.99, "l5_jaccard_pairs" -> 1.84,
+      "l5e_dedup_groups" -> 1.75, "l7d_knn_pq" -> 1.71)
+    val line = Bench.stdoutLine(base ++ heavy, "/root/testdata/sf0.1")
+    assert(line.length <= 1900)
+    val kept = (JsonMethods.parse(line) \ "queries").asInstanceOf[JObject].obj.map(_._1).toSet
+    heavy.foreach { case (q, _) => assert(kept(q), s"heavy query $q missing from stdout line") }
+  }
+}
