@@ -28,8 +28,10 @@ object Caches {
   def releaseAll(s: SparkSession): Unit = {
     // Dataset.persist entries (strongly held by the CacheManager)
     s.catalog.clearCache()
-    // RDD-level blocks: localCheckpoints and raw RDD persists
+    // RDD-level blocks: localCheckpoints and raw RDD persists. Blocking:
+    // call sites are quiescent by construction, and async removal would
+    // let block-cleanup churn land inside the NEXT query's timed window.
     s.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 }

@@ -34,19 +34,69 @@ object VectorOps {
     df.select(
       col("vec_id").as(s"id$suffix"),
       col("label"),
+      col("cell"),
       col("embedding").as(s"v$suffix"),
       norm(col("embedding")).as(s"n$suffix"))
 
-  /** L6: pairwise cosine similarity within label blocks. */
-  val l6CosinePairs: Q = (s, d) => {
-    graft.functions.VecDot.register(s)
-    val e = Tables.embeddings(s, d)
-    withNorm(e, "a").join(withNorm(e, "b"), Seq("label"))
+  /** Deterministic pseudo-random hyperplane p: h_p[i] = sin(p·7919 +
+    * i·104729) — fixed and reproducible without a model artifact; the prime
+    * strides decorrelate planes. Shared by the LSH table path (l7b) and the
+    * hot-label sub-blocking (l6c/l7e). */
+  private[graft] def hyperplane(p: Int, dim: Int = 64): Array[Double] =
+    Array.tabulate(dim)(i => math.sin((p * 7919 + i * 104729).toDouble))
+
+  /** Hot-label sub-blocking for the "exact" pair operators (the l5
+    * df-cap's vector analogue): a label whose block exceeds `cap` makes
+    * the within-label pair join quadratic in that block on a skewed label
+    * distribution. Labels at or under the cap keep `cell = -1` — ONE
+    * block, exact semantics. Oversized labels are split by the sign bits
+    * of `ceil(log2(cnt/cap))` fixed random hyperplanes (expected cell size
+    * ≤ cap), and only same-cell pairs are compared — approximate for hot
+    * labels, by the LSH guarantee that keeps high-cosine pairs colliding
+    * with high probability (the regime dedup/kNN consumers care about).
+    *
+    * Scale shape: one count aggregation on `label` (the key the pair join
+    * shuffles on anyway), broadcast back (#labels rows); the signature is
+    * maxBits codegen'd vec_dots per row, computed only where a plan needs
+    * them. No new shuffle, and every join bucket is bounded ~cap². */
+  private[graft] def subBlockedByLabel(e: DataFrame, cap: Long): DataFrame = {
+    graft.functions.VecDot.register(e.sparkSession)
+    val maxBits = 12
+    val sig = (0 until maxBits).map { b =>
+      when(dot(col("embedding"), typedLit(hyperplane(1000 + b))) > 0,
+        shiftleft(lit(1), b)).otherwise(lit(0))
+    }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bits", least(lit(maxBits),
+        ceil(log(2.0, col("cnt").cast("double") / cap)).cast("int")))
+    e.join(broadcast(counts), Seq("label"))
+      .withColumn("cell",
+        when(col("cnt") <= cap, lit(-1))
+          .otherwise(sig.bitwiseAND(expr("shiftleft(1, bits) - 1"))))
+      .drop("cnt", "bits")
+  }
+
+  /** l6 core over an arbitrary (vec_id, label, embedding) frame; `cap`
+    * engages hot-label sub-blocking (None = exact within-label). */
+  private[graft] def cosinePairsOn(e0: DataFrame, cap: Option[Long]): DataFrame = {
+    graft.functions.VecDot.register(e0.sparkSession)
+    val e = cap.fold(e0.withColumn("cell", lit(-1)))(c => subBlockedByLabel(e0, c))
+    withNorm(e, "a").join(withNorm(e, "b"), Seq("label", "cell"))
       .where(col("ida") < col("idb"))
       .select(col("label"), col("ida"), col("idb"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") > 0.2)
   }
+
+  /** L6: pairwise cosine similarity within label blocks (exact). */
+  val l6CosinePairs: Q = (s, d) => cosinePairsOn(Tables.embeddings(s, d), None)
+
+  /** L6c: l6 with the hot-label block cap engaged (VERDICT r5 #5) — the
+    * skew-safe production variant. cap = 48 splits the fixture's largest
+    * label at every sf, so the routing is exercised end-to-end. Declared
+    * rows-only; capped ⊆ exact and skew bounds asserted in ScalaTest. */
+  val l6cCosinePairsCapped: Q = (s, d) =>
+    cosinePairsOn(Tables.embeddings(s, d), Some(48L))
 
   /** L6b: embedding-cosine near-dup DEDUP — semantic duplicate groups:
     * connected components ([[Graphs.connectedComponents]], shared with the
@@ -65,13 +115,13 @@ object VectorOps {
         (col("id") === col("component")).cast("boolean").as("is_canonical"))
   }
 
-  /** L7: top-3 nearest neighbors per vector (brute force within label,
-    * ranked by unrounded cosine with id tiebreak). */
-  val l7KnnBruteForce: Q = (s, d) => {
+  /** l7 core over an arbitrary (vec_id, label, embedding) frame; `cap`
+    * engages hot-label sub-blocking (None = exact within-label). */
+  private[graft] def knnBruteOn(e0: DataFrame, cap: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.VecDot.register(s)
-    val e = Tables.embeddings(s, d)
-    val pairs = withNorm(e, "a").join(withNorm(e, "b"), Seq("label"))
+    graft.functions.VecDot.register(e0.sparkSession)
+    val e = cap.fold(e0.withColumn("cell", lit(-1)))(c => subBlockedByLabel(e0, c))
+    val pairs = withNorm(e, "a").join(withNorm(e, "b"), Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
@@ -80,6 +130,16 @@ object VectorOps {
       .where(col("rk") <= 3)
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
+
+  /** L7: top-3 nearest neighbors per vector (brute force within label,
+    * ranked by unrounded cosine with id tiebreak). */
+  val l7KnnBruteForce: Q = (s, d) => knnBruteOn(Tables.embeddings(s, d), None)
+
+  /** L7e: l7 brute with the hot-label block cap engaged (VERDICT r5 #5).
+    * Same cap/blocking as l6c; neighbors come from same-cell candidates.
+    * Declared rows-only; candidate-subset + recall floor in ScalaTest. */
+  val l7eKnnBruteCapped: Q = (s, d) =>
+    knnBruteOn(Tables.embeddings(s, d), Some(48L))
 
   /** L7b: ANN via random-hyperplane LSH — 6 independent hash tables of 6
     * sign bits each (36 fixed pseudo-random hyperplanes); a pair is a
@@ -95,14 +155,10 @@ object VectorOps {
     val numTables = 6
     val bitsPerTable = 6
     val e = Tables.embeddings(s, d)
-    // deterministic "random" hyperplane h_p[i] = sin(p·7919 + i·104729) —
-    // fixed and reproducible without a model artifact; the prime strides
-    // decorrelate planes (consecutive-integer sin sampling left adjacent
-    // planes correlated). Planes are LITERAL arrays computed once on the
+    // Planes ([[hyperplane]]) are LITERAL arrays computed once on the
     // driver, so the per-row work is one codegen'd vec_dot per plane.
     def planeDot(v: Column, p: Int): Column =
-      dot(v, typedLit((0 until 64).map(i =>
-        math.sin((p * 7919 + i * 104729).toDouble)).toArray))
+      dot(v, typedLit(hyperplane(p)))
     def bucket(tbl: Int): Column =
       (0 until bitsPerTable).map { b =>
         when(planeDot(col("embedding"), tbl * bitsPerTable + b) > 0,
@@ -270,20 +326,25 @@ object VectorOps {
   val l7dKnnPq: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(s)
+    graft.functions.PqExprs.register(s)
     val M = 16; val subDim = 4; val Ksub = 16; val iters = 3
     val e = Tables.embeddings(s, d)
     val base = e.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(eager = true)
 
-    def subVec(v: Column, m: Int): Column = slice(v, m * subDim + 1, subDim)
-    // L2 assignment per subspace: argmin_k |x_m − c_mk|² = argmin_k
-    // (|c_mk|² − 2·dot) — |x_m|² is constant per row and drops out
-    def subCell(v: Column, m: Int, books: Array[Array[Array[Double]]]): Column = {
-      val scores = array(books(m).map(c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(subVec(v, m), typedLit(c))): _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
+    // PQ encode / ADC-table as compact codegen'd kernels
+    // (functions/PqExprs.scala): the expression-tree formulation (M·Ksub
+    // = 256 inlined sub-dot argmins per consumer) exceeded the JVM's
+    // 64 KB method limit and silently fell back to interpreted eval on
+    // the hottest stage. Same math, bit-identical scores/tie-breaks.
+    def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+      call_function("pq_encode", v, typedLit(books))
+    def pqAdcTable(v: Column, books: Array[Array[Array[Double]]]): Column =
+      call_function("pq_adc_table", v, typedLit(books))
+    // sub-cell m unpacked from the 4-bit-packed code
+    def cellFromCode(code: Column, m: Int): Column =
+      shiftright(code, 4 * m).bitwiseAND(15)
 
     def train(): Array[Array[Array[Double]]] = {
       // deterministic init: subvectors of the Ksub lowest vec_ids
@@ -293,11 +354,15 @@ object VectorOps {
       var books = Array.tabulate(M, Ksub)((m, k) =>
         seedRows(k % seedRows.length).slice(m * subDim, m * subDim + subDim))
       for (_ <- 1 to iters) {
-        // ONE aggregation trains all M subspaces: explode to (m, cell,
-        // i, x), mean per (m, cell, i) — M·Ksub·subDim rows, driver-scale
-        val assigned = base.select(col("v"),
-          posexplode(array((0 until M).map(m => subCell(col("v"), m, books)): _*))
-            .as(Seq("m", "cell")))
+        // ONE aggregation trains all M subspaces: encode once (all M
+        // argmins in one kernel call), unpack to (m, cell), explode the
+        // subvector elements, mean per (m, cell, i) — M·Ksub·subDim
+        // rows, driver-scale
+        val assigned = base
+          .select(col("v"), pqEncode(col("v"), books).as("code"))
+          .select(col("v"),
+            posexplode(array((0 until M).map(m =>
+              cellFromCode(col("code"), m).cast("int")): _*)).as(Seq("m", "cell")))
         val means = assigned.select(col("m"), col("cell"),
             posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim)))
               .as(Seq("i", "x")))
@@ -314,33 +379,28 @@ object VectorOps {
     }
     val books = cachedByFingerprint(codebookCache, d)(train())
 
-    // encode: 16 × 4-bit sub-codes packed into one LONG, plus the
-    // reconstruction norm |x̂| — a pure function of the code (subspaces are
-    // orthogonal, so |x̂|² = Σ_m |c_m,code_m|²), computed ONCE per index
-    // vector here instead of 16 extra lookups per candidate PAIR.
-    // The 16 argmin cells land in an intermediate `cells` PROJECTION so
-    // the code pack and the norm share them STRUCTURALLY — inlining the
-    // cell expressions into both consumers would leave the dedup to
-    // optimizer subexpression elimination, doubling 256 sub-dot argmins
-    // per row whenever that doesn't kick in
-    val withCells = base.select(col("vec_id"), col("label"),
-      array((0 until M).map(m => subCell(col("v"), m, books)): _*).as("cells"))
-    def cellAt(m: Int): Column = element_at(col("cells"), m + 1)
-    val code = (0 until M).map(m =>
-      shiftleft(cellAt(m).cast("long"), 4 * m)).reduce(_.bitwiseOR(_))
+    // encode: 16 × 4-bit sub-codes packed into one LONG (one kernel call
+    // computes all M argmins), plus the reconstruction norm |x̂| — a pure
+    // function of the code (subspaces are orthogonal, so |x̂|² =
+    // Σ_m |c_m,code_m|²), computed ONCE per index vector here instead of
+    // 16 extra lookups per candidate PAIR. The code lands in an
+    // intermediate projection so the norm's 16 table lookups share the
+    // single encode STRUCTURALLY.
     val normLit = typedLit((for (m <- 0 until M; k <- 0 until Ksub) yield
       books(m)(k).map(x => x * x).sum).toArray)
     val nb = sqrt((0 until M).map(m =>
-      element_at(normLit, (cellAt(m) + m * Ksub + 1).cast("int"))).reduce(_ + _))
-    val codes = withCells.select(col("vec_id"), col("label"),
-        code.as("code"), nb.as("nb"))
+      element_at(normLit, (cellFromCode(col("code"), m) + m * Ksub + 1).cast("int")))
+      .reduce(_ + _))
+    val codes = base
+      .select(col("vec_id"), col("label"), pqEncode(col("v"), books).as("code"))
+      .select(col("vec_id"), col("label"), col("code"), nb.as("nb"))
       .localCheckpoint(eager = true) // the 16-byte/row index, built once
 
-    // query-side ADC tables: tbl[m·Ksub + k] = dot(q_m, c_mk)
-    val tbl = array((for (m <- 0 until M; k <- 0 until Ksub) yield
-      dot(subVec(col("v"), m), typedLit(books(m)(k)))): _*)
+    // query-side ADC tables: tbl[m·Ksub + k] = dot(q_m, c_mk), one kernel
+    // call per query row
     val queriesSide = base.select(col("vec_id").as("ida"),
-      tbl.as("tbl"), sqrt(dot(col("v"), col("v"))).as("na"))
+      pqAdcTable(col("v"), books).as("tbl"),
+      sqrt(dot(col("v"), col("v"))).as("na"))
 
     // candidates: label-blocked self-join over (id, code, nb) ONLY
     val cand = codes.select(col("label"), col("vec_id").as("ida"))
@@ -397,10 +457,12 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,
     "l6b_embed_dedup" -> l6bEmbedDedup,
+    "l6c_cosine_pairs_capped" -> l6cCosinePairsCapped,
     "l7_knn_brute" -> l7KnnBruteForce,
     "l7b_knn_lsh" -> l7bKnnLsh,
     "l7c_knn_ivf" -> l7cKnnIvf,
-    "l7d_knn_pq" -> l7dKnnPq
+    "l7d_knn_pq" -> l7dKnnPq,
+    "l7e_knn_brute_capped" -> l7eKnnBruteCapped
   )
 
   val oracle: Map[String, String] = Map(

@@ -72,6 +72,42 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(total - expected) < 0.01)
   }
 
+  test("mass-failure round: line still fits and failed_total keeps the count") {
+    // Failures alone exceed the budget here; names may be trimmed, but the
+    // count must stay on the primary channel (the round-5 advice gap).
+    val results = (1 to 250).map(i => (f"q${i}%03d_some_operator_name", -1.0))
+    val line = Bench.stdoutLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= 1900)
+    val parsed = JsonMethods.parse(line)
+    val JInt(failed) = (parsed \ "failed_total"): @unchecked
+    assert(failed.toInt == 250)
+    val JInt(nTotal) = (parsed \ "queries_total"): @unchecked
+    assert(nTotal.toInt == 250)
+  }
+
+  test("run-health extra fields survive trimming") {
+    val extra = ""","load_avg_start":3.1,"spread_median":1.2,"noisy":true"""
+    val line = Bench.stdoutLine(fakeResults(250), "/root/testdata/sf0.1", extra = extra)
+    assert(line.length <= 1900)
+    val parsed = JsonMethods.parse(line)
+    assert((parsed \ "noisy") == JBool(true))
+    assert((parsed \ "spread_median") == JDouble(1.2) || (parsed \ "spread_median") == JDecimal(1.2))
+  }
+
+  test("spread and median helpers") {
+    val spr = Bench.spreads(Map(
+      "a" -> Seq(1.0, 2.0),   // 2x spread
+      "b" -> Seq(0.5, 0.5),   // steady
+      "c" -> Seq(-1.0, 0.3))) // failed run -> excluded
+    assert(spr.keySet == Set("a", "b"))
+    assert(math.abs(spr("a") - 2.0) < 1e-9)
+    assert(math.abs(spr("b") - 1.0) < 1e-9)
+    assert(Bench.median(Seq()) == 0.0)
+    assert(Bench.median(Seq(3.0)) == 3.0)
+    assert(Bench.median(Seq(1.0, 2.0, 10.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 10.0)) == 2.5)
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))

@@ -26,7 +26,8 @@ class OperatorSmokeSpec extends SparkSpec {
   test("every query has an oracle or is a documented rows-only check") {
     val rowsOnly = Set("f7b_xxhash64", "l12_rolling_fp", "l5b_minhash_lsh",
       "l5c_simhash", "l5d_minhash_agg", "l7b_knn_lsh", "l7c_knn_ivf",
-      "l7d_knn_pq", "l15b_len_quantiles_approx")
+      "l7d_knn_pq", "l15b_len_quantiles_approx",
+      "l6c_cosine_pairs_capped", "l7e_knn_brute_capped")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

@@ -120,6 +120,22 @@ class PlanSpec extends SparkSpec {
     assert(pairAggs.isEmpty, s"distinct resurfaced in l5c:\n$plan")
   }
 
+  test("l7d PQ: encode/ADC pipeline compiles and keeps whole-stage codegen spans") {
+    // The shared test session runs with spark.sql.codegen.fallback=false
+    // (SparkSpec), so merely EXECUTING here proves no stage blew the 64 KB
+    // method limit (the round-5 failure mode: 256 inlined argmins fell back
+    // to interpreted eval with only an ERROR log). Additionally assert the
+    // plan actually carries codegen spans — a plan that quietly went
+    // non-codegen (e.g. a CodegenFallback expression in the hot path)
+    // would pass the compile gate while still running interpreted.
+    assert(spark.conf.get("spark.sql.codegen.fallback") == "false",
+      "test session must run with codegen fallback disabled")
+    val plan = executed(graft.ops.VectorOps.l7dKnnPq(spark, sfDir))
+    assert(collectAll(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"no codegen span in PQ plan:\n$plan")
+  }
+
   test("l7c IVF: no cartesian or nested-loop join anywhere in the probe plan") {
     val plan = executed(graft.ops.VectorOps.l7cKnnIvf(spark, sfDir))
     val bad = collectAll(plan).filter(p =>
