@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.TextOps
+import graft.ops.{TextOps, VectorOps}
 
 /** Scale-growth regression net for the quadratic-RISK family: the near-dup
   * operators are all bucketed (inverted-index / LSH-band / byte-pair
@@ -42,6 +42,36 @@ class GrowthSpec extends SparkSpec {
       assert(ratio < 25.0,
         f"$name grew ${ratio}%.1fx on 10x rows — quadratic-risk regression " +
           "(a bucketed plan should stay near-linear; ~100x means an unblocked pair join)")
+    }
+  }
+
+  // Vector family (VERDICT r5 #6): embeddings grow 4x between these sf
+  // tiers (500 -> 2,000 rows), so an UNBLOCKED all-pairs regression costs
+  // ~16x in candidate volume on top of losing the label/bucket/cell
+  // locality — the 12x wall-time bound leaves room for the label-blocked
+  // designs' legitimate growth plus load noise while still catching a
+  // label-ignoring pair join by an order of magnitude at any larger scale.
+  // (l6/l7 exact are INTENTIONALLY block-quadratic; the guards cover the
+  // ANN/dedup paths whose whole point is sub-quadratic candidates.)
+  for ((name, q) <- Seq(
+      "l6b_embed_dedup" -> VectorOps.l6bEmbedDedup,
+      "l7b_knn_lsh" -> VectorOps.l7bKnnLsh,
+      "l7c_knn_ivf" -> VectorOps.l7cKnnIvf,
+      "l7d_knn_pq" -> VectorOps.l7dKnnPq)) {
+    test(s"$name: 4x embedding growth stays sub-quadratic in wall time") {
+      // warm up BOTH tiers: quantizer training (l7c/l7d) memoizes per
+      // source dir, so warming only the small tier would time the probe
+      // path small but training+probe large — an asymmetry that reads as
+      // growth. Training cost is driver-scale and pinned elsewhere.
+      q(spark, small).count()
+      q(spark, large).count()
+      val tSmall = math.max(secs(q(spark, small).count()), 0.25)
+      val tLarge = secs(q(spark, large).count())
+      val ratio = tLarge / tSmall
+      info(f"$name: ${tSmall}%.2fs -> ${tLarge}%.2fs at 4x rows (${ratio}%.1fx)")
+      assert(ratio < 12.0,
+        f"$name grew ${ratio}%.1fx on 4x rows — quadratic-risk regression " +
+          "(blocked candidates should grow near-linearly; ~16x+ means an unblocked pair join)")
     }
   }
 }
