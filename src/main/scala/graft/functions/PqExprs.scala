@@ -238,13 +238,85 @@ case class PqAdcTable(vec: Expression, codebooks: Expression)
     copy(vec = newLeft, codebooks = newRight)
 }
 
+/** `pq_adc_score(tbl, code, M)` → the ADC approximate dot product: the sum
+  * of the M table entries the packed code selects,
+  * Σ_m tbl[(code >> 4m & 15) + m·Ksub] with Ksub = |tbl| / M, accumulated
+  * left-to-right (bit-identical to the chain of element_at lookups it
+  * replaces). This is the per-candidate-PAIR hot path of the PQ ranking
+  * stage — one bounds-checked loop instead of M element_at trees. NULL on
+  * null inputs, null table entries, or a code nibble outside the table
+  * (matching non-ANSI element_at's out-of-bounds-is-NULL contract). */
+case class PqAdcScore(tbl: Expression, code: Expression, numSub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = tbl
+  override def right: Expression = code
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!tbl.dataType.isInstanceOf[ArrayType] ||
+        tbl.dataType.asInstanceOf[ArrayType].elementType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects ARRAY<DOUBLE> table, got ${tbl.dataType.catalogString}")
+    else if (code.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score expects BIGINT code, got ${code.dataType.catalogString}")
+    else if (numSub < 1 || numSub > 16)
+      TypeCheckResult.TypeCheckFailure("pq_adc_score: M must be in [1, 16]")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(t: Any, c: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[Long]
+    val ksub = arr.numElements() / numSub
+    var acc = 0.0
+    var m = 0
+    while (m < numSub) {
+      val idx = ((cd >> (4 * m)) & 15L).toInt + m * ksub
+      if (idx >= arr.numElements() || arr.isNullAt(idx)) return null
+      acc += arr.getDouble(idx)
+      m += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => {
+      val ksub = ctx.freshName("ksub")
+      val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $ksub = $t.numElements() / $numSub;
+         |double $acc = 0.0;
+         |for (int $m = 0; $m < $numSub && !${ev.isNull}; $m++) {
+         |  int $idx = (int) (($c >> (4 * $m)) & 15L) + $m * $ksub;
+         |  if ($idx >= $t.numElements() || $t.isNullAt($idx)) { ${ev.isNull} = true; break; }
+         |  $acc += $t.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(tbl = newLeft, code = newRight)
+}
+
 object PqExprs {
-  /** Register both kernels for use via call_function (same wiring as
-    * [[VecDot.register]]). */
+  /** Register the kernels for use via call_function (same wiring as
+    * [[VecDot.register]]). pq_adc_score's third argument must be a foldable
+    * integer (the subspace count M). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_adc_table", exprs => PqAdcTable(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc_score", exprs => PqAdcScore(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

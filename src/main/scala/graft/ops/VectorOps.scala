@@ -407,11 +407,12 @@ object VectorOps {
       .join(codes.select(col("label"), col("vec_id").as("idb"),
         col("code"), col("nb")), Seq("label"))
       .where(col("ida") =!= col("idb"))
-    def lookup(arr: Column, m: Int): Column =
-      element_at(arr,
-        (shiftright(col("code"), 4 * m).bitwiseAND(15) + m * Ksub + 1).cast("int"))
+    // per-pair ADC sum as ONE compact kernel (pq_adc_score) — the
+    // per-candidate hot path; same left-to-right order as the M-element_at
+    // chain it replaces
     val scored = cand.join(broadcast(queriesSide), Seq("ida"))
-      .withColumn("dotApprox", (0 until M).map(m => lookup(col("tbl"), m)).reduce(_ + _))
+      .withColumn("dotApprox",
+        call_function("pq_adc_score", col("tbl"), col("code"), lit(M)))
       .withColumn("cosApprox", col("dotApprox") / (col("na") * col("nb")))
     val w = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
     scored

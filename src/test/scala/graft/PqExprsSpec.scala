@@ -72,6 +72,34 @@ class PqExprsSpec extends SparkSpec {
     assert(run(spark) == run(interp))
   }
 
+  test("pq_adc_score equals the element_at lookup chain it replaced") {
+    PqExprs.register(spark)
+    import spark.implicits._
+    val df = vectors.zipWithIndex.map { case (v, n) => (n, v) }.toDF("n", "v")
+      .select(col("n"),
+        call_function("pq_encode", col("v"), typedLit(books)).as("code"),
+        call_function("pq_adc_table", col("v"), typedLit(books)).as("tbl"))
+    val chain = (0 until M).map(m =>
+      element_at(col("tbl"),
+        (shiftright(col("code"), 4 * m).bitwiseAND(15) + m * Ksub + 1).cast("int")))
+      .reduce(_ + _)
+    val diff = df
+      .select(call_function("pq_adc_score", col("tbl"), col("code"), lit(M)).as("fast"),
+        chain.as("slow"))
+      .where(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("pq_adc_score nulls out on an out-of-range code nibble") {
+    PqExprs.register(spark)
+    import spark.implicits._
+    // Ksub = 3 here, so a nibble of 15 points past the subspace's entries
+    val df = Seq((Array.fill(M * Ksub)(1.0), 15L)).toDF("tbl", "code")
+    val rows = df.select(
+      call_function("pq_adc_score", col("tbl"), col("code"), lit(M))).collect()
+    assert(rows(0).isNullAt(0))
+  }
+
   test("pq kernels: null and ragged inputs null out") {
     PqExprs.register(spark)
     import spark.implicits._
