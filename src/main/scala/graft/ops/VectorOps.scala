@@ -197,6 +197,92 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
 
+  private def unitize(raw: Array[Double]): Option[Array[Double]] = {
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    if (n > 0) Some(raw.map(_ / n)) else None
+  }
+
+  /** argmax-cosine cell id for `v` against literal unit centroids: K
+    * codegen'd vec_dots per row, no shuffle (centroids ride along as
+    * literals). Shared by the IVF (l7c) and IVFADC (l7f) paths so both
+    * assign identically and can share one trained centroid set. */
+  private def centroidCellOf(v: Column, nrm: Column,
+      cents: Array[Array[Double]]): Column = {
+    val ds = array(cents.map(c => dot(v, typedLit(c)) / nrm): _*)
+    (array_position(ds, array_max(ds)) - 1).cast("int")
+  }
+
+  /** Spherical k-means (Lloyd's) over unit vectors — the shared coarse
+    * quantizer trainer for l7c/l7f. `base` needs (vec_id, `vcol`, nrm);
+    * float and double vectors train bit-identically (exact widening).
+    * Centroids are always driver-size (K × dim doubles — at 100 TB you
+    * train on a SAMPLE, standard IVF practice). */
+  private[graft] def trainIvfCentroids(base: DataFrame, vcol: String,
+      K: Int, iters: Int): Array[Array[Double]] = {
+    // deterministic init: the K lowest vec_ids unit-normalized (any
+    // fixed spread works; Lloyd's moves them to the density in 2-3 steps)
+    var cs = base.orderBy(col("vec_id")).limit(K)
+      .select(col(vcol)).collect()
+      .map { r =>
+        val raw = r.getSeq[Number](0).map(_.doubleValue).toArray
+        unitize(raw).getOrElse(raw) // all-zero vector: keep as-is
+      }
+    for (_ <- 1 to iters) {
+      // element-wise mean of unit vectors per cell: explode to (cell, i,
+      // x/nrm), avg, regroup on the driver — K·dim rows, metadata-scale
+      val means = base.select(centroidCellOf(col(vcol), col("nrm"), cs).as("cell"),
+          posexplode(col(vcol)).as(Seq("i", "x")), col("nrm"))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x").cast("double") / col("nrm")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cs = cs.indices.map { c =>
+        byCell.get(c)
+          .flatMap(rows => unitize(rows.sortBy(_._2).map(_._3).toArray))
+          .getOrElse(cs(c)) // empty cell keeps its centroid
+      }.toArray
+    }
+    cs
+  }
+
+  /** Per-subspace Lloyd's for PQ codebooks — the shared trainer for
+    * l7d (raw vectors) and l7f (IVF residuals). `frame` needs (vec_id,
+    * `vcol`: array<double> of length M·subDim). ONE aggregation per
+    * iteration trains all M subspaces: encode once (all M argmins in one
+    * kernel call), unpack to (m, cell), explode the subvector elements,
+    * mean per (m, cell, i) — M·Ksub·subDim rows, driver-scale. */
+  private def trainPqBooks(frame: DataFrame, vcol: String, M: Int,
+      subDim: Int, Ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    def cellFromCode(code: Column, m: Int): Column =
+      shiftright(code, 4 * m).bitwiseAND(15)
+    // deterministic init: subvectors of the Ksub lowest vec_ids
+    val seedRows = frame.orderBy(col("vec_id")).limit(Ksub)
+      .select(col(vcol)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books = Array.tabulate(M, Ksub)((m, k) =>
+      seedRows(k % seedRows.length).slice(m * subDim, m * subDim + subDim))
+    for (_ <- 1 to iters) {
+      val assigned = frame
+        .select(col(vcol).as("v"),
+          call_function("pq_encode", col(vcol), typedLit(books)).as("code"))
+        .select(col("v"),
+          posexplode(array((0 until M).map(m =>
+            cellFromCode(col("code"), m).cast("int")): _*)).as(Seq("m", "cell")))
+      val means = assigned.select(col("m"), col("cell"),
+          posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim)))
+            .as(Seq("i", "x")))
+        .groupBy(col("m"), col("cell"), col("i"))
+        .agg(avg(col("x")).as("mean"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+      books = Array.tabulate(M, Ksub)((m, k) =>
+        means.get((m, k))
+          .map(_.map(_._2).sortBy(_._1).map(_._2).toArray)
+          .getOrElse(books(m)(k))) // empty cell keeps its centroid
+    }
+    books
+  }
+
   /** L7c: ANN via IVF (inverted-file) with LEARNED centroids — the
     * production-shape coarse quantizer the l7 Scaladoc promises: k-means
     * (Lloyd's) over unit vectors, cells as blocking key, multi-probe on the
@@ -233,46 +319,14 @@ object VectorOps {
 
     def dots(cents: Array[Array[Double]]): Column =
       array(cents.map(c => dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
-    def cellOf(cents: Array[Array[Double]]): Column = {
-      val ds = dots(cents)
-      (array_position(ds, array_max(ds)) - 1).cast("int")
-    }
-    def unitize(raw: Array[Double]): Option[Array[Double]] = {
-      val n = math.sqrt(raw.map(x => x * x).sum)
-      if (n > 0) Some(raw.map(_ / n)) else None
-    }
 
     // Train once per (source dir, content fingerprint) — the IVF contract
     // is "train the quantizer once, probe many queries", so repeated
     // invocations (and the bench's min-of-2) measure the probe path, not
-    // re-training (cachedByFingerprint).
-    def train(): Array[Array[Double]] = {
-      // deterministic init: the K lowest vec_ids unit-normalized (any
-      // fixed spread works; Lloyd's moves them to the density in 2-3 steps)
-      var cs = base.orderBy(col("vec_id")).limit(K)
-        .select(col("embedding")).collect()
-        .map { r =>
-          val raw = r.getSeq[Float](0).map(_.toDouble).toArray
-          unitize(raw).getOrElse(raw) // all-zero vector: keep as-is
-        }
-      for (_ <- 1 to iters) {
-        // element-wise mean of unit vectors per cell: explode to (cell, i,
-        // x/nrm), avg, regroup on the driver — K·dim rows, metadata-scale
-        val means = base.select(cellOf(cs).as("cell"),
-            posexplode(col("embedding")).as(Seq("i", "x")), col("nrm"))
-          .groupBy(col("cell"), col("i"))
-          .agg(avg(col("x").cast("double") / col("nrm")).as("m"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-        val byCell = means.groupBy(_._1)
-        cs = cs.indices.map { c =>
-          byCell.get(c)
-            .flatMap(rows => unitize(rows.sortBy(_._2).map(_._3).toArray))
-            .getOrElse(cs(c)) // empty cell keeps its centroid
-        }.toArray
-      }
-      cs
-    }
-    val cents = cachedByFingerprint(centroidCache, d)(train())
+    // re-training (cachedByFingerprint). The cache is shared with l7f
+    // (identical trainer, identical result from float or double vectors).
+    val cents = cachedByFingerprint(centroidCache, d)(
+      trainIvfCentroids(base, "embedding", K, iters))
 
     // index side: each vector in its single best cell; query side: probe
     // the nprobe nearest cells. Ids only through the join; vectors
@@ -346,38 +400,8 @@ object VectorOps {
     def cellFromCode(code: Column, m: Int): Column =
       shiftright(code, 4 * m).bitwiseAND(15)
 
-    def train(): Array[Array[Array[Double]]] = {
-      // deterministic init: subvectors of the Ksub lowest vec_ids
-      val seedRows = base.orderBy(col("vec_id")).limit(Ksub)
-        .select(col("v")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      var books = Array.tabulate(M, Ksub)((m, k) =>
-        seedRows(k % seedRows.length).slice(m * subDim, m * subDim + subDim))
-      for (_ <- 1 to iters) {
-        // ONE aggregation trains all M subspaces: encode once (all M
-        // argmins in one kernel call), unpack to (m, cell), explode the
-        // subvector elements, mean per (m, cell, i) — M·Ksub·subDim
-        // rows, driver-scale
-        val assigned = base
-          .select(col("v"), pqEncode(col("v"), books).as("code"))
-          .select(col("v"),
-            posexplode(array((0 until M).map(m =>
-              cellFromCode(col("code"), m).cast("int")): _*)).as(Seq("m", "cell")))
-        val means = assigned.select(col("m"), col("cell"),
-            posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim)))
-              .as(Seq("i", "x")))
-          .groupBy(col("m"), col("cell"), col("i"))
-          .agg(avg(col("x")).as("mean"))
-          .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
-          .groupBy(_._1)
-        books = Array.tabulate(M, Ksub)((m, k) =>
-          means.get((m, k))
-            .map(_.map(_._2).sortBy(_._1).map(_._2).toArray)
-            .getOrElse(books(m)(k))) // empty cell keeps its centroid
-      }
-      books
-    }
-    val books = cachedByFingerprint(codebookCache, d)(train())
+    val books = cachedByFingerprint(codebookCache, d)(
+      trainPqBooks(base, "v", M, subDim, Ksub, iters))
 
     // encode: 16 × 4-bit sub-codes packed into one LONG (one kernel call
     // computes all M argmins), plus the reconstruction norm |x̂| — a pure
@@ -422,6 +446,111 @@ object VectorOps {
         round(col("cosApprox"), 6).as("cos_approx"))
   }
 
+  /** L7f: ANN via IVF + residual PQ — IVFADC (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011, §IV):
+    * the composition that is the production 100 TB path. l7c restricts
+    * candidates to probed cells but ships RAW vectors into ranking; l7d
+    * ranks from 16-byte codes but considers every same-label candidate.
+    * IVFADC does both: a learned coarse quantizer routes each vector to
+    * one cell, the RESIDUAL v − c(cell) is PQ-encoded (residuals are what
+    * the sub-codebooks see, so the 4-bit budget quantizes the small
+    * around-centroid displacements, not the full embedding range), and
+    * ranking is ADC over codes restricted to probed cells.
+    *
+    * Score decomposition (all codegen'd, no vector reads after encode):
+    * dot(q, x̂) = dot(q, c) + dot(q, r̂) — the first term falls out of the
+    * probe stage (it IS the cell-ranking dot), the second is the ADC sum
+    * over the query's residual table. |x̂| is a pure function of
+    * (cell, code): |c|² + 2·dot(c, r̂) + |r̂|² via three LITERAL tables
+    * (K, K·M·Ksub, M·Ksub doubles — driver-size), summed by the same
+    * pq_adc_score kernel.
+    *
+    * Scale shape: the candidate join moves (label, cell, id, code:long,
+    * nbhat:double) — 20 bytes/vector — and touches only nprobe/K of the
+    * index per query. The query side re-attaches its ~2 KB ADC table once
+    * (same posture as l7d; at production scale that join shuffles on ida).
+    * Declared rows-only; recall floor + determinism in ScalaTest. */
+  val l7fKnnIvfPq: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
+    graft.functions.PqExprs.register(s)
+    val K = 16; val kmIters = 3; val nprobe = 3
+    val M = 16; val subDim = 4; val Ksub = 16; val pqIters = 3
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint(eager = true)
+
+    val cents = cachedByFingerprint(centroidCache, d)(
+      trainIvfCentroids(base, "v", K, kmIters))
+    val centsLit = typedLit(cents)
+
+    // assignment + residual, materialized once: the residual-book trainer,
+    // the encode stage, the probe stage and the query re-attach all read it
+    val assigned = base
+      .withColumn("cell", centroidCellOf(col("v"), col("nrm"), cents))
+      .withColumn("r", zip_with(col("v"), element_at(centsLit, col("cell") + 1),
+        (x, c) => x - c))
+      .localCheckpoint(eager = true)
+
+    val rbooks = cachedByFingerprint(residualBookCache, d)(
+      trainPqBooks(assigned, "r", M, subDim, Ksub, pqIters))
+
+    def adcSum(tbl: Column, code: Column): Column =
+      call_function("pq_adc_score", tbl, code, lit(M))
+
+    // reconstruction-norm tables, all literal (driver-size):
+    // |x̂|² = |c|² + 2·Σ_m dot(c_m, r̂_m) + Σ_m |r̂_m|², the middle term a
+    // per-cell M·Ksub table so one pq_adc_score call sums the code's picks
+    val cNormSq = cents.map(c => c.foldLeft(0.0)((t, x) => t + x * x))
+    val rNormSq = (for (m <- 0 until M; k <- 0 until Ksub)
+      yield rbooks(m)(k).foldLeft(0.0)((t, x) => t + x * x)).toArray
+    val cross = cents.map { c =>
+      (for (m <- 0 until M; k <- 0 until Ksub) yield {
+        var t = 0.0; var i = 0
+        while (i < subDim) { t += c(m * subDim + i) * rbooks(m)(k)(i); i += 1 }
+        t
+      }).toArray
+    }
+    val nbhat = sqrt(
+      element_at(typedLit(cNormSq), col("cell") + 1) +
+        lit(2.0) * adcSum(element_at(typedLit(cross), col("cell") + 1), col("code")) +
+        adcSum(typedLit(rNormSq), col("code")))
+    val index = assigned
+      .select(col("vec_id").as("idb"), col("label"), col("cell"),
+        call_function("pq_encode", col("r"), typedLit(rbooks)).as("code"))
+      .withColumn("nbhat", nbhat)
+      .localCheckpoint(eager = true) // the 20-byte/row IVFADC index
+
+    // probe stage: raw dot(q, c) ranks cells identically to cosine (the
+    // 1/|q| factor is positive) and doubles as the score's dot(q, c) term
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("qc").desc, col("cell"))
+    val probes = assigned.select(col("vec_id"), col("label"),
+        posexplode(array(cents.map(c => dot(col("v"), typedLit(c))): _*))
+          .as(Seq("cell", "qc")))
+      .withColumn("pk", row_number().over(wProbe))
+      .where(col("pk") <= nprobe)
+      .select(col("label"), col("cell"), col("vec_id").as("ida"), col("qc"))
+
+    val queryAttrs = assigned.select(col("vec_id").as("ida"),
+      call_function("pq_adc_table", col("v"), typedLit(rbooks)).as("tbl"),
+      col("nrm").as("na"))
+
+    // every index vector lives in exactly ONE cell, so a candidate pair
+    // appears at most once across probed cells — no dedup exchange needed
+    val w = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
+    probes.join(index, Seq("label", "cell"))
+      .where(col("ida") =!= col("idb"))
+      .join(broadcast(queryAttrs), Seq("ida"))
+      .withColumn("cosApprox",
+        (col("qc") + adcSum(col("tbl"), col("code"))) / (col("na") * col("nbhat")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("ida"), col("idb"), col("rk"),
+        round(col("cosApprox"), 6).as("cos_approx"))
+  }
+
   /** Fingerprint-stamped per-dir training memo, shared by the IVF centroid
     * and PQ codebook caches: ONE entry per source dir, stamped with the
     * embeddings fingerprint it was trained on. The fingerprint is the
@@ -455,6 +584,9 @@ object VectorOps {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
 
+  private val residualBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
+
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,
     "l6b_embed_dedup" -> l6bEmbedDedup,
@@ -463,7 +595,8 @@ object VectorOps {
     "l7b_knn_lsh" -> l7bKnnLsh,
     "l7c_knn_ivf" -> l7cKnnIvf,
     "l7d_knn_pq" -> l7dKnnPq,
-    "l7e_knn_brute_capped" -> l7eKnnBruteCapped
+    "l7e_knn_brute_capped" -> l7eKnnBruteCapped,
+    "l7f_knn_ivfpq" -> l7fKnnIvfPq
   )
 
   val oracle: Map[String, String] = Map(

@@ -103,6 +103,25 @@ class ApproxOpsSpec extends SparkSpec {
     assert(again == pqTop, "PQ ranking must be deterministic across invocations")
   }
 
+  test("l7f IVFADC kNN: cell-routed residual-PQ neighbors recall vs brute force") {
+    val exactTop3 = pairSet(
+      VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
+    val ivfpq = VectorOps.l7fKnnIvfPq(spark, sfDir)
+    assert(ivfpq.count() > 0)
+    // the compounded approximation (nprobe=3/16 cells AND 4-bit residual
+    // codes) still has to put a true top-3 neighbor first for most queries;
+    // floor set below the measured value with the same slack the l7b/l7c/
+    // l7d floors carry
+    val top = pairSet(ivfpq.where(col("rk") === 1), "ida", "idb")
+    val hit = top.count(exactTop3.contains)
+    info(s"IVFADC top-1 in exact top-3: $hit/${top.size}")
+    assert(hit.toDouble / top.size >= 0.4,
+      s"IVFADC top-1 in exact top-3 for only $hit/${top.size}")
+    // determinism: cached centroids + codebooks -> identical re-run
+    val again = pairSet(VectorOps.l7fKnnIvfPq(spark, sfDir).where(col("rk") === 1), "ida", "idb")
+    assert(again == top, "IVFADC ranking must be deterministic across invocations")
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)

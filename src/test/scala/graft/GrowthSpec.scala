@@ -57,7 +57,8 @@ class GrowthSpec extends SparkSpec {
       "l6b_embed_dedup" -> VectorOps.l6bEmbedDedup,
       "l7b_knn_lsh" -> VectorOps.l7bKnnLsh,
       "l7c_knn_ivf" -> VectorOps.l7cKnnIvf,
-      "l7d_knn_pq" -> VectorOps.l7dKnnPq)) {
+      "l7d_knn_pq" -> VectorOps.l7dKnnPq,
+      "l7f_knn_ivfpq" -> VectorOps.l7fKnnIvfPq)) {
     test(s"$name: 4x embedding growth stays sub-quadratic in wall time") {
       // warm up BOTH tiers: quantizer training (l7c/l7d) memoizes per
       // source dir, so warming only the small tier would time the probe
