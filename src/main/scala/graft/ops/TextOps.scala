@@ -494,6 +494,30 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"))
   }
 
+  /** L17: benchmark DECONTAMINATION — flag training documents that share
+    * any 3-token shingle with a held-out eval set (every LLM-data paper's
+    * train/test-overlap scrub; n-gram overlap against the benchmark suite,
+    * à la GPT-3 §C / PaLM §C). The eval slice here is the deterministic
+    * pseudo-holdout doc_id % 20 == 0; production swaps in the real
+    * benchmark table and (typically) a longer shingle — same plan.
+    *
+    * Scale shape: inverted-index semi-join, never doc×doc — both sides
+    * explode to (doc, shingle-hash) and meet on the 8-byte hash. The eval
+    * side is a benchmark suite (tiny, broadcastable): the 100 TB train
+    * side joins against a broadcast eval shingle set, NO train-side
+    * shuffle for the match itself; only the flagged-survivor aggregation
+    * shuffles, and that is |flagged| rows. */
+  val l17Decontaminate: Q = (s, d) => {
+    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val evalSh = sh.where(col("doc_id") % 20 === 0)
+      .select(col("s"), col("doc_id").as("eval_id"))
+    val trainSh = sh.where(col("doc_id") % 20 =!= 0)
+    trainSh.join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("eval_id")).as("n_eval_hits"),
+        count_distinct(col("s")).as("n_shared_shingles"))
+  }
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -513,6 +537,7 @@ object TextOps {
     "l15_len_quantiles" -> l15LenQuantiles,
     "l15b_len_quantiles_approx" -> l15bLenQuantilesApprox,
     "l16_hash_sample" -> l16HashSample,
+    "l17_decontaminate" -> l17Decontaminate,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -576,6 +601,23 @@ object TextOps {
          FROM documents
          WHERE ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
                < (length(source) * 7) % 41 + 30""",
+    "l17_decontaminate" ->
+      """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT tr.doc_id,
+                count(DISTINCT ev.eval_id) AS n_eval_hits,
+                count(DISTINCT tr.s) AS n_shared_shingles
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY tr.doc_id""",
     "l5f_dedup_apply" ->
       s"""WITH groups AS ($l5eOracleSql)
           SELECT g.doc_id, g.component, sz.group_size
