@@ -32,7 +32,8 @@ class GrowthSpec extends SparkSpec {
   for ((name, q) <- Seq(
       "l5_jaccard_pairs" -> TextOps.l5JaccardPairs,
       "l5b_minhash_lsh" -> TextOps.l5bMinhashLsh,
-      "l5c_simhash" -> TextOps.l5cSimhash)) {
+      "l5c_simhash" -> TextOps.l5cSimhash,
+      "l17_decontaminate" -> TextOps.l17Decontaminate)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)
