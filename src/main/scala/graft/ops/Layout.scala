@@ -83,9 +83,13 @@ object Layout {
     val (out, (oMin, oMax, sMin, sMax)) = writeZordered(s, d)
     val (oLo, oHi) = band(oMin, oMax)
     val (sLo, sHi) = band(sMin, sMax)
+    // bounds are integral (floor/ceil) — compare as LONG, not double: a
+    // double literal makes Spark cast the bigint column and a cast column
+    // cannot reach PushedFilters, which silently turns footer-stat file
+    // pruning into a full scan (LayoutSpec asserts the pushdown)
     s.read.parquet(out)
-      .where(col("l_orderkey") >= oLo && col("l_orderkey") <= oHi &&
-        col("l_suppkey") >= sLo && col("l_suppkey") <= sHi)
+      .where(col("l_orderkey") >= oLo.toLong && col("l_orderkey") <= oHi.toLong &&
+        col("l_suppkey") >= sLo.toLong && col("l_suppkey") <= sHi.toLong)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"))
   }

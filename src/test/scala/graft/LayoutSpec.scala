@@ -66,6 +66,22 @@ class LayoutSpec extends SparkSpec {
       s"suppkey band touched $tS/$total files — no z-locality on dim 2")
   }
 
+  test("s9 query: band predicates reach PushedFilters (footer-stat pruning is live)") {
+    // a double literal against the bigint column would wrap it in a cast
+    // and silently demote the scan to IsNotNull-only pushdown — exactly
+    // the regression this pins (found via PLANS.md inspection)
+    val df = graft.ops.Layout.s9ZorderLayout(spark, sfDir)
+    // formatted explain prints PushedFilters untruncated (simple .toString
+    // elides long filter lists with "...")
+    val scan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_orderkey", "l_suppkey")) {
+      assert(pushed.contains(s"GreaterThanOrEqual($c"), s"no >= pushdown for $c: $pushed")
+      assert(pushed.contains(s"LessThanOrEqual($c"), s"no <= pushdown for $c: $pushed")
+    }
+  }
+
   test("s10 compaction: 64 fragment files collapse to the byte-target count, losslessly") {
     val frag = graft.core.TempDirs.scratch("frag_spec").toString
     val docs = graft.core.Tables.documents(spark, sfDir)
