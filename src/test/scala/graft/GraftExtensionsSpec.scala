@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class is the no-code-changes install path
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`). Same-JVM tests
+  * can't exercise the conf route (the extension conf is read at
+  * SparkContext/session bootstrap), so this spec installs through
+  * `builder.withExtensions(new GraftExtensions)` — the identical
+  * `apply(SparkSessionExtensions)` under test — on a DEDICATED session
+  * that must not inherit the shared session's per-session temp-function
+  * registrations (that would make resolution vacuously pass). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // build around the shared session: clear the default so getOrCreate
+    // creates a NEW session (reusing the JVM's SparkContext), then restore
+    // so later suites still get SparkSpec's no-fallback session
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = graft.core.Sessions.tune(
+      SparkSession.builder().master("local[4]").appName("graft-extensions-spec"), "4")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("all graft functions resolve from plain SQL via the extensions install") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+                z_interleave(3, 0) AS z,
+                rolling_hash('abc') AS rh,
+                pq_encode(array(0.9D, 0.1D), array(array(array(0.0D, 0.0D), array(1.0D, 0.0D)))) AS code,
+                pq_adc_score(array(0.5D, 0.25D), 1L, 1) AS adc
+      """).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 5L)
+    assert(!r.isNullAt(2))
+    // codebook: 1 subspace, 2 centroids — (0.9, 0.1) is nearer (1, 0)
+    assert(r.getLong(3) == 1L)
+    // code 1 selects tbl[1] in the single subspace
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("pq_adc_table resolves and computes the per-centroid dot table") {
+    val viaSql = spark.sql(
+      """SELECT pq_adc_table(array(0.5D, 0.5D),
+                             array(array(array(1.0D, 0.0D), array(0.0D, 1.0D)))) AS t""")
+      .head().getSeq[Double](0)
+    assert(viaSql == Seq(0.5, 0.5))
+  }
+
+  test("a session WITHOUT the extensions does not see the functions (not vacuous)") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val bare = graft.core.Sessions.tune(
+      SparkSession.builder().master("local[4]").appName("graft-bare-spec"), "4")
+      .getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+    val err = intercept[Exception] {
+      bare.sql("SELECT z_interleave(1, 2)").head()
+    }
+    assert(err.getMessage.contains("z_interleave"))
+  }
+}
