@@ -518,6 +518,31 @@ object TextOps {
         count_distinct(col("s")).as("n_shared_shingles"))
   }
 
+  /** Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+    * interpret identically — ASCII classes, bounded repetition, \b \d. */
+  private[graft] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** l18 core over any (doc_id, text) frame — split out so the spec can
+    * prove the redaction semantics on injected PII rows (the synthetic
+    * fixture corpus contains none; the declared query still hash-checks
+    * the zero-count path and the untouched lengths). */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailPat)).as("n_emails"),
+      regexp_count(col("text"), lit(ipv4Pat)).as("n_ipv4"),
+      length(
+        regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          ipv4Pat, "<IP>")).as("clean_len"))
+
+  /** L18: PII SCRUB — the redaction pass every published pipeline runs
+    * before training (emails and IPv4 literals here; the production set
+    * adds phones/SSNs as more patterns in the same chain). Pure per-row
+    * projection — no shuffle at any scale; patterns are codegen'd
+    * regexp_replace/regexp_count over the text column, email replaced
+    * before IP so both engines see the same intermediate string. */
+  val l18PiiScrub: Q = (s, d) => piiScrub(Tables.documents(s, d))
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -538,6 +563,7 @@ object TextOps {
     "l15b_len_quantiles_approx" -> l15bLenQuantilesApprox,
     "l16_hash_sample" -> l16HashSample,
     "l17_decontaminate" -> l17Decontaminate,
+    "l18_pii_scrub" -> l18PiiScrub,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -618,6 +644,15 @@ object TextOps {
                 count(DISTINCT tr.s) AS n_shared_shingles
          FROM tr JOIN ev ON tr.s = ev.s
          GROUP BY tr.doc_id""",
+    "l18_pii_scrub" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+                CAST(length(
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS INT) AS clean_len
+         FROM documents""",
     "l5f_dedup_apply" ->
       s"""WITH groups AS ($l5eOracleSql)
           SELECT g.doc_id, g.component, sz.group_size
