@@ -208,7 +208,7 @@ object VectorOps {
     * assign identically and can share one trained centroid set. */
   private def centroidCellOf(v: Column, nrm: Column,
       cents: Array[Array[Double]]): Column = {
-    val ds = array(cents.map(c => dot(v, typedLit(c)) / nrm): _*)
+    val ds = array(cents.toIndexedSeq.map(c => dot(v, typedLit(c)) / nrm): _*)
     (array_position(ds, array_max(ds)) - 1).cast("int")
   }
 
@@ -318,7 +318,7 @@ object VectorOps {
       norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
 
     def dots(cents: Array[Array[Double]]): Column =
-      array(cents.map(c => dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+      array(cents.toIndexedSeq.map(c => dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
 
     // Train once per (source dir, content fingerprint) — the IVF contract
     // is "train the quantizer once, probe many queries", so repeated
@@ -527,7 +527,7 @@ object VectorOps {
     // 1/|q| factor is positive) and doubles as the score's dot(q, c) term
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("qc").desc, col("cell"))
     val probes = assigned.select(col("vec_id"), col("label"),
-        posexplode(array(cents.map(c => dot(col("v"), typedLit(c))): _*))
+        posexplode(array(cents.toIndexedSeq.map(c => dot(col("v"), typedLit(c))): _*))
           .as(Seq("cell", "qc")))
       .withColumn("pk", row_number().over(wProbe))
       .where(col("pk") <= nprobe)
