@@ -83,6 +83,34 @@ class StreamingStateSpec extends SparkSpec {
       s"state peak ${totals.max} not bounded vs $outRows total sessions")
   }
 
+  test("session windows run identically on the RocksDB state store (off-heap scale path)") {
+    // HDFSBackedStateStoreProvider (the default) keeps live state in
+    // executor HEAP — the genuine 100 TB streaming bottleneck. Spark ships
+    // RocksDBStateStoreProvider (off-heap, spill-to-disk) as the scale
+    // posture; this pins that every stateful shape can run on it
+    // bit-identically, so flipping the conf in production is a no-risk
+    // change. The provider is sticky per checkpoint, so each run here uses
+    // a fresh checkpoint dir (runAppend always does).
+    val (stage, _) = stageChunks(8)
+    def agg = chunkStream(stage)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val (defRows, _) = runAppend(agg, "t3_state_default_prov")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (rocksRows, ps) =
+      try runAppend(agg, "t3_state_rocksdb")
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    assert(rocksRows == defRows, s"RocksDB run: $rocksRows rows vs default $defRows")
+    assert(statRemoved(ps).sum > 0, "watermark eviction must work on RocksDB too")
+    val a = spark.table("t3_state_default_prov").collect().map(_.toString).sorted
+    val b = spark.table("t3_state_rocksdb").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "RocksDB and default state stores must agree row-for-row")
+  }
+
   test("stream-stream interval join: both state stores evict, peak stays bounded") {
     val (stage, totalEvents) = stageChunks(8)
     val ev = chunkStream(stage)
