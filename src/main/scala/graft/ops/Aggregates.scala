@@ -163,8 +163,30 @@ object Aggregates {
       .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
   }
 
+  /** G11: MERGEABLE HLL sketches (Datasketches `hll_sketch_agg`) — the
+    * precompute-once pattern that makes 100 TB reporting cheap: per-group
+    * sketches are built in ONE scan, persist as bytes, and any rollup
+    * (here the global distinct-user count) is a register-wise
+    * `hll_union_agg` over sketches — no second scan of raw data, unlike
+    * g2's exact count_distinct whose per-key sets can't be re-aggregated.
+    * Insert/union are register-max operations: order-independent, so the
+    * result is deterministic under any partitioning. Declared rows-only
+    * (DuckDB has no Datasketches HLL); error-vs-exact contract in
+    * ScalaTest. */
+  val g11HllMerge: Q = (s, d) => {
+    val perType = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    perType.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("nd_users"))
+      .union(perType.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("nd_users"))
+        .select(lit("ALL").as("event_type"), col("nd_users")))
+  }
+
   val queries: Map[String, Q] = Map(
     "g10_two_phase_agg" -> g10TwoPhaseAgg,
+    "g11_hll_merge" -> g11HllMerge,
     "g1_basic_agg" -> g1Basic,
     "g2_distinct_agg" -> g2Distinct,
     "g3_approx_distinct" -> g3ApproxDistinct,

@@ -122,6 +122,29 @@ class ApproxOpsSpec extends SparkSpec {
     assert(again == top, "IVFADC ranking must be deterministic across invocations")
   }
 
+  test("g11 HLL merge: sketch estimates within HLL error of exact, union consistent") {
+    import graft.ops.Aggregates
+    val est = Aggregates.g11HllMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val exactPer = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(col("user_id")).distinct().count()
+    // default lgConfigK=12 → relative error ~1.6%/sqrt(2^12)... in practice
+    // ~2-3%; assert a generous 5% band that still catches a broken merge
+    // (a lost sketch register or double-counted union lands far outside)
+    for ((k, exact) <- exactPer + ("ALL" -> exactAll)) {
+      val e = est(k)
+      assert(math.abs(e - exact).toDouble / exact <= 0.05,
+        s"$k: HLL estimate $e vs exact $exact")
+    }
+    // determinism: register-max operations are order-independent
+    val again = Aggregates.g11HllMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)

@@ -27,7 +27,8 @@ class OperatorSmokeSpec extends SparkSpec {
     val rowsOnly = Set("f7b_xxhash64", "l12_rolling_fp", "l5b_minhash_lsh",
       "l5c_simhash", "l5d_minhash_agg", "l7b_knn_lsh", "l7c_knn_ivf",
       "l7d_knn_pq", "l15b_len_quantiles_approx",
-      "l6c_cosine_pairs_capped", "l7e_knn_brute_capped", "l7f_knn_ivfpq")
+      "l6c_cosine_pairs_capped", "l7e_knn_brute_capped", "l7f_knn_ivfpq",
+      "g11_hll_merge")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
