@@ -77,12 +77,27 @@ object Windows {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
   }
 
+  /** W6: distribution window functions — percent_rank / cume_dist over the
+    * ordered partition, nth_value over the full frame. Deterministic via
+    * the c_custkey tiebreak (equal balances are common in the fixture). */
+  val w6Distribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("c_name"), 2).over(full).as("second_poorest"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3RunningSum,
     "w4_first_last" -> w4FirstLast,
-    "w5_topk_per_group" -> w5TopkPerGroup
+    "w5_topk_per_group" -> w5TopkPerGroup,
+    "w6_distribution" -> w6Distribution
   )
 
   val oracle: Map[String, String] = Map(
@@ -115,6 +130,16 @@ object Windows {
          FROM customer
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "w6_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                nth_value(c_name, 2) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS second_poorest
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
     "w5_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_custkey
