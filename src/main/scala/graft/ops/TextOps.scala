@@ -543,6 +543,25 @@ object TextOps {
     * before IP so both engines see the same intermediate string. */
   val l18PiiScrub: Q = (s, d) => piiScrub(Tables.documents(s, d))
 
+  /** L19: document CHUNKING — fixed token-budget windows with overlap
+    * (budget 40, stride 32), the sharding step that turns variable-length
+    * documents into trainer-sized sequences. Chunk starts are stride
+    * multiples; a tail start is kept only when it contributes tokens the
+    * previous chunk didn't cover (start + overlap < n). Pure per-row
+    * explode — no shuffle at any scale, chunk count ~ tokens/stride. */
+  val l19Chunk: Q = (s, d) => {
+    val budget = 40; val overlap = 8; val stride = budget - overlap
+    tokenized(s, d)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+      .where(col("start") === 0 || col("start") + overlap < col("n"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("t"), col("start") + 1, lit(budget)), " ").as("chunk_text"),
+        least(lit(budget), col("n") - col("start")).as("n_tokens"))
+  }
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -564,6 +583,7 @@ object TextOps {
     "l16_hash_sample" -> l16HashSample,
     "l17_decontaminate" -> l17Decontaminate,
     "l18_pii_scrub" -> l18PiiScrub,
+    "l19_chunk" -> l19Chunk,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -653,6 +673,15 @@ object TextOps {
                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS INT) AS clean_len
          FROM documents""",
+    "l19_chunk" ->
+      """SELECT doc_id,
+                CAST(s / 32 AS INT) AS chunk_id,
+                array_to_string(t[s+1 : s+40], ' ') AS chunk_text,
+                CAST(least(40, n - s) AS INT) AS n_tokens
+         FROM (SELECT doc_id, t, len(t) AS n
+               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+              UNNEST(range(0, greatest(n, 1), 32)) AS u(s)
+         WHERE s = 0 OR s + 8 < n""",
     "l5f_dedup_apply" ->
       s"""WITH groups AS ($l5eOracleSql)
           SELECT g.doc_id, g.component, sz.group_size
