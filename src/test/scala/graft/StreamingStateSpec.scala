@@ -83,6 +83,27 @@ class StreamingStateSpec extends SparkSpec {
       s"state peak ${totals.max} not bounded vs $outRows total sessions")
   }
 
+  test("dedup within watermark: key state evicts instead of growing with history") {
+    // plain dropDuplicates keeps every key seen FOREVER (state ~ distinct
+    // history — the unbounded-state trap t5 documents); the
+    // WithinWatermark variant is the production form whose state is
+    // bounded by the horizon. Replay chunked so the watermark advances
+    // and eviction is observable.
+    val (stage, totalEvents) = stageChunks(8)
+    val dedup = chunkStream(stage)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+    val (outRows, ps) = runAppend(dedup, "t5_state_wm")
+    assert(outRows > 0)
+    assert(ps.count(_.numInputRows > 0) >= 4, s"expected multi-batch replay, got ${ps.size} progresses")
+    val removed = statRemoved(ps).sum
+    val totals = statTotals(ps)
+    info(s"dedup-within-watermark: out=$outRows, events=$totalEvents, state peak=${totals.max}, removed=$removed")
+    assert(removed > 0, "watermark never evicted dedup key state")
+    assert(totals.max < totalEvents,
+      s"dedup state peak ${totals.max} not bounded vs $totalEvents events seen")
+  }
+
   test("session windows run identically on the RocksDB state store (off-heap scale path)") {
     // HDFSBackedStateStoreProvider (the default) keeps live state in
     // executor HEAP — the genuine 100 TB streaming bottleneck. Spark ships
