@@ -384,6 +384,34 @@ object TextOps {
       round(lenScore * 0.5 + distinctRatio * 0.3 + stopRatio * 0.2, 6).as("quality"))
   }
 
+  /** L11b: REPETITION quality filters (the published web-corpus cut
+    * family — Gopher/MassiveText §A1.1 "repetition" rules): fraction of
+    * duplicate 3-grams and the most-frequent-token share. High values mark
+    * boilerplate/spam that survives l11's surface heuristics. All
+    * array/HOF arithmetic per row except the token-frequency aggregation,
+    * which shuffles on doc_id — the key every per-doc op shuffles on. */
+  val l11bRepetition: Q = (s, d) => {
+    val base = tokenized(s, d)
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+    // most-frequent-token share: count per (doc, token) then max per doc
+    val topTok = base
+      .select(col("doc_id"), col("n"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("n"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        round(col("mx").cast("double") / col("n"), 6).as("top_token_frac"))
+    val tris = transform(sequence(lit(1), col("n") - 2), i =>
+      concat_ws(" ",
+        element_at(col("t"), i),
+        element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2)))
+    val dupTri = base.select(col("doc_id"),
+      when(col("n") >= 3,
+        round(lit(1.0) - size(array_distinct(tris)).cast("double") / (col("n") - 2), 6))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    dupTri.join(topTok, Seq("doc_id"))
+  }
+
   /** L12: rolling-hash fingerprint — custom codegen'd Catalyst expression.
     * Rows-only for the oracle; exact values pinned in ScalaTest. */
   val l12RollingFp: Q = (s, d) => {
@@ -598,6 +626,7 @@ object TextOps {
     "l8_lang_stats" -> l8LangStats,
     "l10_lang_id" -> l10LangId,
     "l11_quality" -> l11Quality,
+    "l11b_repetition" -> l11bRepetition,
     "l12_rolling_fp" -> l12RollingFp,
     "l13_source_mix" -> l13SourceMix,
     "l14_token_pack" -> l14TokenPack
@@ -775,6 +804,25 @@ object TextOps {
                       + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
                       + (CAST(len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(t)) * 0.2,
                       6) AS quality
-         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""",
+    "l11b_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+            toptok AS (SELECT doc_id,
+                              round(CAST(max(c) AS DOUBLE) / any_value(n), 6) AS top_token_frac
+                       FROM (SELECT doc_id, n, w, count(*) AS c
+                             FROM (SELECT doc_id, n, unnest(t) AS w FROM base)
+                             GROUP BY doc_id, n, w)
+                       GROUP BY doc_id),
+            tri AS (SELECT doc_id,
+                           CASE WHEN n >= 3 THEN
+                             round(1.0 - CAST(len(list_distinct(
+                               [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                for i in range(n - 2)])) AS DOUBLE) / (n - 2), 6)
+                           ELSE 0.0 END AS dup_trigram_frac
+                    FROM base)
+         SELECT tri.doc_id, dup_trigram_frac, top_token_frac
+         FROM tri JOIN toptok ON tri.doc_id = toptok.doc_id"""
   )
 }
