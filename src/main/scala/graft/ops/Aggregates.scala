@@ -184,9 +184,34 @@ object Aggregates {
         .select(lit("ALL").as("event_type"), col("nd_users")))
   }
 
+  /** G12: EXACT mergeable distinct via roaring-style bitmaps — g11's
+    * sketch trades exactness for fixed size; the bitmap family keeps
+    * exactness and stays mergeable: ids split into (bucket, bit position),
+    * one bitmap per (group, bucket) built in a single scan, any rollup is
+    * a register-wise `bitmap_or_agg` + `bitmap_count` sum — again no
+    * second scan of raw data, and (unlike count_distinct) the partial
+    * state is re-aggregatable across grouping levels. Exact ⇒ DuckDB
+    * oracle applies (count DISTINCT per type and globally). */
+  val g12BitmapDistinct: Q = (s, d) => {
+    val perBucket = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    perBucket
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("nd_users"))
+      .union(perBucket
+        .groupBy(col("bkt")).agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .agg(sum(expr("bitmap_count(bm)")).as("nd_users"))
+        .select(lit("ALL").as("event_type"), col("nd_users")))
+  }
+
   val queries: Map[String, Q] = Map(
     "g10_two_phase_agg" -> g10TwoPhaseAgg,
     "g11_hll_merge" -> g11HllMerge,
+    "g12_bitmap_distinct" -> g12BitmapDistinct,
     "g1_basic_agg" -> g1Basic,
     "g2_distinct_agg" -> g2Distinct,
     "g3_approx_distinct" -> g3ApproxDistinct,
@@ -202,6 +227,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g12_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users FROM events
+         GROUP BY event_type
+         UNION ALL
+         SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS nd_users
+         FROM events""",
     "g10_two_phase_agg" ->
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
