@@ -143,4 +143,24 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(bad.isEmpty, s"unblocked join in IVF plan:\n$plan")
   }
+
+  test("l17 decontamination: the eval shingle side broadcasts (train side never shuffles for the match)") {
+    // the load-bearing scale claim: the 100 TB train side meets the
+    // (benchmark-suite-sized) eval side in a broadcast hash join, so no
+    // train-side exchange exists before the match
+    val plan = executed(graft.ops.TextOps.l17Decontaminate(spark, sfDir))
+    val bcasts = collectAll(plan).collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, s"no broadcast join in decontamination plan:\n$plan")
+  }
+
+  test("l7f IVFADC: executes under the no-fallback gate with codegen spans, no unblocked joins") {
+    assert(spark.conf.get("spark.sql.codegen.fallback") == "false")
+    val plan = executed(graft.ops.VectorOps.l7fKnnIvfPq(spark, sfDir))
+    assert(collectAll(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"no codegen span in IVFADC plan:\n$plan")
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    assert(bad.isEmpty, s"cartesian join in IVFADC plan:\n$plan")
+  }
 }
