@@ -20,6 +20,15 @@ import graft.core.Tables
 object VectorOps {
   import Relational.Q
 
+  /** Coarse-quantizer hyperparameters SHARED by l7c (IVF) and l7f (IVFADC):
+    * both train through [[cachedByFingerprint]] on [[centroidCache]], keyed
+    * only by source dir — correctness of that share requires both ops to
+    * train with identical (K, iters), so the constants live here, once
+    * (ADVICE r6: duplicated literals would silently serve wrong-shaped
+    * centroids to whichever op trained second). */
+  private[graft] val IvfK = 16
+  private[graft] val IvfIters = 3
+
   /** Σ aᵢ·bᵢ in double, sequential — matches the oracle's summation order.
     * Backed by the codegen'd [[graft.functions.VecDot]] expression (callers
     * register it per session); the interpreted higher-order-function
@@ -300,7 +309,7 @@ object VectorOps {
   val l7cKnnIvf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(s)
-    val K = 16; val iters = 3; val nprobe = 2
+    val K = IvfK; val iters = IvfIters; val nprobe = 2
     val e = Tables.embeddings(s, d)
     // Centroids are kept UNIT-norm (spherical k-means), so cosine ordering
     // needs only the scalar dot(raw, centroid)/|raw| — no per-element
@@ -455,7 +464,11 @@ object VectorOps {
     * one cell, the RESIDUAL v − c(cell) is PQ-encoded (residuals are what
     * the sub-codebooks see, so the 4-bit budget quantizes the small
     * around-centroid displacements, not the full embedding range), and
-    * ranking is ADC over codes restricted to probed cells.
+    * ranking is ADC over codes restricted to probed cells, followed by
+    * EXACT re-ranking of the ADC top-`rerankC` (the paper's §V "IVFADC+R"
+    * refinement: 4-bit code noise caps pure-ADC top-1 recall ~0.58 on the
+    * fixture; with re-rank the code only has to keep a true neighbor in
+    * the top-C, lifting recall to ~0.8 — curve in PLANS.md).
     *
     * Score decomposition (all codegen'd, no vector reads after encode):
     * dot(q, x̂) = dot(q, c) + dot(q, r̂) — the first term falls out of the
@@ -469,12 +482,19 @@ object VectorOps {
     * nbhat:double) — 20 bytes/vector — and touches only nprobe/K of the
     * index per query. The query side re-attaches its ~2 KB ADC table once
     * (same posture as l7d; at production scale that join shuffles on ida).
-    * Declared rows-only; recall floor + determinism in ScalaTest. */
-  val l7fKnnIvfPq: Q = (s, d) => {
+    * Recall floor + determinism in ScalaTest; the DECLARED driver query
+    * wraps this in [[annSummary]] so the recall contract is hash-checked
+    * against the DuckDB oracle too (VERDICT r6 #1). */
+  val l7fKnnIvfPq: Q = l7fKnnIvfPqWith(nprobe = 6, rerankC = 12)
+
+  /** l7f core with the probe width and re-rank depth exposed as the
+    * recall/cost knobs (swept to pick the declared defaults; curve in
+    * PLANS.md). */
+  private[graft] def l7fKnnIvfPqWith(nprobe: Int, rerankC: Int): Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecDot.register(s)
     graft.functions.PqExprs.register(s)
-    val K = 16; val kmIters = 3; val nprobe = 3
+    val K = IvfK; val kmIters = IvfIters
     val M = 16; val subDim = 4; val Ksub = 16; val pqIters = 3
     val e = Tables.embeddings(s, d)
     val base = e.select(col("vec_id"), col("label"),
@@ -539,16 +559,35 @@ object VectorOps {
 
     // every index vector lives in exactly ONE cell, so a candidate pair
     // appears at most once across probed cells — no dedup exchange needed
-    val w = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
-    probes.join(index, Seq("label", "cell"))
+    val wAdc = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
+    val adcTop = probes.join(index, Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
       .join(broadcast(queryAttrs), Seq("ida"))
       .withColumn("cosApprox",
         (col("qc") + adcSum(col("tbl"), col("code"))) / (col("na") * col("nbhat")))
+      .withColumn("rkApprox", row_number().over(wAdc))
+      .where(col("rkApprox") <= rerankC)
+      .select(col("ida"), col("idb"))
+
+    // IVFADC+R (Jégou et al. §V): the ADC pass is the PRUNER (probed cells
+    // → top-`rerankC` by approximate score), and the short survivor list is
+    // re-ranked by EXACT cosine from re-attached raw vectors. The 4-bit
+    // code noise that caps pure-ADC top-1 recall ~0.58 on the fixture
+    // only has to keep a true neighbor within the top-C now, not put it
+    // first. Cost shape at 100 TB: the re-rank join touches C rows per
+    // query — ids only through the candidate window, then one narrow
+    // fetch join per side (broadcast is the fixture-scale hint; at
+    // production scale it shuffles on the id like l7d's re-attach).
+    val va = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"))
+    val vb = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
+    adcTop.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
-      .select(col("ida"), col("idb"), col("rk"),
-        round(col("cosApprox"), 6).as("cos_approx"))
+      .select(col("ida"), col("idb"), col("rk"), round(col("cos"), 6).as("cos"))
   }
 
   /** Fingerprint-stamped per-dir training memo, shared by the IVF centroid
@@ -587,19 +626,105 @@ object VectorOps {
   private val residualBookCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
 
+  /** Driver-verifiable property summary for an ANN path (VERDICT r6 #1):
+    * ONE row whose every value DuckDB can recompute from the fixture
+    * tables — `n_queries` from the exact same-label pair space, plus
+    * contract booleans checked against the IN-PLAN exact top-3. The
+    * oracle asserts the booleans as TRUE, so a recall regression, a
+    * broken candidate generator, or a coverage hole flips a value and
+    * fails the driver's hash compare — the rows-only ANN entries become
+    * hash-checked without DuckDB having to reproduce xxhash64 buckets or
+    * trained codebooks. The neighbor ROWS themselves stay pinned by the
+    * ScalaTest contracts (ApproxOpsSpec recall/determinism specs).
+    *
+    * recall = fraction of queries whose ANN top-1 is in the exact top-3;
+    * coverage = fraction of queries the ANN path emitted any row for. */
+  private def annSummary(ann: DataFrame, exact: DataFrame,
+      recallFloor: Double, coverageFloor: Double): DataFrame = {
+    val ex = exact.select(col("ida"), col("idb"))
+    val nq = ex.agg(countDistinct(col("ida")).as("n_queries"))
+    val hits = ann.where(col("rk") === 1).select(col("ida"), col("idb"))
+      .join(ex, Seq("ida", "idb"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val cov = ann.agg(countDistinct(col("ida")).as("n_cov"))
+    nq.crossJoin(hits).crossJoin(cov).select(
+      col("n_queries"),
+      (col("n_hits").cast("double") / col("n_queries") >= recallFloor)
+        .as("recall_ok"),
+      (col("n_cov").cast("double") / col("n_queries") >= coverageFloor)
+        .as("coverage_ok"))
+  }
+
+  /** The capped-pair analogue of [[annSummary]] for l6c: the cap may only
+    * DROP pairs (subset_ok — checked row-by-row against the in-plan exact
+    * pair table, cos values included) and must retain at least
+    * `recallFloor` of them on the fixture's skew. */
+  private def cappedPairsSummary(capped: DataFrame, exact: DataFrame,
+      recallFloor: Double): DataFrame = {
+    val nEx = exact.agg(count(lit(1)).as("n_exact_pairs"))
+    val nCap = capped.agg(count(lit(1)).as("n_capped"))
+    val nBad = capped.exceptAll(exact).agg(count(lit(1)).as("n_bad"))
+    nEx.crossJoin(nCap).crossJoin(nBad).select(
+      col("n_exact_pairs"),
+      (col("n_bad") === 0).as("subset_ok"),
+      (col("n_capped").cast("double") / col("n_exact_pairs") >= recallFloor)
+        .as("recall_ok"))
+  }
+
+  // Floors: measured on the fixtures (sf0.001 / sf0.01 — the scales the
+  // driver's Verify runs at) with ≥ 0.05 margin under the worst point:
+  // l7b .626/.648, l7c .640/.654 (cov ≥ .996), l7d .650/.670,
+  // l7e .930/.962, l7f(nprobe=6) see sweep in PLANS.md, l6c .663/.755.
+  private val covFloor = 0.98
+
   val queries: Map[String, Q] = Map(
     "l6_cosine_pairs" -> l6CosinePairs,
     "l6b_embed_dedup" -> l6bEmbedDedup,
-    "l6c_cosine_pairs_capped" -> l6cCosinePairsCapped,
+    "l6c_cosine_pairs_capped" -> ((s, d) =>
+      cappedPairsSummary(l6cCosinePairsCapped(s, d), l6CosinePairs(s, d), 0.6)),
     "l7_knn_brute" -> l7KnnBruteForce,
-    "l7b_knn_lsh" -> l7bKnnLsh,
-    "l7c_knn_ivf" -> l7cKnnIvf,
-    "l7d_knn_pq" -> l7dKnnPq,
-    "l7e_knn_brute_capped" -> l7eKnnBruteCapped,
-    "l7f_knn_ivfpq" -> l7fKnnIvfPq
+    "l7b_knn_lsh" -> ((s, d) =>
+      annSummary(l7bKnnLsh(s, d), l7KnnBruteForce(s, d), 0.55, covFloor)),
+    "l7c_knn_ivf" -> ((s, d) =>
+      annSummary(l7cKnnIvf(s, d), l7KnnBruteForce(s, d), 0.55, covFloor)),
+    "l7d_knn_pq" -> ((s, d) =>
+      annSummary(l7dKnnPq(s, d), l7KnnBruteForce(s, d), 0.55, covFloor)),
+    "l7e_knn_brute_capped" -> ((s, d) =>
+      annSummary(l7eKnnBruteCapped(s, d), l7KnnBruteForce(s, d), 0.85, covFloor)),
+    "l7f_knn_ivfpq" -> ((s, d) =>
+      annSummary(l7fKnnIvfPq(s, d), l7KnnBruteForce(s, d), 0.8, covFloor))
   )
 
+  /** Oracle twin of [[annSummary]]: `n_queries` is the count of vectors
+    * with at least one same-label partner (exactly the ids the in-plan
+    * exact top-3 ranks), and the contract booleans are asserted TRUE. */
+  private val annSummaryOracle =
+    """SELECT CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_queries,
+              TRUE AS recall_ok, TRUE AS coverage_ok
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id <> b.vec_id"""
+
   val oracle: Map[String, String] = Map(
+    "l7b_knn_lsh" -> annSummaryOracle,
+    "l7c_knn_ivf" -> annSummaryOracle,
+    "l7d_knn_pq" -> annSummaryOracle,
+    "l7e_knn_brute_capped" -> annSummaryOracle,
+    "l7f_knn_ivfpq" -> annSummaryOracle,
+    "l6c_cosine_pairs_capped" ->
+      """WITH e AS (SELECT vec_id, label, embedding,
+                sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                      FROM (SELECT unnest(embedding) AS x))) AS nrm
+              FROM embeddings),
+            p AS (SELECT * FROM (
+                   SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
+                          round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                                 FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+                                / (a.nrm * b.nrm), 6) AS cos
+                   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+                  WHERE cos > 0.2)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                TRUE AS subset_ok, TRUE AS recall_ok
+         FROM p""",
     "l6b_embed_dedup" ->
       """WITH RECURSIVE
             e AS (SELECT vec_id, label, embedding,

@@ -70,16 +70,32 @@ class ApproxOpsSpec extends SparkSpec {
         element_at(col("b"), 1).as("lo50"), element_at(col("b"), 2).as("hi50"),
         element_at(col("b"), 3).as("lo90"), element_at(col("b"), 4).as("hi90"),
         element_at(col("b"), 5).as("lo99"), element_at(col("b"), 6).as("hi99"))
-    val approx = TextOps.l15bLenQuantilesApprox(spark, sfDir)
-    val joined = approx.join(bands, Seq("source")).collect()
+    // the declared query now carries the band checks IN-PLAN (property
+    // form, VERDICT r6 #1): re-derive the same bands independently here
+    // and verify both the raw sketch values land inside them AND the
+    // in-plan booleans agree (guards the wiring of the booleans the
+    // driver's oracle asserts as TRUE)
+    val raw = graft.core.Tables.documents(spark, sfDir)
+      .selectExpr("source", "size(split(text, ' ')) AS n_tokens")
+      .groupBy(col("source"))
+      .agg(expr("approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), 1000)").as("qs"))
+      .select(col("source"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"))
+    val joined = raw.join(bands, Seq("source"))
+      .join(TextOps.l15bLenQuantilesApprox(spark, sfDir), Seq("source"))
+      .collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       def d(name: String) = r.getAs[Number](name).doubleValue()
-      assert(d("p50") >= d("lo50") && d("p50") <= d("hi50"),
+      def inBand(p: String, lo: String, hi: String) =
+        d(p) >= d(lo) && d(p) <= d(hi)
+      assert(inBand("p50", "lo50", "hi50") && r.getAs[Boolean]("p50_ok"),
         s"${r.getAs[String]("source")}: p50 ${d("p50")} outside [${d("lo50")}, ${d("hi50")}]")
-      assert(d("p90") >= d("lo90") && d("p90") <= d("hi90"),
+      assert(inBand("p90", "lo90", "hi90") && r.getAs[Boolean]("p90_ok"),
         s"${r.getAs[String]("source")}: p90 ${d("p90")} outside [${d("lo90")}, ${d("hi90")}]")
-      assert(d("p99") >= d("lo99") && d("p99") <= d("hi99"),
+      assert(inBand("p99", "lo99", "hi99") && r.getAs[Boolean]("p99_ok"),
         s"${r.getAs[String]("source")}: p99 ${d("p99")} outside [${d("lo99")}, ${d("hi99")}]")
     }
   }
@@ -108,14 +124,16 @@ class ApproxOpsSpec extends SparkSpec {
       VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
     val ivfpq = VectorOps.l7fKnnIvfPq(spark, sfDir)
     assert(ivfpq.count() > 0)
-    // the compounded approximation (nprobe=3/16 cells AND 4-bit residual
-    // codes) still has to put a true top-3 neighbor first for most queries;
-    // floor set below the measured value with the same slack the l7b/l7c/
-    // l7d floors carry
+    // IVFADC+R: the ADC pass prunes to top-12 within nprobe=6 probed
+    // cells, exact re-rank orders them — the compounded approximation only
+    // has to KEEP a true neighbor in the top-12 now. Measured 0.946
+    // (sf0.001) / 0.948 (sf0.01) / 0.887 (sf0.1) at (6, 12); floor set
+    // with the same slack the l7b/l7c/l7d floors carry (VERDICT r6 #7
+    // asked ≥ 0.55 — the re-rank stage clears it with a 0.15 margin).
     val top = pairSet(ivfpq.where(col("rk") === 1), "ida", "idb")
     val hit = top.count(exactTop3.contains)
     info(s"IVFADC top-1 in exact top-3: $hit/${top.size}")
-    assert(hit.toDouble / top.size >= 0.4,
+    assert(hit.toDouble / top.size >= 0.8,
       s"IVFADC top-1 in exact top-3 for only $hit/${top.size}")
     // determinism: cached centroids + codebooks -> identical re-run
     val again = pairSet(VectorOps.l7fKnnIvfPq(spark, sfDir).where(col("rk") === 1), "ida", "idb")
@@ -124,25 +142,28 @@ class ApproxOpsSpec extends SparkSpec {
 
   test("g11 HLL merge: sketch estimates within HLL error of exact, union consistent") {
     import graft.ops.Aggregates
-    val est = Aggregates.g11HllMerge(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // property form (VERDICT r6 #1): each row is (event_type, nd_exact,
+    // within_bound) — nd_exact computed in-plan, within_bound pins the
+    // sketch estimate (per-type, and the union-merged "ALL" rollup) to
+    // ±5% of it. Default lgConfigK=12 → relative error ~2-3% in practice;
+    // the 5% band still catches a broken merge (a lost sketch register or
+    // double-counted union lands far outside).
+    val rows = Aggregates.g11HllMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val ev = graft.core.Tables.events(spark, sfDir)
     val exactPer = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("nd")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = ev.select(col("user_id")).distinct().count()
-    // default lgConfigK=12 → relative error ~1.6%/sqrt(2^12)... in practice
-    // ~2-3%; assert a generous 5% band that still catches a broken merge
-    // (a lost sketch register or double-counted union lands far outside)
     for ((k, exact) <- exactPer + ("ALL" -> exactAll)) {
-      val e = est(k)
-      assert(math.abs(e - exact).toDouble / exact <= 0.05,
-        s"$k: HLL estimate $e vs exact $exact")
+      val (nd, ok) = rows(k)
+      assert(nd == exact, s"$k: in-plan exact $nd vs recomputed $exact")
+      assert(ok, s"$k: HLL estimate outside the 5% band of $exact")
     }
     // determinism: register-max operations are order-independent
     val again = Aggregates.g11HllMerge(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(again == est)
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == rows)
   }
 
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
