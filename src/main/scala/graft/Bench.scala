@@ -78,6 +78,18 @@ object Bench {
       k -> ts.max / math.max(ts.min, 1e-3)
     }
 
+  /** Spread of the two FASTEST samples — the residual disagreement after
+    * discarding one contaminated outlier. A query whose raw spread is 3×
+    * because one of three samples ran under ambient load still has a
+    * trustworthy min; a query whose two fastest samples disagree 2× was
+    * contaminated for most of its window and its min proves nothing
+    * (VERDICT r6 #2: the noisy flag must trip on THAT, not on the outlier). */
+  def cleanSpread(ts: Seq[Double]): Double = {
+    val best = ts.filter(_ >= 0).sorted.take(2)
+    if (best.size < 2) 1.0
+    else best.max / math.max(best.min, 1e-3)
+  }
+
   def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0
     else {
@@ -105,8 +117,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    var loadMax = loadStart
     val runs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def one(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
@@ -118,6 +131,18 @@ object Bench {
         graft.core.Caches.releaseAll(spark)
         dt
       }
+      var times = Vector(one(), one())
+      // A >1.5× spread between the two samples means at least one ran
+      // under ambient load — a THIRD sample lets the min find the clean
+      // floor and cleanSpread tell a one-off outlier from persistent
+      // contamination (two rounds of driver-bench false regressions:
+      // r5 whole-bench 77 s vs 42 s idle, r6 l5b 8.42 s vs 0.98 s idle).
+      if (times.forall(_ >= 0) &&
+          times.max / math.max(times.min, 1e-3) > 1.5)
+        times :+= one()
+      // track PEAK load, sampled at the only safe place (between queries):
+      // the end-of-run load alone missed a mid-run spike in r6
+      loadMax = math.max(loadMax, loadAvg())
       name -> times
     }
     val loadEnd = loadAvg()
@@ -125,13 +150,22 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // Run-health fields: a reader (or the judge) can tell a genuine
-    // regression from an ambient-load artifact without rerunning.
+    // regression from an ambient-load artifact without rerunning. The
+    // noisy flag trips when (a) peak load during the run exceeded what
+    // this box can absorb without stretching wall times (~2 + cores/4 —
+    // r6 recorded load 5.3 on 32 cores with noisy:false and an 8× phantom
+    // regression), or (b) any query's two FASTEST samples still disagree
+    // 2× (persistent contamination min-of-N can't fix), or (c) the median
+    // raw spread is large across the board.
     val spr = spreads(runs.toMap.view.mapValues(_.toSeq).toMap)
     val sprMedian = median(spr.values.toSeq)
-    val noisy = sprMedian > 2.0
+    val cleanSpr = runs.toMap.view.mapValues(ts => cleanSpread(ts.toSeq)).toMap
+    val cores = Runtime.getRuntime.availableProcessors()
+    val noisy = loadMax > 2.0 + cores / 4.0 ||
+      sprMedian > 2.0 || cleanSpr.values.exists(_ > 2.0)
     val health =
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
-      s""","cpus":${Runtime.getRuntime.availableProcessors()}""" +
+      s""","load_avg_max":${fmt(loadMax)},"cpus":$cores""" +
       s""","spread_median":${fmt(sprMedian)},"noisy":$noisy"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Session-extensions entry point — the standalone-library wiring: a user
   * switching from the reference runs
@@ -22,6 +23,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  /** A small-int literal argument on the SQL surface: SQL integer
+    * literals can parse as TINYINT/SMALLINT/INT/BIGINT depending on the
+    * writer, so accept any machine-int Literal (widened, with a range
+    * check) and refuse everything else with a TYPED analysis error — a
+    * bare eval().asInstanceOf[Int] threw an opaque ClassCastException/NPE
+    * on e.g. `pq_adc_score(t, c, 16L)` or a non-foldable column
+    * (ADVICE r6). */
+  private def intLiteral(fn: String, arg: String, e: Expression): Int = {
+    def bad() = throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_1332", // the generic analysis-error message class
+      Map("errorMessage" ->
+        s"$fn: $arg must be an integer literal, got ${e.sql}"))
+    e match {
+      case Literal(v: Byte, ByteType) => v.toInt
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+      // a folded constant that is not a bare Literal yet (CAST(1 AS
+      // BIGINT), 8 * 2, …): constant-fold it here — the builder runs
+      // before the optimizer would
+      case f if f.resolved && f.foldable =>
+        f.eval() match {
+          case v: Byte => v.toInt
+          case v: Short => v.toInt
+          case v: Int => v
+          case v: Long if v.isValidInt => v.toInt
+          case _ => bad()
+        }
+      case _ => bad()
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
@@ -32,6 +65,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pq_encode", es => functions.PqEncode(es(0), es(1)))
     inject("pq_adc_table", es => functions.PqAdcTable(es(0), es(1)))
     inject("pq_adc_score", es => functions.PqAdcScore(es(0), es(1),
-      es(2).eval().asInstanceOf[Int]))
+      intLiteral("pq_adc_score", "num_subspaces", es(2))))
+    // the minhash aggregate (l5b/l5d's signature builder) — both arities,
+    // matching MinHashSketch.register's own SQL path (ADVICE r6: the
+    // no-code-changes install must resolve every graft function)
+    inject("minhash_sketch", {
+      case Seq(child) =>
+        functions.MinHashSketch(child).toAggregateExpression()
+      case Seq(child, k) =>
+        functions.MinHashSketch(child,
+          numHashes = intLiteral("minhash_sketch", "num_hashes", k))
+          .toAggregateExpression()
+      case exprs => throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332",
+        Map("errorMessage" ->
+          s"minhash_sketch expects 1-2 arguments, got ${exprs.length}"))
+    })
   }
 }

@@ -38,7 +38,9 @@ import graft.pipeline._
   *     `status.py:188-216`)
   *   - `POST /ingest` `{name,path,format?,options?}` — register an external
   *     dataset as a named source impression (A1, `upload.py:16-36`);
-  *     `GET /sources` lists them
+  *     `format: "binary"` registers a directory TREE of opaque files
+  *     (the reference's rawdata, `upload.py:21-34`) served as binaryFile
+  *     rows for the mm-family ops; `GET /sources` lists them
   *   - `POST /upload?name=<src>[&format=f]` (body = tar/tar.gz bytes) —
   *     byte-level ingest: extract into warehouse staging, register as a
   *     source (A1's transport, `upload.py:16-36`)

@@ -24,6 +24,23 @@ object TempDirs {
   def scratch(prefix: String): Path =
     Files.createTempDirectory(root, s"${prefix}_")
 
+  /** A STABLE per-key dir under the session root for repeated-invocation
+    * writers (layout roundtrips, sink demos): the same key returns the
+    * same path, so an overwrite-mode write REPLACES the previous
+    * invocation's bytes instead of accumulating a full table copy per
+    * call until JVM exit (ADVICE r6: repeated bench/driver invocations of
+    * s9/s10 were stacking lineitem/documents copies on /dev/shm — the
+    * exact failure this object exists to prevent). Unsafe for the SAME
+    * key from concurrent queries; every declared-query harness
+    * (Verify/Bench/ScalaTest) runs queries sequentially. Streaming
+    * checkpoints must keep using [[scratch]]: Spark refuses to restart a
+    * query on a dirty checkpoint dir. */
+  def scratchSlot(key: String): Path = {
+    val p = root.resolve(s"slot_$key")
+    Files.createDirectories(p)
+    p
+  }
+
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
       val walk = Files.walk(dir)

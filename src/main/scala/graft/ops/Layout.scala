@@ -62,7 +62,7 @@ object Layout {
     val bounds = (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
       r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)
     val (oMin, oMax, sMin, sMax) = bounds
-    val out = TempDirs.scratch("zorder").toString
+    val out = TempDirs.scratchSlot("zorder").toString
     li.withColumn("zkey", call_function("z_interleave",
         gridded(col("l_orderkey"), oMin, oMax),
         gridded(col("l_suppkey"), sMin, sMax)))
@@ -106,7 +106,7 @@ object Layout {
   private[graft] def compact(s: SparkSession, inDir: String): String = {
     val bytes = partFiles(inDir).map(java.nio.file.Files.size).sum
     val nOut = math.max(1L, (bytes + compactTargetBytes - 1) / compactTargetBytes).toInt
-    val out = TempDirs.scratch("compact").toString
+    val out = TempDirs.scratchSlot("compact").toString
     s.read.parquet(inDir).repartition(nOut)
       .write.mode("overwrite").parquet(out)
     out
@@ -119,7 +119,7 @@ object Layout {
     * the raw table (compaction must lose nothing); LayoutSpec asserts the
     * file counts actually collapsed. */
   val s10Compaction: Q = (s, d) => {
-    val frag = TempDirs.scratch("frag").toString
+    val frag = TempDirs.scratchSlot("frag").toString
     Tables.documents(s, d).repartition(64)
       .write.mode("overwrite").parquet(frag)
     val out = compact(s, frag)

@@ -29,16 +29,15 @@ object TextOps {
     docs.withColumn("t", toks(col("text")))
   }
 
-  /** 3-word shingles (distinct per doc) over a MATERIALIZED token column.
-    * Docs shorter than 3 tokens get their whole text as the single shingle. */
-  private def shingles(tokens: Column): Column = {
-    val n = size(tokens)
-    when(n >= 3,
-      array_distinct(transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ",
-          element_at(tokens, i),
-          element_at(tokens, i + 1),
-          element_at(tokens, i + 2)))))
+  /** n-word shingles (distinct per doc) over a MATERIALIZED token column.
+    * Docs shorter than n tokens get their whole text as the single
+    * shingle. Default 3 = the declared-query setting; decontamination
+    * exposes it (production scrubs run 8-13-grams, VERDICT r6 #4). */
+  private def shingles(tokens: Column, n: Int = 3): Column = {
+    val sz = size(tokens)
+    when(sz >= n,
+      array_distinct(transform(sequence(lit(1), sz - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*))))
       .otherwise(array(array_join(tokens, " ")))
   }
 
@@ -548,11 +547,31 @@ object TextOps {
     * shuffle for the match itself; only the flagged-survivor aggregation
     * shuffles, and that is |flagged| rows. */
   val l17Decontaminate: Q = (s, d) => {
-    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val evalSh = sh.where(col("doc_id") % 20 === 0)
-      .select(col("s"), col("doc_id").as("eval_id"))
-    val trainSh = sh.where(col("doc_id") % 20 =!= 0)
-    trainSh.join(broadcast(evalSh), Seq("s"))
+    val docs = Tables.documentsWide(s, d)
+    decontaminateFrames(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      n = 3)
+  }
+
+  /** l17 core over arbitrary (doc_id, text) train/eval frames with a
+    * configurable shingle length (VERDICT r6 #4): production
+    * decontamination runs 8-13-gram shingles against a REAL benchmark
+    * table, not a pseudo-holdout slice — both knobs are exposed here and
+    * through the pipeline registry's `decontaminate` transform (inputs
+    * {train, eval}, param n). The declared 3-gram query above keeps the
+    * DuckDB oracle. Scale shape is unchanged: both sides explode to
+    * (doc, shingle-hash), the benchmark-suite-sized eval side broadcasts,
+    * so the 100 TB train side never shuffles for the match; only the
+    * |flagged|-row survivor aggregation shuffles. */
+  private[graft] def decontaminateFrames(
+      train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    def sh(df: DataFrame): DataFrame =
+      df.withColumn("t", toks(col("text")))
+        .select(col("doc_id"), explode(shingles(col("t"), n)).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val evalSh = sh(eval).select(col("s"), col("doc_id").as("eval_id"))
+    sh(train).join(broadcast(evalSh), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("eval_id")).as("n_eval_hits"),
         count_distinct(col("s")).as("n_shared_shingles"))

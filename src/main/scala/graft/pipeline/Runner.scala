@@ -500,11 +500,19 @@ final class Runner(
 
   private def readSource(path: String, format: String,
       options: Map[String, String]): DataFrame = {
+    // "binary" = the reference's rawdata registration (`upload.py:21-34`,
+    // `VJob.py:34-35`): a directory of OPAQUE files (images, audio, any
+    // bytes) served as (path, modificationTime, length, content) rows via
+    // Spark's binaryFile source — the frame the mm-family ops consume.
+    // recursiveFileLookup by default: rawdata uploads arrive as nested
+    // trees; an explicit option still overrides.
+    val fmt = if (format == "binary") "binaryFile" else format
     val defaults = format match {
       case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+      case "binary" => Map("recursiveFileLookup" -> "true")
       case _ => Map.empty[String, String]
     }
-    spark.read.format(format).options(defaults ++ options).load(path)
+    spark.read.format(fmt).options(defaults ++ options).load(path)
   }
 
   /** Fingerprint of a source dir without scanning data: file names, sizes

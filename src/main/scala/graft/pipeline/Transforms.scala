@@ -34,6 +34,14 @@ object Transforms {
         s.sql(ParamMap(p.params).substitute(p("sql")))
       }
     }
+    // benchmark decontamination with a REAL eval table (VERDICT r6 #4):
+    // inputs {train, eval} are any (doc_id, text)-shaped steps; param n is
+    // the shingle length (production scrubs run 8-13-grams; the declared
+    // l17 query's 3 is only the oracle setting)
+    r.register("decontaminate") { (_, in, p) =>
+      graft.ops.TextOps.decontaminateFrames(in("train"), in("eval"),
+        p.params.getOrElse("n", "3").toInt)
+    }
     r
   }
 }

@@ -108,6 +108,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.median(Seq(1.0, 2.0, 3.0, 10.0)) == 2.5)
   }
 
+  test("cleanSpread discards one contaminated outlier but flags persistent noise") {
+    // one-off spike among three samples: the two fastest agree -> clean
+    assert(math.abs(Bench.cleanSpread(Seq(1.0, 8.4, 1.1)) - 1.1) < 1e-9)
+    // persistent contamination: even the two fastest disagree 2x
+    assert(Bench.cleanSpread(Seq(1.0, 2.4, 2.2)) > 2.0)
+    // degenerate cases: too few valid samples -> neutral 1.0
+    assert(Bench.cleanSpread(Seq(1.0)) == 1.0)
+    assert(Bench.cleanSpread(Seq(-1.0, 3.0)) == 1.0)
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))

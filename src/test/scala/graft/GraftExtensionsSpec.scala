@@ -50,6 +50,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.25)
   }
 
+  test("minhash_sketch resolves from SQL in both arities (ADVICE r6)") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("h")
+    df.createOrReplaceTempView("hs")
+    val sig = spark.sql("SELECT minhash_sketch(h) AS s FROM hs")
+      .head().getSeq[Long](0)
+    assert(sig.length == 32) // default k
+    val sig8 = spark.sql("SELECT minhash_sketch(h, 8) AS s FROM hs")
+      .head().getSeq[Long](0)
+    assert(sig8.length == 8 && sig8 == sig.take(8))
+  }
+
+  test("small-int literal args: BIGINT literals widen, non-literals get a typed error (ADVICE r6)") {
+    // SQL writers produce BIGINT literals freely — must widen, not NPE
+    val r = spark.sql("SELECT pq_adc_score(array(0.5D, 0.25D), 1L, CAST(1 AS BIGINT)) AS adc")
+      .head().getDouble(0)
+    assert(r == 0.25)
+    // a non-foldable third arg is a descriptive AnalysisException, not a
+    // ClassCastException/NPE from eval() at function-build time
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT pq_adc_score(array(0.5D), 0L, id) FROM range(1)").head()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sketch(1L, 2.5)").head()
+    }
+    assert(err2.getMessage.contains("integer literal"), err2.getMessage)
+  }
+
   test("pq_adc_table resolves and computes the per-centroid dot table") {
     val viaSql = spark.sql(
       """SELECT pq_adc_table(array(0.5D, 0.5D),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{Layout, TextOps, VectorOps}
 
 /** Scale-growth regression net for the quadratic-RISK family: the near-dup
   * operators are all bucketed (inverted-index / LSH-band / byte-pair
@@ -29,11 +29,24 @@ class GrowthSpec extends SparkSpec {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // l5e/l5f (dedup groups/apply): the connected-components loop on top of
+  // the l5b pair generator — O(diameter) frontier rounds whose shuffles are
+  // edge-endpoint-sized; a regression to per-round full-table joins (or an
+  // unblocked pair input) shows up as super-linear growth here. s9/s10
+  // (z-order layout, compaction) and l19/l11b (chunking, repetition) are
+  // write-or-explode shaped — linear by design, guarded since round 7
+  // (VERDICT r6 #5: they carry scale claims, so they carry growth tests).
   for ((name, q) <- Seq(
       "l5_jaccard_pairs" -> TextOps.l5JaccardPairs,
       "l5b_minhash_lsh" -> TextOps.l5bMinhashLsh,
       "l5c_simhash" -> TextOps.l5cSimhash,
-      "l17_decontaminate" -> TextOps.l17Decontaminate)) {
+      "l17_decontaminate" -> TextOps.l17Decontaminate,
+      "l5e_dedup_groups" -> TextOps.queries("l5e_dedup_groups"),
+      "l5f_dedup_apply" -> TextOps.queries("l5f_dedup_apply"),
+      "l19_chunk" -> TextOps.queries("l19_chunk"),
+      "l11b_repetition" -> TextOps.queries("l11b_repetition"),
+      "s9_zorder_layout" -> Layout.s9ZorderLayout,
+      "s10_compaction" -> Layout.s10Compaction)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

@@ -187,6 +187,46 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("binary-dir ingest: opaque files register and run as a source (A1, rawdata)") {
+    // the reference registers arbitrary opaque files as rawdata sources
+    // (upload.py:21-34); format=binary serves them as binaryFile rows
+    val wh = Files.createTempDirectory("graft_api_whb").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    val base = s"http://localhost:${api.boundPort}"
+    try {
+      // a nested tree of opaque files (recursiveFileLookup is the default
+      // for binary sources — rawdata uploads arrive as trees)
+      val ext = Files.createTempDirectory("graft_bin")
+      Files.write(ext.resolve("a.jpg"), Array[Byte](-1, -40, -1, 1, 2, 3))
+      Files.write(ext.resolve("b.wav"), "RIFFxxxx".getBytes("US-ASCII"))
+      val sub = Files.createDirectories(ext.resolve("nested"))
+      Files.write(sub.resolve("c.jpg"), Array[Byte](-1, -40, 9))
+
+      val (ic, ingBody) = post(s"$base/ingest",
+        s"""{"name": "rawmedia", "path": "$ext", "format": "binary"}""")
+      assert(ic == 201 && ingBody.contains("\"impression\""), ingBody)
+      assert(ingBody.contains("binary"), ingBody)
+
+      // a pipeline step aggregates the opaque files by extension — the
+      // (ext, count, bytes) manifest shape; content is genuinely read
+      // (sum of payload bytes must equal sum of metadata lengths)
+      val spec = """{
+        "steps": [
+          {"id": "raw", "transform": "ingested", "params": {"name": "rawmedia"}},
+          {"id": "m", "transform": "sql", "inputs": {"t": "raw"},
+           "params": {"sql": "SELECT regexp_extract(path, '\\\\.([a-z0-9]+)$', 1) AS ext, count(*) AS n, sum(length) AS bytes, sum(length(content)) AS content_bytes FROM t GROUP BY 1 ORDER BY 1"}}
+        ], "roots": ["m"]}"""
+      val runId = runIdOf(post(s"$base/run", spec)._2)
+      awaitFinished(base, runId)
+      assert(get(s"$base/collect/$runId/m")._2.contains("\"rows\":2"))
+      val preview = get(s"$base/preview/$runId/m")._2
+      // jpg: 2 files, 6+3=9 bytes; wav: 1 file, 8 bytes — content bytes
+      // equal metadata bytes, so every file was read in full
+      assert(preview.contains("jpg,2,9,9") && preview.contains("wav,1,8,8"),
+        preview)
+    } finally api.stop()
+  }
+
   test("runner-profile registry: register, list, probe, run under profile (A31)") {
     val wh = Files.createTempDirectory("graft_api_wh4").toString
     val api = new HttpApi(new Runner(spark, Transforms.standard(), wh), 0,

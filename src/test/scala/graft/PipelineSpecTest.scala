@@ -116,6 +116,42 @@ class PipelineSpecTest extends SparkSpec {
     assert(spark.read.parquet(s"$wh/${imps("rev")}").count() > 0)
   }
 
+  test("decontaminate transform: real eval table + configurable shingle length (r6 #4)") {
+    val wh = Files.createTempDirectory("graft_wh_dc").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    // a REAL eval table (not a doc_id-slice pseudo-holdout): benchmark
+    // rows whose text verbatim-overlaps two train docs. doc_id 1's first
+    // 5 tokens appear in eval doc 9001; doc_id 2 is clean.
+    def spec(n: Int) = PipelineSpec(Seq(
+      StepSpec("train", "sql",
+        Map("d" -> "docs"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), 'the quick brown fox jumps over the lazy dog'), " +
+          "(CAST(2 AS BIGINT), 'completely unrelated training text here')) " +
+          "AS t(doc_id, text)"))),
+      StepSpec("eval", "sql",
+        Map("d" -> "docs"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(9001 AS BIGINT), 'benchmark asks the quick brown fox jumps please')) " +
+          "AS t(doc_id, text)"))),
+      StepSpec("flagged", "decontaminate",
+        Map("train" -> "train", "eval" -> "eval"),
+        Map("n" -> n.toString)),
+      // the sql steps need SOME input; reuse a fixture table as a dummy
+      StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "region"))))
+    // n=4: "the quick brown fox" + "quick brown fox jumps" shared -> doc 1
+    // flagged with 2 shared shingles from 1 eval doc; doc 2 clean
+    val imps4 = runner.execute(spec(4), Seq("flagged"))
+    val got4 = spark.read.parquet(s"$wh/${imps4("flagged")}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got4.toSeq == Seq((1L, 1L, 2L)), got4.mkString(","))
+    // n=6: no 6-gram survives the overlap -> nothing flagged; the knob is
+    // live through the registry (different n = different impression too)
+    val imps6 = runner.execute(spec(6), Seq("flagged"))
+    assert(imps6("flagged") != imps4("flagged"))
+    assert(spark.read.parquet(s"$wh/${imps6("flagged")}").count() == 0)
+  }
+
   test("manifest lists steps with materialization state; vacuum GCs stale runs") {
     val wh = Files.createTempDirectory("graft_wh6").toString
     val runner = new Runner(spark, Transforms.standard(), wh)
