@@ -621,6 +621,38 @@ object TextOps {
         least(lit(budget), col("n") - col("start")).as("n_tokens"))
   }
 
+  /** L20: exact SUBSTRING-duplication detection — the span-level pass that
+    * complements doc-level near-dup (Lee, Ippolito et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: repeated
+    * ≥50-token substrings — boilerplate, licenses, templates — survive
+    * MinHash because the surrounding document differs). Fixed `win`-token
+    * windows at `stride` per doc; a window whose TEXT occurs ≥2 times in
+    * the corpus marks a duplicated span. Emits per-doc span totals + the
+    * duplicated fraction (the cut signal).
+    *
+    * Scale shape: the paper builds a corpus-global suffix array (a
+    * single-node construction); the windowed-hash formulation is the
+    * Spark-shaped equivalent — explode to ~n/stride windows per doc, ONE
+    * shuffle on the 8-byte window hash, never doc×doc; window count is
+    * ≤ 2× token count, and (hash, doc_id) is all that moves. Fixture
+    * windows are 16 tokens (docs are 10-99 tokens; production uses the
+    * paper's 50 with the same plan). */
+  val l20SubstringDup: Q = (s, d) => {
+    val win = 16; val stride = 8
+    val wins = tokenized(s, d, wide = true)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, int(greatest(size(t) - $win, 0) / $stride)), " +
+          s"i -> array_join(slice(t, i * $stride + 1, $win), ' '))")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    wins.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -643,6 +675,7 @@ object TextOps {
     "l17_decontaminate" -> l17Decontaminate,
     "l18_pii_scrub" -> l18PiiScrub,
     "l19_chunk" -> l19Chunk,
+    "l20_substring_dup" -> l20SubstringDup,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -717,6 +750,18 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l20_substring_dup" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n
+                     FROM documents),
+            wi AS (SELECT doc_id, array_to_string(t[s+1 : s+16], ' ') AS w
+                   FROM tt, UNNEST(range(0, greatest(n - 15, 1), 8)) AS u(s)),
+            c AS (SELECT w, count(*) AS cnt FROM wi GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+         FROM wi JOIN c USING (w)
+         GROUP BY doc_id""",
     "l15b_len_quantiles_approx" ->
       """SELECT source, count(*) AS n_docs,
                 TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok

@@ -114,11 +114,19 @@ object VectorOps {
     * distribution (random-ish synthetic embeddings have no 0.95-cosine
     * twins); a production semantic-dedup run sets θ ≈ 0.95 on real
     * embeddings — the plan is identical, only the literal changes. */
-  val l6bEmbedDedup: Q = (s, d) => {
-    val theta = 0.35
-    val pairs = l6CosinePairs(s, d).where(col("cos") >= theta)
+  val l6bEmbedDedup: Q = (s, d) =>
+    embedDedupFrames(Tables.embeddings(s, d), theta = 0.35)
+
+  /** l6b core over an arbitrary (vec_id, label, embedding) frame with the
+    * similarity threshold exposed: the declared query's θ = 0.35 is
+    * fixture-calibrated (synthetic embeddings have no 0.95-cosine twins);
+    * a production semantic-dedup run passes its own θ (typically ≈ 0.95)
+    * through the pipeline registry's `embed_dedup` transform — same plan,
+    * different literal. */
+  private[graft] def embedDedupFrames(emb: DataFrame, theta: Double): DataFrame = {
+    val pairs = cosinePairsOn(emb, None).where(col("cos") >= theta)
       .select(col("ida").as("da"), col("idb").as("db"))
-    val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val ids = emb.select(col("vec_id").as("id"))
     Graphs.connectedComponents(ids, pairs)
       .select(col("id").as("vec_id"), col("component"),
         (col("id") === col("component")).cast("boolean").as("is_canonical"))

@@ -42,6 +42,14 @@ object Transforms {
       graft.ops.TextOps.decontaminateFrames(in("train"), in("eval"),
         p.params.getOrElse("n", "3").toInt)
     }
+    // semantic dedup with a caller-chosen cosine threshold: input
+    // {embeddings} is any (vec_id, label, embedding) step; the declared
+    // l6b query's θ = 0.35 is fixture-calibrated — production semantic
+    // dedup on real embeddings typically runs θ ≈ 0.95 (the default here)
+    r.register("embed_dedup") { (_, in, p) =>
+      graft.ops.VectorOps.embedDedupFrames(in("embeddings"),
+        p.params.getOrElse("theta", "0.95").toDouble)
+    }
     r
   }
 }

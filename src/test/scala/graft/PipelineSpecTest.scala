@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.pipeline._
 
 /** Orchestration semantics (SURVEY.md §2 Part C, §5.2.4): topo order,
@@ -150,6 +151,28 @@ class PipelineSpecTest extends SparkSpec {
     val imps6 = runner.execute(spec(6), Seq("flagged"))
     assert(imps6("flagged") != imps4("flagged"))
     assert(spark.read.parquet(s"$wh/${imps6("flagged")}").count() == 0)
+  }
+
+  test("embed_dedup transform: cosine threshold is a live registry knob") {
+    val wh = Files.createTempDirectory("graft_wh_ed").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    def spec(theta: String) = PipelineSpec(Seq(
+      StepSpec("emb", "source", params = Map("dir" -> sfDir, "table" -> "embeddings")),
+      StepSpec("groups", "embed_dedup", Map("embeddings" -> "emb"),
+        Map("theta" -> theta))))
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    // fixture-calibrated θ: some vectors group (matches declared l6b)
+    val lo = runner.execute(spec("0.35"), Seq("groups"))
+    val loDf = spark.read.parquet(s"$wh/${lo("groups")}")
+    assert(loDf.count() == n)
+    val loCanon = loDf.where(col("is_canonical")).count()
+    assert(loCanon < n, s"expected merges at theta=0.35, canon=$loCanon")
+    // production-strength θ: synthetic embeddings have no 0.99-cos twins,
+    // every vector stays canonical; different param -> different impression
+    val hi = runner.execute(spec("0.99"), Seq("groups"))
+    assert(hi("groups") != lo("groups"))
+    val hiDf = spark.read.parquet(s"$wh/${hi("groups")}")
+    assert(hiDf.where(col("is_canonical")).count() == n)
   }
 
   test("manifest lists steps with materialization state; vacuum GCs stale runs") {
