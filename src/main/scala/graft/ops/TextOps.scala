@@ -653,6 +653,40 @@ object TextOps {
       .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
   }
 
+  /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
+    * text by a language model's log-probability; cut the tail) with the LM
+    * trained ON the corpus itself: bigram MLE, P(w2|w1) =
+    * C(w1 w2) / C(w1 ·), where C(w1 ·) counts bigrams starting with w1.
+    * Self-scoring sidesteps smoothing — every scored bigram has corpus
+    * count ≥ 1 by construction — while producing the same ranking signal
+    * (template/boilerplate docs score high, noise scores low); a
+    * production run swaps the count tables for a held-out LM's, same plan.
+    *
+    * Scale shape: tokens explode to bigrams once; the count tables are
+    * vocabulary-sized and meet the bigram stream in SHUFFLE joins on the
+    * 8-byte hash (never broadcast — a 100 TB corpus's bigram vocabulary
+    * outgrows any driver); per-doc aggregation is the only other shuffle.
+    * Scores ride as round(·,6) doubles so both engines agree digit-for-
+    * digit under the driver's float tolerance. */
+  val l21LmScore: Q = (s, d) => {
+    val bi = tokenized(s, d, wide = true)
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, concat(element_at(t, i), ' ', element_at(t, i + 1)) AS bg))"))
+          .as(Seq("pos", "p")))
+      .select(col("doc_id"), xxhash64(col("p.w1")).as("w1h"),
+        xxhash64(col("p.bg")).as("bgh"))
+    val cBg = bi.groupBy(col("bgh")).agg(count(lit(1)).as("cbg"))
+    val cW1 = bi.groupBy(col("w1h")).agg(count(lit(1)).as("cw1"))
+    bi.join(cBg, Seq("bgh")).join(cW1, Seq("w1h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cbg").cast("double") / col("cw1"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -676,6 +710,7 @@ object TextOps {
     "l18_pii_scrub" -> l18PiiScrub,
     "l19_chunk" -> l19Chunk,
     "l20_substring_dup" -> l20SubstringDup,
+    "l21_lm_score" -> l21LmScore,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -750,6 +785,19 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l21_lm_score" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n
+                     FROM documents),
+            bi AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg
+                   FROM tt, UNNEST(range(1, n)) AS u(i)
+                   WHERE n >= 2),
+            cb AS (SELECT bg, count(*) AS cbg FROM bi GROUP BY 1),
+            cw AS (SELECT w1, count(*) AS cw1 FROM bi GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(ln(cbg * 1.0 / cw1)), 6) AS avg_logprob
+         FROM bi JOIN cb USING (bg) JOIN cw USING (w1)
+         GROUP BY doc_id""",
     "l20_substring_dup" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
                             len(string_split(text, ' ')) AS n

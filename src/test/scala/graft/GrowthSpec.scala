@@ -45,6 +45,7 @@ class GrowthSpec extends SparkSpec {
       "l5f_dedup_apply" -> TextOps.queries("l5f_dedup_apply"),
       "l19_chunk" -> TextOps.queries("l19_chunk"),
       "l20_substring_dup" -> TextOps.queries("l20_substring_dup"),
+      "l21_lm_score" -> TextOps.queries("l21_lm_score"),
       "l11b_repetition" -> TextOps.queries("l11b_repetition"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
