@@ -662,12 +662,14 @@ object TextOps {
     * (template/boilerplate docs score high, noise scores low); a
     * production run swaps the count tables for a held-out LM's, same plan.
     *
-    * Scale shape: tokens explode to bigrams once; the count tables are
-    * vocabulary-sized and meet the bigram stream in SHUFFLE joins on the
-    * 8-byte hash (never broadcast — a 100 TB corpus's bigram vocabulary
-    * outgrows any driver); per-doc aggregation is the only other shuffle.
-    * Scores ride as round(·,6) doubles so both engines agree digit-for-
-    * digit under the driver's float tolerance. */
+    * Scale shape: tokens explode to bigrams once; the count tables meet
+    * the bigram stream in joins on the 8-byte hash with NO broadcast
+    * forced — AQE broadcasts the fixture's small vocabulary and falls
+    * back to shuffle joins when a 100 TB corpus's bigram vocabulary
+    * outgrows the driver (exactly the planner's call to make); per-doc
+    * aggregation is the only other shuffle. Scores ride as round(·,6)
+    * doubles so both engines agree digit-for-digit under the driver's
+    * float tolerance. */
   val l21LmScore: Q = (s, d) => {
     val bi = tokenized(s, d, wide = true)
       .where(size(col("t")) >= 2)
