@@ -689,6 +689,55 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** L22: the COMPOSED cleaning pipeline as ONE declared query — how a
+    * training-data user actually runs the engine end-to-end: exact-dedup
+    * canonical gate (l4's semantics as a window on the content hash) →
+    * surface-quality gate (l11 blend ≥ 0.4) → repetition gate
+    * (duplicate-trigram fraction ≤ 0.2, l11b) → decontamination anti-join
+    * (≥ 5 shared 3-grams with the held-out eval slice flags a doc — the
+    * substantial-overlap rule; flag-on-any-overlap removes 84% of the
+    * templated fixture, leaving a degenerate manifest), emitting the
+    * surviving corpus with its audit columns. Thresholds are
+    * fixture-calibrated cut points; production tunes all three.
+    *
+    * The load-bearing property is that composition stays ONE Catalyst
+    * plan: the token array materializes once and feeds both score
+    * expressions, the dedup gate is a single shuffle on the content
+    * hash, the decontamination flag list arrives as one anti-join — no
+    * intermediate materialization between stages, so the gates cascade
+    * before any wide column travels. Gates compare the round(·,6) scores
+    * so both engines cut identically. */
+  val l22PipelineClean: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val all = tokenized(s, d, wide = true)
+    val train = all.where(col("doc_id") % 20 =!= 0)
+    val evalDocs = all.where(col("doc_id") % 20 === 0)
+    val t = col("t")
+    val nTok = size(t).cast("double")
+    val quality = round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+        (size(array_distinct(t)).cast("double") / nTok) * 0.3 +
+        (size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and"))))
+          .cast("double") / nTok) * 0.2, 6)
+    val tris = transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val dupTri = when(size(t) >= 3,
+      round(lit(1.0) - size(array_distinct(tris)).cast("double") / (size(t) - 2), 6))
+      .otherwise(lit(0.0))
+    val wDup = Window.partitionBy(sha2(col("text").cast("binary"), 256))
+      .orderBy(col("doc_id"))
+    val gated = train
+      .withColumn("rk", row_number().over(wDup)).where(col("rk") === 1)
+      .withColumn("quality", quality)
+      .withColumn("dup_trigram_frac", dupTri)
+      .where(col("quality") >= 0.4 && col("dup_trigram_frac") <= 0.2)
+    val flagged = decontaminateFrames(train, evalDocs, 3)
+      .where(col("n_shared_shingles") >= 5).select(col("doc_id"))
+    gated.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("dup_trigram_frac"), size(t).as("n_tokens"))
+  }
+
   /** L5f: dedup APPLY — the step that actually shrinks the corpus: keep
     * exactly the canonical doc of every near-dup group (l5e's components),
     * carrying the group size for retention audit. Composes the family:
@@ -713,6 +762,7 @@ object TextOps {
     "l19_chunk" -> l19Chunk,
     "l20_substring_dup" -> l20SubstringDup,
     "l21_lm_score" -> l21LmScore,
+    "l22_pipeline_clean" -> l22PipelineClean,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
     "l2_token_stats" -> l2TokenStats,
@@ -787,6 +837,45 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l22_pipeline_clean" ->
+      """WITH tr AS (SELECT doc_id, source, text, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n
+                     FROM documents WHERE doc_id % 20 <> 0),
+            canon AS (SELECT doc_id FROM (
+                       SELECT doc_id,
+                              row_number() OVER (PARTITION BY sha256(text)
+                                                 ORDER BY doc_id) AS rk
+                       FROM tr) WHERE rk = 1),
+            q AS (SELECT doc_id, source, n,
+                         round(least(n / 100.0, 1.0) * 0.5
+                               + (CAST(len(list_distinct(t)) AS DOUBLE) / n) * 0.3
+                               + (CAST(len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / n) * 0.2,
+                               6) AS quality,
+                         CASE WHEN n >= 3 THEN
+                           round(1.0 - CAST(len(list_distinct(
+                             [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                              for i in range(n - 2)])) AS DOUBLE) / (n - 2), 6)
+                         ELSE 0.0 END AS dup_trigram_frac
+                  FROM tr),
+            pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            flagged AS (SELECT a.doc_id
+                        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0) a
+                        JOIN (SELECT s FROM sh WHERE doc_id % 20 = 0) e USING (s)
+                        GROUP BY a.doc_id
+                        HAVING count(DISTINCT a.s) >= 5)
+         SELECT q.doc_id, q.source, q.quality, q.dup_trigram_frac,
+                q.n AS n_tokens
+         FROM q JOIN canon USING (doc_id)
+         WHERE q.quality >= 0.4 AND q.dup_trigram_frac <= 0.2
+           AND q.doc_id NOT IN (SELECT doc_id FROM flagged)""",
     "l21_lm_score" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
                             len(string_split(text, ' ')) AS n

@@ -163,4 +163,19 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
     assert(bad.isEmpty, s"cartesian join in IVFADC plan:\n$plan")
   }
+
+  test("l20 substring-dup: hash-keyed equi-joins only, never doc x doc") {
+    val plan = executed(graft.SparkEntry.queries("l20_substring_dup")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in substring-dup plan:\n$plan")
+  }
+
+  test("s11 binary ingest: the readback scans the binaryFile source, not a parsed format") {
+    val df = graft.SparkEntry.queries("s11_binary_ingest")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("binaryFile") || s.contains("BinaryFile"), s)
+  }
 }
