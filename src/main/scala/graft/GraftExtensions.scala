@@ -66,6 +66,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pq_adc_table", es => functions.PqAdcTable(es(0), es(1)))
     inject("pq_adc_score", es => functions.PqAdcScore(es(0), es(1),
       intLiteral("pq_adc_score", "num_subspaces", es(2))))
+    // the Misra-Gries heavy-hitters aggregate (g13) — both arities
+    inject("freq_sketch", {
+      case Seq(child) =>
+        functions.FreqSketch(child).toAggregateExpression()
+      case Seq(child, kk) =>
+        functions.FreqSketch(child,
+          k = intLiteral("freq_sketch", "k", kk)).toAggregateExpression()
+      case exprs => throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332",
+        Map("errorMessage" ->
+          s"freq_sketch expects 1-2 arguments, got ${exprs.length}"))
+    })
     // the minhash aggregate (l5b/l5d's signature builder) — both arities,
     // matching MinHashSketch.register's own SQL path (ADVICE r6: the
     // no-code-changes install must resolve every graft function)

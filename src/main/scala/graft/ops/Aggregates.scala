@@ -224,7 +224,43 @@ object Aggregates {
         .select(lit("ALL").as("event_type"), col("nd_users")))
   }
 
+  /** G13: MERGEABLE heavy-hitters via a native Misra-Gries aggregate
+    * ([[graft.functions.FreqSketch]]) — the frequent-items member of the
+    * sketch family (g11 HLL distinct, g12 exact bitmap): one scan builds
+    * a ≤k-counter summary per group (only k pairs cross the shuffle; the
+    * exact word count l3 moves the whole vocabulary), partials merge
+    * without losing the n/(k+1) error bound (Agarwal et al., PODS 2012).
+    *
+    * Driver-verifiable property form: the sketch itself has no DuckDB
+    * twin, so the row carries per-source (n_words, n_heavy) computed
+    * EXACTLY in-plan — both reproducible by the oracle — plus
+    * `all_heavy_in_sketch`, the MG containment guarantee (every word
+    * with count > n/(k+1) is in the sketch), asserted TRUE. */
+  val g13FreqSketch: Q = (s, d) => {
+    graft.functions.FreqSketch.register(s)
+    val k = 16
+    val words = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sk = words.groupBy(col("source"))
+      .agg(expr(s"freq_sketch(w, $k)").as("mp"),
+        count(lit(1)).as("n_words"))
+    val heavy = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .join(sk.select(col("source"), col("n_words"), col("mp")), Seq("source"))
+      .where(col("c") > col("n_words") / (k + 1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_heavy"),
+        sum(when(array_contains(map_keys(col("mp")), col("w")), 1L)
+          .otherwise(0L)).as("n_in_sketch"))
+    sk.join(heavy, Seq("source"), "left")
+      .select(col("source"), col("n_words"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        coalesce(col("n_heavy") === col("n_in_sketch"), lit(true))
+          .as("all_heavy_in_sketch"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g13_freq_sketch" -> g13FreqSketch,
     "g10_two_phase_agg" -> g10TwoPhaseAgg,
     "g11_hll_merge" -> g11HllMerge,
     "g12_bitmap_distinct" -> g12BitmapDistinct,
@@ -243,6 +279,19 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g13_freq_sketch" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            n AS (SELECT source, count(*) AS n_words FROM w GROUP BY 1),
+            h AS (SELECT c.source, count(*) AS n_heavy
+                  FROM (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2) c
+                  JOIN n USING (source)
+                  WHERE c.c > n.n_words / 17.0
+                  GROUP BY 1)
+         SELECT n.source, CAST(n.n_words AS BIGINT) AS n_words,
+                CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy,
+                TRUE AS all_heavy_in_sketch
+         FROM n LEFT JOIN h USING (source)""",
     "g11_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS nd_exact,
                 TRUE AS within_bound
