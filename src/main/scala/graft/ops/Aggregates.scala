@@ -200,6 +200,30 @@ object Aggregates {
     per.union(global)
   }
 
+  /** G11b: the precompute-once pattern END-TO-END — what makes 100 TB
+    * reporting cheap in practice: per-(type, day) HLL sketches are built
+    * in one scan and PERSISTED as parquet bytes (the nightly job); the
+    * rollup then unions the persisted sketches with `hll_union_agg` —
+    * never re-scanning raw events. Declared in property form like g11:
+    * the row carries the in-plan exact distinct count plus the ±5% bound
+    * boolean on the rolled-up estimate, so a corrupted persisted sketch
+    * or a broken union fails the hash compare. */
+  val g11bHllPersist: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dir = graft.core.TempDirs.scratchSlot("hll_sketches").toString
+    ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val rolled = s.read.parquet(dir).groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("nd_exact"))
+      .join(rolled, Seq("event_type"))
+      .select(col("event_type"), col("nd_exact"),
+        (abs(col("est") - col("nd_exact")) <= col("nd_exact") * 0.05)
+          .as("within_bound"))
+  }
+
   /** G12: EXACT mergeable distinct via roaring-style bitmaps — g11's
     * sketch trades exactness for fixed size; the bitmap family keeps
     * exactness and stays mergeable: ids split into (bucket, bit position),
@@ -260,6 +284,7 @@ object Aggregates {
   }
 
   val queries: Map[String, Q] = Map(
+    "g11b_hll_persist" -> g11bHllPersist,
     "g13_freq_sketch" -> g13FreqSketch,
     "g10_two_phase_agg" -> g10TwoPhaseAgg,
     "g11_hll_merge" -> g11HllMerge,
@@ -279,6 +304,10 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g11b_hll_persist" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_exact,
+                TRUE AS within_bound
+         FROM events GROUP BY event_type""",
     "g13_freq_sketch" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
                     FROM documents),

@@ -310,7 +310,52 @@ object StreamingOps {
         (sum(col("cents")) / 100.0).as("spent")), out)
   }
 
+  /** Documents-table file stream (the corpus-ingest analogue of
+    * [[eventsStream]]): same fresh symlink staging, no timestamp column
+    * to normalize. */
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(Tables.path(d, "documents"))
+    val stageDir = graft.core.TempDirs.scratch("stream_docs")
+    java.nio.file.Files.createSymbolicLink(
+      stageDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(Tables.path(d, "documents")).toAbsolutePath)
+    s.readStream.schema(raw.schema).parquet(stageDir.toString)
+  }
+
+  /** T11: STREAMING corpus ingest — the LLM-pipeline gates applied
+    * on-arrival instead of in a nightly batch: exact dedup on the content
+    * hash (`dropDuplicates` — new near-line documents drop against
+    * already-seen content), the l11 surface-quality gate, and a running
+    * per-source rollup. Batch-equivalence oracle: the same dedup + gate +
+    * rollup in SQL over the static table.
+    *
+    * State note: content-hash dedup state here is unbounded by design
+    * (exact corpus dedup NEEDS full history); a production deployment
+    * either accepts the keyed state (hashes are 32 bytes/doc) or bounds
+    * it with `withWatermark` to dedup-within-horizon as t5 does for
+    * events. The quality gate is stateless; the rollup is standard
+    * streaming aggregation state (one row per source). */
+  val t11DocIngest: Q = (s, d) => {
+    val t = split(col("text"), " ")
+    val nTok = size(t).cast("double")
+    val quality = round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+        (size(array_distinct(t)).cast("double") / nTok) * 0.3 +
+        (size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and"))))
+          .cast("double") / nTok) * 0.2, 6)
+    val agg = documentsStream(s, d)
+      .withColumn("h", sha2(col("text").cast("binary"), 256))
+      .dropDuplicates("h")
+      .withColumn("quality", quality)
+      .where(col("quality") >= 0.4)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    runToMemory(agg, "t11_sink", "complete")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_doc_ingest" -> t11DocIngest,
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t1_tumbling_window" -> t1Tumbling,
     "t2_sliding_window" -> t2Sliding,
@@ -324,6 +369,26 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact-text duplicates don't exist in the fixture, so dedup-by-hash
+    // keeps every doc and the rk=1 window is form, not selection — it
+    // encodes which copy WOULD survive (first arrival = doc_id order on a
+    // single-file stream) if a future fixture carried any
+    "t11_doc_ingest" ->
+      """WITH d AS (SELECT *,
+                           row_number() OVER (PARTITION BY sha256(text)
+                                              ORDER BY doc_id) AS rk,
+                           string_split(text, ' ') AS t,
+                           len(string_split(text, ' ')) AS n
+                    FROM documents),
+            g AS (SELECT source, t, n FROM d
+                  WHERE rk = 1
+                    AND round(least(n / 100.0, 1.0) * 0.5
+                          + (CAST(len(list_distinct(t)) AS DOUBLE) / n) * 0.3
+                          + (CAST(len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / n) * 0.2,
+                          6) >= 0.4)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS total_tokens
+         FROM g GROUP BY source""",
     "t9_stream_stream_join" ->
       """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id,
                 CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec,
