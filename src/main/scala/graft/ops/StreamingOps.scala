@@ -322,6 +322,19 @@ object StreamingOps {
     s.readStream.schema(raw.schema).parquet(stageDir.toString)
   }
 
+  /** t11's surface-quality score over whitespace tokens (l11's formula on
+    * raw `split`, so the DuckDB twin is plain `string_split` arithmetic).
+    * Shared with StreamingSpec's injected-duplicate batch twin. */
+  private[graft] def docQuality(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = split(textCol, " ")
+    val nTok = size(t).cast("double")
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+        (size(array_distinct(t)).cast("double") / nTok) * 0.3 +
+        (size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and"))))
+          .cast("double") / nTok) * 0.2, 6)
+  }
+
   /** T11: STREAMING corpus ingest — the LLM-pipeline gates applied
     * on-arrival instead of in a nightly batch: exact dedup on the content
     * hash (`dropDuplicates` — new near-line documents drop against
@@ -336,17 +349,10 @@ object StreamingOps {
     * events. The quality gate is stateless; the rollup is standard
     * streaming aggregation state (one row per source). */
   val t11DocIngest: Q = (s, d) => {
-    val t = split(col("text"), " ")
-    val nTok = size(t).cast("double")
-    val quality = round(
-      least(nTok / 100.0, lit(1.0)) * 0.5 +
-        (size(array_distinct(t)).cast("double") / nTok) * 0.3 +
-        (size(filter(t, w => w.isin(lit("the"), lit("a"), lit("of"), lit("and"))))
-          .cast("double") / nTok) * 0.2, 6)
     val agg = documentsStream(s, d)
       .withColumn("h", sha2(col("text").cast("binary"), 256))
       .dropDuplicates("h")
-      .withColumn("quality", quality)
+      .withColumn("quality", docQuality(col("text")))
       .where(col("quality") >= 0.4)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

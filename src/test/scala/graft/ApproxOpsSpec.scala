@@ -166,6 +166,33 @@ class ApproxOpsSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("g11b persisted sketches union to the same estimate as a direct one-pass sketch") {
+    import graft.ops.Aggregates
+    // the property g11b adds over g11 is PERSISTENCE: per-day sketches
+    // round-trip through parquet bytes and their union must estimate like
+    // a sketch built in one pass over raw events (register-max merge is
+    // lossless for same-lgK sketches, so this is equality, not a band)
+    val rows = Aggregates.g11bHllPersist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: persisted-rollup estimate outside 5% of exact")
+    }
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = graft.core.TempDirs.scratchSlot("hll_sketches").toString
+    val rolled = spark.read.parquet(dir).groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct,
+      s"persisted-union estimates $rolled != direct one-pass $direct")
+    // the persisted column is genuinely sketch BYTES (mergeable artifact,
+    // not a materialized count)
+    val skType = spark.read.parquet(dir).schema("sk").dataType
+    assert(skType == org.apache.spark.sql.types.BinaryType, s"sk stored as $skType")
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)

@@ -97,6 +97,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(sum(col("n_purchases"))).head().getLong(0) == purchases.count())
   }
 
+  test("t11 doc ingest drops injected exact duplicates before the gate and rollup") {
+    // the shipped fixture has no exact-text duplicates, so the declared
+    // query's dropDuplicates is form; this pins the SEMANTICS by staging a
+    // corpus where 40 docs arrive twice (same text, fresh doc_id, a
+    // different source) and asserting the cross-source totals match the
+    // batch twin computed over DISTINCT texts. Per-source rows are not
+    // asserted for the duplicated texts — which copy survives a same-batch
+    // tie is partition order, not a contract.
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sfDir)
+    val dups = docs.orderBy(col("doc_id")).limit(40)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("source", lit("replay_feed"))
+    val fixture = graft.core.TempDirs.scratch("t11_dup_fixture")
+    val tmp = graft.core.TempDirs.scratch("t11_dup_write")
+    docs.unionByName(dups).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, fixture.resolve("documents.parquet"))
+
+    val got = StreamingOps.t11DocIngest(spark, fixture.toString)
+    val (gotDocs, gotTokens) = {
+      val r = got.agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // batch twin: one representative per distinct text (token count and
+    // quality are functions of the text, so the totals are survivor-free)
+    val want = docs // every duplicated text already exists in `docs`
+      .withColumn("quality", StreamingOps.docQuality(col("text")))
+      .where(col("quality") >= 0.4)
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok")).head()
+    assert(gotDocs == want.getLong(0),
+      s"deduped doc count $gotDocs != batch distinct-text count ${want.getLong(0)}")
+    assert(gotTokens == want.getLong(1),
+      s"deduped token total $gotTokens != batch ${want.getLong(1)}")
+  }
+
   test("t10 foreachBatch ingest lands batch-stamped rows matching the batch twin") {
     val (got, landingDir) = StreamingOps.t10Ingest(spark, sfDir)
     val purchases = events.where(col("event_type") === "purchase")
