@@ -29,6 +29,7 @@ object DumpPlans {
       "l21_lm_score" -> "Self-trained bigram LM scoring: one explode to bigrams, count tables joined back on 8-byte hashes (AQE picks broadcast at fixture scale, shuffle at corpus scale), per-doc aggregation.",
       "l22_pipeline_clean" -> "The COMPOSED cleaning pipeline as one Catalyst plan: token array materialized once for both score gates, exact-dedup via one window on the content hash, decontamination as one broadcast anti-join — no inter-stage materialization.",
       "g13_freq_sketch" -> "Mergeable Misra-Gries heavy hitters: map-side partial sketches (k counters each) merge across the shuffle; the exact verification side shares the exploded word scan.",
+      "g11b_hll_persist" -> "Precompute-once rollup end-to-end: per-(type, day) HLL sketches persisted as parquet BYTES; the rollup side scans only the sketch rows (hll_union_agg), never re-reading raw events — the exact-count branch exists solely for the property-form verification.",
       "o3_topk_global" -> "Global top-k compiles to TakeOrderedAndProject: per-partition top-k, k-row driver merge, no global sort.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
