@@ -313,6 +313,42 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
   }
 
+  /** J9: runtime bloom-filter–pruned join (the semi-join reduction the
+    * reference's planner can't do at all). A selective dim-side filter
+    * ('1-URGENT' keeps ~20% of orders) turns the fact-side scan mostly
+    * wasted: Catalyst's InjectRuntimeFilter builds a bloom filter over the
+    * surviving dim keys and pushes `might_contain(xxhash64(l_orderkey))`
+    * into the fact scan, so non-matching fact rows die BEFORE the join
+    * exchange — at 100 TB that's the difference between shuffling the
+    * whole fact table and shuffling the ~matching fifth. Pruning is a
+    * filter (false positives pass through to the exact join), so the
+    * result is identical to the plain join — which is the oracle.
+    *
+    * The thresholds are size heuristics, not semantics: injection requires
+    * an application side bigger than 10 GB by default, which a fixture
+    * never is; production leaves the defaults alone. Broadcast is disabled
+    * the same way — with a broadcast-able dim Spark correctly skips the
+    * bloom (the broadcast hash set IS the perfect filter); forcing the
+    * shuffle join recreates the 100 TB shape where the dim outgrows
+    * broadcast. Both knobs live on an ISOLATED child session (same
+    * SparkContext, own SQLConf) rather than set-then-restored on the
+    * caller's: the caller executes the returned frame lazily, after a
+    * restore would already have undone the conf, and a leaked
+    * autoBroadcastJoinThreshold=-1 would wreck every later plan. */
+  val j9BloomJoin: Q = (s, d) => {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(iso, d)
+    val o = Tables.orders(iso, d).where(col("o_orderpriority") === "1-URGENT")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
   /** S8+J9: bucketed co-located join — both sides saved bucketed (8 buckets,
     * sorted) on the join key, so the join is a zero-shuffle sort-merge over
     * pre-aligned buckets. At 100 TB this is the difference between a
@@ -406,10 +442,17 @@ object Relational {
     "j4_cross" -> j4Cross,
     "j5_range_join" -> j5RangeJoin,
     "j6_broadcast" -> j6Broadcast,
-    "j7_asof_join" -> j7AsOf
+    "j7_asof_join" -> j7AsOf,
+    "j9_bloom_join" -> j9BloomJoin
   )
 
   val oracle: Map[String, String] = Map(
+    "j9_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1""",
     "j8_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum

@@ -753,7 +753,75 @@ object TextOps {
       .select(col("doc_id"), col("component"), col("group_size"))
   }
 
+  /** L23: TF-IDF keyword extraction — the top-3 RAREST terms per document
+    * with their tf-idf scores (the classic topical-signature signal for
+    * corpus exploration and near-dup triage). Ranking is by integer
+    * (document frequency asc, word asc), never by the float score, so the
+    * emitted rows are bit-deterministic across engines; the score column
+    * rides along for the oracle's float-tolerance compare.
+    *
+    * Scale shape: tf = explode + one shuffle on (doc_id, word); df = one
+    * shuffle on word; the tf⋈df join is word-keyed (AQE broadcasts the df
+    * table when the vocabulary fits, shuffles when it doesn't); corpus
+    * size joins as a broadcast 1-row cross; the final top-k is a per-doc
+    * window — every stage keyed, nothing quadratic. */
+  val l23Tfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("word")).agg(count_distinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("word").asc)
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("df"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+          .as("tfidf"))
+  }
+
+  /** L24: BM25 relevance scoring of the corpus against a fixed query —
+    * the retrieval-quality signal (Robertson k1=1.2, b=0.75). Emits EVERY
+    * matching document with its score rather than a float-ranked top-k:
+    * row identity is the integer doc_id, so cross-engine float ordering
+    * can never flip rows, and the oracle checks the scores themselves
+    * under float tolerance.
+    *
+    * Scale shape: the term filter prunes the exploded token stream to
+    * query terms before any shuffle; the df/avgdl/N statistics are
+    * metadata-sized and broadcast; the per-doc rollup is one doc_id
+    * shuffle. */
+  val l24Bm25: Q = (s, d) => {
+    val qTerms = Seq("data", "table", "row")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = tokenized(s, d).select(col("doc_id"), col("t"))
+    val stats = broadcast(docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(col("t"))).as("avgdl")))
+    val hits = docs
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("word"))
+      .where(col("word").isin(qTerms.map(lit): _*))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = broadcast(hits.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val term = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(df, Seq("word"))
+      .crossJoin(stats)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_query_terms"),
+        round(sum(term), 6).as("bm25"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "l23_tfidf" -> l23Tfidf,
+    "l24_bm25" -> l24Bm25,
     "l15_len_quantiles" -> l15LenQuantiles,
     "l15b_len_quantiles_approx" -> l15bLenQuantilesApprox,
     "l16_hash_sample" -> l16HashSample,
@@ -837,6 +905,32 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l23_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            ranked AS (SELECT tf.doc_id, tf.word, df.df, tf.tf, n.n_docs,
+                              row_number() OVER (PARTITION BY tf.doc_id
+                                                 ORDER BY df.df ASC, tf.word ASC) AS rk
+                       FROM tf JOIN df USING (word) CROSS JOIN n)
+         SELECT doc_id, rk, word, df,
+                round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+         FROM ranked WHERE rk <= 3""",
+    "l24_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM d),
+            hits AS (SELECT doc_id, len(t) AS dl, unnest(t) AS word FROM d),
+            qh AS (SELECT * FROM hits WHERE word IN ('data', 'table', 'row')),
+            tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM qh GROUP BY 1, 2, 3),
+            df AS (SELECT word, count(DISTINCT doc_id) AS df FROM qh GROUP BY 1)
+         SELECT tf.doc_id, count(*) AS n_query_terms,
+                round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         FROM tf JOIN df USING (word) CROSS JOIN stats
+         GROUP BY 1""",
     "l22_pipeline_clean" ->
       """WITH tr AS (SELECT doc_id, source, text, string_split(text, ' ') AS t,
                             len(string_split(text, ' ')) AS n

@@ -47,6 +47,8 @@ class GrowthSpec extends SparkSpec {
       "l20_substring_dup" -> TextOps.queries("l20_substring_dup"),
       "l21_lm_score" -> TextOps.queries("l21_lm_score"),
       "l11b_repetition" -> TextOps.queries("l11b_repetition"),
+      "l23_tfidf" -> TextOps.queries("l23_tfidf"),
+      "l24_bm25" -> TextOps.queries("l24_bm25"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {

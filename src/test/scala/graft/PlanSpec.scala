@@ -51,6 +51,25 @@ class PlanSpec extends SparkSpec {
       s"no broadcast join in:\n$plan")
   }
 
+  test("j9: runtime bloom filter prunes the fact side before the join exchange") {
+    val df = Relational.j9BloomJoin(spark, sfDir)
+    val plan = executed(df).toString
+    // InjectRuntimeFilter must have pushed a might_contain(bloom) predicate
+    // into the lineitem side — the semi-join reduction the op exists for
+    assert(plan.contains("might_contain"), s"no bloom runtime filter in:\n$plan")
+    assert(plan.contains("bloom_filter_agg"), s"no bloom build side in:\n$plan")
+    // and the pruned result must still equal the plain join (false
+    // positives flow through to the exact join; nothing true is lost)
+    val want = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.orders(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    val got = df.selectExpr("sum(n_items)").head().getLong(0)
+    assert(got == want, s"bloom-pruned join lost rows: $got vs $want")
+  }
+
   test("j7 as-of: single shuffle on user_id, no join explosion") {
     val plan = executed(Relational.j7AsOf(spark, sfDir))
     val shuffles = collectAll(plan).collect { case s: ShuffleExchangeExec => s }
