@@ -765,18 +765,22 @@ object TextOps {
     * table when the vocabulary fits, shuffles when it doesn't); corpus
     * size joins as a broadcast 1-row cross; the final top-k is a per-doc
     * window — every stage keyed, nothing quadratic. */
-  val l23Tfidf: Q = (s, d) => {
+  val l23Tfidf: Q = (s, d) => tfidfFrames(Tables.documents(s, d), k = 3)
+
+  /** l23 core over an arbitrary (doc_id, text) frame with a configurable
+    * top-k — exposed through the pipeline registry's `tfidf` transform
+    * (input {docs}, param k). */
+  private[graft] def tfidfFrames(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("word")).agg(count_distinct(col("doc_id")).as("df"))
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("word").asc)
     tf.join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 3)
+      .where(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("word"), col("df"),
         round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6)
           .as("tfidf"))
@@ -793,11 +797,16 @@ object TextOps {
     * query terms before any shuffle; the df/avgdl/N statistics are
     * metadata-sized and broadcast; the per-doc rollup is one doc_id
     * shuffle. */
-  val l24Bm25: Q = (s, d) => {
-    val qTerms = Seq("data", "table", "row")
-    val k1 = 1.2
-    val b = 0.75
-    val docs = tokenized(s, d).select(col("doc_id"), col("t"))
+  val l24Bm25: Q = (s, d) =>
+    bm25Frames(Tables.documents(s, d), Seq("data", "table", "row"),
+      k1 = 1.2, b = 0.75)
+
+  /** l24 core over an arbitrary (doc_id, text) frame with the query terms
+    * and BM25 constants as knobs — exposed through the pipeline registry's
+    * `bm25` transform (input {docs}, params terms/k1/b). */
+  private[graft] def bm25Frames(docsRaw: DataFrame, qTerms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), toks(col("text")).as("t"))
     val stats = broadcast(docs.agg(
       count(lit(1)).as("n_docs"),
       avg(size(col("t"))).as("avgdl")))

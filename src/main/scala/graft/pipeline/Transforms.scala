@@ -50,6 +50,21 @@ object Transforms {
       graft.ops.VectorOps.embedDedupFrames(in("embeddings"),
         p.params.getOrElse("theta", "0.95").toDouble)
     }
+    // corpus keyword extraction over any (doc_id, text) step; param k is
+    // the number of rarest terms kept per doc (declared l23 pins k=3)
+    r.register("tfidf") { (_, in, p) =>
+      graft.ops.TextOps.tfidfFrames(in("docs"),
+        p.params.getOrElse("k", "3").toInt)
+    }
+    // BM25 relevance of any (doc_id, text) step against a caller-supplied
+    // query (comma-separated terms); k1/b default to the Robertson
+    // constants the declared l24 pins
+    r.register("bm25") { (_, in, p) =>
+      graft.ops.TextOps.bm25Frames(in("docs"),
+        p("terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("k1", "1.2").toDouble,
+        p.params.getOrElse("b", "0.75").toDouble)
+    }
     r
   }
 }

@@ -175,6 +175,31 @@ class PipelineSpecTest extends SparkSpec {
     assert(hiDf.where(col("is_canonical")).count() == n)
   }
 
+  test("tfidf and bm25 transforms: ranking knobs are live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_ir").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val docsStep = StepSpec("docs", "source",
+      params = Map("dir" -> sfDir, "table" -> "documents"))
+    // tfidf: k grows the per-doc term list
+    def tfidfSpec(k: Int) = PipelineSpec(Seq(docsStep,
+      StepSpec("terms", "tfidf", Map("docs" -> "docs"), Map("k" -> k.toString))))
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val k3 = runner.execute(tfidfSpec(3), Seq("terms"))
+    assert(spark.read.parquet(s"$wh/${k3("terms")}").count() == 3 * nDocs)
+    val k5 = runner.execute(tfidfSpec(5), Seq("terms"))
+    assert(k5("terms") != k3("terms"), "different k must be a different impression")
+    assert(spark.read.parquet(s"$wh/${k5("terms")}").count() == 5 * nDocs)
+    // bm25: the query is a caller-supplied param; a term outside the
+    // fixture vocabulary matches nothing
+    def bm25Spec(terms: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("scored", "bm25", Map("docs" -> "docs"), Map("terms" -> terms))))
+    val hit = runner.execute(bm25Spec("data, table"), Seq("scored"))
+    assert(spark.read.parquet(s"$wh/${hit("scored")}").count() > 0)
+    val miss = runner.execute(bm25Spec("zzzunseen"), Seq("scored"))
+    assert(miss("scored") != hit("scored"))
+    assert(spark.read.parquet(s"$wh/${miss("scored")}").count() == 0)
+  }
+
   test("manifest lists steps with materialization state; vacuum GCs stale runs") {
     val wh = Files.createTempDirectory("graft_wh6").toString
     val runner = new Runner(spark, Transforms.standard(), wh)
