@@ -16,6 +16,7 @@ object DumpPlans {
       "j7_asof_join" -> "As-of join as one shuffle on user_id + ordered window — no inequality self-join, no pair explosion.",
       "j8_salted_join" -> "Two-path skew-safe join: sampled hot keys broadcast; only the hot slice salts and replicates the dim, the cold slice joins plain; the union equals the plain join.",
       "s8_bucketed_join" -> "Bucketed co-located join: both sides pre-bucketed+sorted on the key, sort-merge join with NO exchange on either input.",
+      "j9_bloom_join" -> "Runtime bloom-filter semi-join reduction: InjectRuntimeFilter builds bloom_filter_agg over the filtered dim keys and pushes might_contain(xxhash64(l_orderkey)) into the fact-side scan filter — non-matching fact rows die before the join exchange.",
       "l5_jaccard_pairs" -> "Near-dup inverted index: shuffle on 8-byte hashed shingles only; no cross join anywhere.",
       "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
@@ -30,6 +31,8 @@ object DumpPlans {
       "l22_pipeline_clean" -> "The COMPOSED cleaning pipeline as one Catalyst plan: token array materialized once for both score gates, exact-dedup via one window on the content hash, decontamination as one broadcast anti-join — no inter-stage materialization.",
       "g13_freq_sketch" -> "Mergeable Misra-Gries heavy hitters: map-side partial sketches (k counters each) merge across the shuffle; the exact verification side shares the exploded word scan.",
       "g11b_hll_persist" -> "Precompute-once rollup end-to-end: per-(type, day) HLL sketches persisted as parquet BYTES; the rollup side scans only the sketch rows (hll_union_agg), never re-reading raw events — the exact-count branch exists solely for the property-form verification.",
+      "l23_tfidf" -> "TF-IDF keyword extraction: explode once, (doc,word) tf and word-keyed df tables meet on the word key (AQE broadcasts the vocabulary when it fits), corpus size joins as a broadcast 1-row cross, per-doc window ranks by INTEGER (df, word) — deterministic across engines, no float ordering.",
+      "l24_bm25" -> "BM25 scoring: the query-term filter prunes the exploded token stream BEFORE any shuffle; df/avgdl/N are metadata-sized broadcasts; one doc_id rollup emits every matching doc.",
       "o3_topk_global" -> "Global top-k compiles to TakeOrderedAndProject: per-partition top-k, k-row driver merge, no global sort.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
