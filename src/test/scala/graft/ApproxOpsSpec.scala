@@ -105,14 +105,15 @@ class ApproxOpsSpec extends SparkSpec {
       VectorOps.l7KnnBruteForce(spark, sfDir).where(col("rk") <= 3), "ida", "idb")
     val pq = VectorOps.l7dKnnPq(spark, sfDir)
     assert(pq.count() > 0)
-    // 16 subspaces x 16 codes on 64-dim vectors (measured 0.65 here, vs
-    // 0.42 for the rejected 8x8-dim geometry) — the ADC ordering should
-    // put most true top-3 neighbors first; recall@top-1-in-exact-top-3
-    // floor, same contract shape as l7b/l7c
+    // 16 subspaces x 16 codes on 64-dim vectors, with the ADC top-12
+    // exactly re-ranked (ADC+R): pure ADC measured 0.65 here and decayed
+    // to 0.52 on the 4x corpus (sf0.1) — code noise can't order near-ties
+    // — while "keep a true neighbor in the ADC top-12" holds at every
+    // scale (measured 1.0 / 0.996 / 0.983 across the three SFs)
     val pqTop = pairSet(pq.where(col("rk") === 1), "ida", "idb")
     val hit = pqTop.count(exactTop3.contains)
     info(s"PQ top-1 in exact top-3: $hit/${pqTop.size}")
-    assert(hit.toDouble / pqTop.size >= 0.5,
+    assert(hit.toDouble / pqTop.size >= 0.9,
       s"PQ top-1 in exact top-3 for only $hit/${pqTop.size}")
     // determinism: cached codebooks -> identical result on re-run
     val again = pairSet(VectorOps.l7dKnnPq(spark, sfDir).where(col("rk") === 1), "ida", "idb")
