@@ -21,7 +21,7 @@ object DumpPlans {
       "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
       "l7c_knn_ivf" -> "IVF ANN: learned (Lloyd's) unit centroids as literals, assignment is K codegen'd dots per row, candidate join shuffles ids on (label, cell) only.",
-      "l7d_knn_pq" -> "PQ ANN with ADC ranking: 16x4-bit codes (one long/vector) + precomputed reconstruction norm ride the candidate join; scoring is 16 table lookups against the query's 256-entry dot table; index vectors never shipped after encoding.",
+      "l7d_knn_pq" -> "PQ ANN with ADC + exact re-rank (ADC+R): 16x4-bit codes (one long/vector) + precomputed reconstruction norm ride the candidate join; scoring is 16 table lookups against the query's 256-entry dot table; index vectors never shipped after encoding; the ADC top-12 short list is exactly re-ranked (recall 0.983-1.0 across SFs vs 0.52-0.65 pure ADC).",
       "l7f_knn_ivfpq" -> ("IVFADC+R: coarse cells route candidates (nprobe/K of the index per query) AND residual-PQ codes replace vectors in the shuffle — 20 bytes/row; reconstruction norms from literal tables via the pq_adc_score kernel; the ADC top-12 is exactly re-ranked (Jégou §V). " +
         "Recall/cost sweep (top-1-in-exact-top-3 at sf0.001/sf0.01/sf0.1): pure ADC np=3 .52/.52/.35, np=10 .58/.61/.41 (4-bit code noise saturates); with re-rank np4/C8 .86/.87/.79, np4/C12 .87/.87/.83, np6/C12 .95/.95/.89 (DECLARED), np6/C16 .95/.95/.91, np8/C16 .99/.97/.94 — wall time flat (~1.1-1.3 s at sf0.1) across all points, so the knobs buy recall nearly free at fixture scale and trade candidate-join volume linearly at 100 TB."),
       "l17_decontaminate" -> "Decontamination: train/eval shingle semi-join on xxhash64 with the eval side broadcast — the train side never shuffles for the match; only flagged survivors aggregate.",
