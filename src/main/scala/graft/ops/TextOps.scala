@@ -828,7 +828,54 @@ object TextOps {
         round(sum(term), 6).as("bm25"))
   }
 
+  /** L25: temperature-weighted source resampling — α-mixing (the T5 /
+    * XLM-R data recipe: sampling weight w_s ∝ n_s^α with α < 1 upweights
+    * small sources so the head domains don't drown the tail). Each
+    * source's keep-rate is `target_frac · N · w_s / n_s` (capped at 1),
+    * realized by the same deterministic md5-bucket rule as l16 — so the
+    * kept SET (not just the rate) is reproducible in both engines, and
+    * re-runs are stable for lineage. Emits the per-source mixture summary.
+    *
+    * Scale shape: one count aggregation on source, a #sources-row rate
+    * table broadcast back, a stateless per-row keep predicate, one rollup
+    * — no global shuffle of the corpus at any point. */
+  val l25TemperatureMix: Q = (s, d) =>
+    temperatureMixFrames(Tables.documents(s, d), alpha = 0.3, targetFrac = 0.5)
+
+  /** l25 core with the temperature and target fraction as knobs — exposed
+    * through the pipeline registry's `temperature_mix` transform (input
+    * {docs}, params alpha/frac). */
+  private[graft] def temperatureMixFrames(docs: DataFrame, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    val c = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = c.agg(
+      sum(pow(col("n_docs"), alpha)).as("tot_w"),
+      sum(col("n_docs")).as("n_total"))
+    // the rate is ROUNDED to 6 decimals before the bucket threshold is
+    // taken: pow() differs by 1 ulp between engines (Java vs libm), and a
+    // rate landing exactly on a bucket boundary (0.5 on a uniform source
+    // distribution!) floors to different thresholds either side of it —
+    // rounding snaps both engines to the same value first
+    val rates = c.crossJoin(broadcast(tot))
+      .withColumn("weight", pow(col("n_docs"), alpha) / col("tot_w"))
+      .withColumn("thr", floor(round(least(lit(1.0),
+        lit(targetFrac) * col("n_total") * col("weight") / col("n_docs")), 6)
+        * 1000000L).cast("long"))
+    val bucket = conv(
+      substring(md5(concat(col("source"), lit(":"), col("doc_id"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    docs
+      .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+      .where(bucket < col("thr"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .join(rates, Seq("source"), "right_outer")
+      .select(col("source"), col("n_docs"),
+        round(col("weight"), 6).as("weight"), col("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "l25_temperature_mix" -> l25TemperatureMix,
     "l23_tfidf" -> l23Tfidf,
     "l24_bm25" -> l24Bm25,
     "l15_len_quantiles" -> l15LenQuantiles,
@@ -914,6 +961,23 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l25_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+            t AS (SELECT sum(pow(n_docs, 0.3)) AS tot_w, sum(n_docs) AS n_total
+                  FROM c),
+            r AS (SELECT source, n_docs,
+                         pow(n_docs, 0.3) / tot_w AS weight,
+                         CAST(floor(round(least(1.0,
+                           0.5 * n_total * (pow(n_docs, 0.3) / tot_w) / n_docs), 6)
+                           * 1000000) AS BIGINT) AS thr
+                  FROM c CROSS JOIN t),
+            kept AS (SELECT d.source, count(*) AS n_kept
+                     FROM documents d JOIN r USING (source)
+                     WHERE ('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000000 < thr
+                     GROUP BY 1)
+         SELECT r.source, r.n_docs, round(r.weight, 6) AS weight, r.thr,
+                coalesce(k.n_kept, 0) AS n_kept
+         FROM r LEFT JOIN kept k ON r.source = k.source""",
     "l23_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                       FROM documents),

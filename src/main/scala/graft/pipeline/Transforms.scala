@@ -65,6 +65,13 @@ object Transforms {
         p.params.getOrElse("k1", "1.2").toDouble,
         p.params.getOrElse("b", "0.75").toDouble)
     }
+    // temperature-weighted source mixing over any (doc_id, source) step;
+    // alpha < 1 upweights tail sources (declared l25 pins 0.3/0.5)
+    r.register("temperature_mix") { (_, in, p) =>
+      graft.ops.TextOps.temperatureMixFrames(in("docs"),
+        p.params.getOrElse("alpha", "0.3").toDouble,
+        p.params.getOrElse("frac", "0.5").toDouble)
+    }
     r
   }
 }

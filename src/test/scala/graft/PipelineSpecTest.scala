@@ -200,6 +200,27 @@ class PipelineSpecTest extends SparkSpec {
     assert(spark.read.parquet(s"$wh/${miss("scored")}").count() == 0)
   }
 
+  test("temperature_mix transform: alpha flattens the mixture toward the tail") {
+    val wh = Files.createTempDirectory("graft_wh_tm").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val docsStep = StepSpec("docs", "source",
+      params = Map("dir" -> sfDir, "table" -> "documents"))
+    def spec(alpha: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("mix", "temperature_mix", Map("docs" -> "docs"),
+        Map("alpha" -> alpha))))
+    // alpha=1 keeps natural proportions: every source's keep-rate is the
+    // target fraction, so weights are proportional to size
+    val nat = runner.execute(spec("1.0"), Seq("mix"))
+    val natDf = spark.read.parquet(s"$wh/${nat("mix")}")
+    assert(natDf.where(col("thr") =!= 500000L).count() == 0,
+      "alpha=1 must give every source the uniform target rate")
+    // alpha->0 pushes toward uniform-over-sources weights: tail sources'
+    // rates rise to the cap; different alpha = different impression
+    val flat = runner.execute(spec("0.1"), Seq("mix"))
+    assert(flat("mix") != nat("mix"))
+    assert(spark.read.parquet(s"$wh/${flat("mix")}").count() == natDf.count())
+  }
+
   test("manifest lists steps with materialization state; vacuum GCs stale runs") {
     val wh = Files.createTempDirectory("graft_wh6").toString
     val runner = new Runner(spark, Transforms.standard(), wh)
