@@ -121,4 +121,96 @@ object Graphs {
     edges.unpersist(blocking = false)
     out
   }
+
+  /** Weighted PageRank over an arbitrary edge list — the link-graph
+    * centrality signal web-corpus pipelines use as a page-quality prior
+    * (harmonic/PageRank centrality in Common-Crawl-scale filtering).
+    * Standard damped formulation, fixed iteration count:
+    * pr₀ = 1/N; pr_{t+1}(v) = (1-d)/N + d · Σ_{u→v} pr_t(u)·w(u,v)/outw(u).
+    * Dangling mass is dropped (sink nodes re-seed through the damping
+    * term only) — the same simplification both engines compute, so the
+    * oracle is exact arithmetic, not an approximation contract.
+    *
+    * Scale shape per iteration: ONE shuffle of the edge list on src (the
+    * contribution join) and one on dst (the inflow aggregation); nodes,
+    * out-weights and N are computed once and reused. The iteration count
+    * is a fixed plan unroll here (3 plans composed); a cluster deployment
+    * iterating to convergence would checkpoint each round exactly as
+    * [[connectedComponents]] does.
+    *
+    * @param edges columns `src`, `dst`, `w` (long weight)
+    * @return columns `node`, `pr` (rounded to 8 decimals) */
+  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    var pr = nodes.crossJoin(nN)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(outw, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
+      pr = nodes.crossJoin(nN)
+        .join(inflow, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 8).as("pr"))
+  }
+
+  /** L26: PageRank centrality over the customer→supplier order graph
+    * (edge weight = lineitems ordered) — 3 damped iterations. Node ids
+    * are prefixed ('c'/'s') so the two key spaces can't collide. */
+  val l26PageRank: graft.ops.Relational.Q = (s, d) => {
+    val li = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pageRank(edges, damping = 0.85, iters = 3)
+  }
+
+  val queries: Map[String, graft.ops.Relational.Q] = Map(
+    "l26_pagerank" -> l26PageRank)
+
+  val oracle: Map[String, String] = Map(
+    "l26_pagerank" ->
+      """WITH e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                           's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                           count(*) AS w
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+            pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes CROSS JOIN nn),
+            pr1 AS (SELECT nd.node, CAST(0.15 AS DOUBLE) / nn.n + 0.85 * coalesce(c.inflow, CAST(0 AS DOUBLE)) AS pr
+                    FROM nodes nd CROSS JOIN nn
+                    LEFT JOIN (SELECT e.dst AS node,
+                                      sum(p.pr * e.w / ow.outw) AS inflow
+                               FROM e JOIN ow USING (src)
+                               JOIN pr0 p ON p.node = e.src
+                               GROUP BY 1) c ON c.node = nd.node),
+            pr2 AS (SELECT nd.node, CAST(0.15 AS DOUBLE) / nn.n + 0.85 * coalesce(c.inflow, CAST(0 AS DOUBLE)) AS pr
+                    FROM nodes nd CROSS JOIN nn
+                    LEFT JOIN (SELECT e.dst AS node,
+                                      sum(p.pr * e.w / ow.outw) AS inflow
+                               FROM e JOIN ow USING (src)
+                               JOIN pr1 p ON p.node = e.src
+                               GROUP BY 1) c ON c.node = nd.node),
+            pr3 AS (SELECT nd.node, CAST(0.15 AS DOUBLE) / nn.n + 0.85 * coalesce(c.inflow, CAST(0 AS DOUBLE)) AS pr
+                    FROM nodes nd CROSS JOIN nn
+                    LEFT JOIN (SELECT e.dst AS node,
+                                      sum(p.pr * e.w / ow.outw) AS inflow
+                               FROM e JOIN ow USING (src)
+                               JOIN pr2 p ON p.node = e.src
+                               GROUP BY 1) c ON c.node = nd.node)
+         SELECT node, round(pr, 8) AS pr FROM pr3""")
 }

@@ -13,6 +13,31 @@ import java.nio.file.Files
   * union-find equivalence holds for both postures), only the
   * materialization medium changes. */
 class GraphsReliableSpec extends SparkSpec {
+
+  test("pageRank: exact values on a hand-computed chain, mass and base-rank properties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a → b → c (unit weights), d=0.85, 3 iterations, pr0 = 1/3:
+    //   a never receives: pr(a) = 0.15/3 = 0.05 after every iteration
+    //   b: it1 0.05+0.85/3, it2 0.05+0.85·0.05 = 0.0925, it3 same = 0.0925
+    //   c: it3 0.05+0.85·0.0925 = 0.128625
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val got = graft.ops.Graphs.pageRank(edges, 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 0.05) < 1e-9, got.toString)
+    assert(math.abs(got("b") - 0.0925) < 1e-9, got.toString)
+    assert(math.abs(got("c") - 0.128625) < 1e-9, got.toString)
+    // declared graph: mass stays in (1-d, 1] (dangling suppliers leak
+    // mass through the damping term only), sources sit at the base rank
+    val pr = graft.ops.Graphs.l26PageRank(spark, sfDir)
+    val mass = pr.agg(sum(col("pr"))).head().getDouble(0)
+    assert(mass > 0.15 && mass <= 1.0 + 1e-6, s"PageRank mass $mass out of range")
+    val nN = pr.count()
+    val base = pr.where(col("node").startsWith("c"))
+      .agg(max(abs(col("pr") - lit(0.15) / nN))).head().getDouble(0)
+    assert(base < 1e-8, s"customers (no in-edges) must sit at the base rank: $base")
+  }
+
   test("connected components under a checkpoint dir: chain forces the cadence") {
     val ckptRoot = Files.createTempDirectory("graft_cc_ckpt")
     spark.sparkContext.setCheckpointDir(ckptRoot.toString)
