@@ -204,6 +204,59 @@ object TextOps {
 
   val l5bMinhashLsh: Q = l5bMinhashLshCapped(None)
 
+  /** L27: INCREMENTAL dedup — a new document batch deduped against a
+    * PERSISTED minhash band index of the historical corpus, the
+    * daily-crawl-vs-history shape every production dedup pipeline runs:
+    * the 100 TB history is indexed ONCE ((band, bh, doc_id) rows plus the
+    * 8-byte hashed-shingle arrays for exact verification — signatures,
+    * never text), and each arriving batch only computes its own
+    * signatures, probes the index on the band hash, and exact-verifies
+    * the few candidates. History text is never re-read.
+    *
+    * Here the batch is the deterministic doc_id % 10 slice so DuckDB can
+    * recompute the answer exactly: banding has full recall on the
+    * fixtures and candidates are exact-verified (the l5b argument), so
+    * the output equals the exact new×old Jaccard pairs at τ = 0.3. */
+  val l27IncrementalDedup: Q = (s, d) => {
+    val numHashes = 32
+    val docs = hashedShingleDocs(s, d)
+    def sigOf(in: DataFrame): DataFrame = in.select(
+      col("doc_id"), col("hs"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
+      }: _*).as("sig"))
+    def bandsOf(sig: DataFrame): DataFrame = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numHashes / 2 - 1)), b =>
+        xxhash64(lit("band"), element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))).as(Seq("band", "bh")))
+    val hist = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    // the nightly artifact: band index + shingle store, persisted once
+    val idxDir = graft.core.TempDirs.scratchSlot("mh_band_index").toString
+    val shDir = graft.core.TempDirs.scratchSlot("mh_shingle_store").toString
+    bandsOf(sigOf(hist)).write.mode("overwrite").parquet(idxDir)
+    hist.select(col("doc_id"), col("hs")).write.mode("overwrite").parquet(shDir)
+    val idx = s.read.parquet(idxDir)
+    val store = s.read.parquet(shDir)
+    // the incremental pass: batch-side signatures only, index probe on
+    // (band, bh), exact verification against the stored shingle arrays
+    val cand = bandsOf(sigOf(batch))
+      .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      .join(idx.select(col("band"), col("bh"), col("doc_id").as("old_id")),
+        Seq("band", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(batch.select(col("doc_id").as("new_id"), col("hs").as("hsn")), Seq("new_id"))
+      .join(store.select(col("doc_id").as("old_id"), col("hs").as("hso")),
+        Seq("old_id"))
+      .withColumn("inter", size(array_intersect(col("hsn"), col("hso"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("hsn")) + size(col("hso")) - col("inter")))
+      .where(col("jaccard") >= 0.3)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** l5b core with the optional hot-bucket cap (see minhashBandsVerify). */
   def l5bMinhashLshCapped(maxBucket: Option[Long]): Q = (s, d) => {
     val numHashes = 32
@@ -875,6 +928,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "l27_incremental_dedup" -> l27IncrementalDedup,
     "l25_temperature_mix" -> l25TemperatureMix,
     "l23_tfidf" -> l23Tfidf,
     "l24_bm25" -> l24Bm25,
@@ -961,6 +1015,28 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l27_incremental_dedup" ->
+      """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+            sh AS (SELECT DISTINCT doc_id,
+                          CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                               ELSE NULL END AS s
+                   FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                   UNION
+                   SELECT DISTINCT doc_id, text AS s FROM documents
+                   WHERE len(string_split(text, ' ')) < 3),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                             count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s
+                      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                      GROUP BY 1, 2)
+         SELECT new_id, old_id,
+                inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+         FROM inter
+         JOIN sizes sa ON new_id = sa.doc_id
+         JOIN sizes sb ON old_id = sb.doc_id
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3""",
     "l25_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
             t AS (SELECT sum(pow(n_docs, 0.3)) AS tot_w, sum(n_docs) AS n_total

@@ -167,6 +167,19 @@ class ApproxOpsSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("l27 incremental dedup equals the full-corpus pair set restricted to new-vs-old") {
+    // the persisted-index probe must find exactly what a from-scratch run
+    // finds: l5's exact pairs with one end in the batch slice and one in
+    // history — a stale or partial index shows up as missing pairs here
+    val full = pairSet(TextOps.l5JaccardPairs(spark, sfDir), "da", "db")
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val inc = pairSet(TextOps.l27IncrementalDedup(spark, sfDir), "new_id", "old_id")
+      .map { case (n, o) => (math.min(n, o), math.max(n, o)) }
+    assert(inc == full,
+      s"incremental != full slice; missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+  }
+
   test("g11b persisted sketches union to the same estimate as a direct one-pass sketch") {
     import graft.ops.Aggregates
     // the property g11b adds over g11 is PERSISTENCE: per-day sketches
