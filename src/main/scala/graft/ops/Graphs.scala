@@ -140,9 +140,15 @@ object Graphs {
     *
     * @param edges columns `src`, `dst`, `w` (long weight)
     * @return columns `node`, `pr` (rounded to 8 decimals) */
-  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+  def pageRank(edges0: DataFrame, damping: Double, iters: Int): DataFrame = {
+    // every unrolled iteration joins the edge list, and nodes/out-weights
+    // derive from it too — without a lineage cut the upstream edge
+    // aggregation re-executes once per consumer (measured 3× on the
+    // declared graph). Same posture as the CC engine's per-round truncate.
+    val edges = edges0.localCheckpoint(eager = true)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = true)
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     var pr = nodes.crossJoin(nN)

@@ -232,11 +232,22 @@ object TextOps {
           element_at(col("sig"), b * 2 + 2)))).as(Seq("band", "bh")))
     val hist = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)
-    // the nightly artifact: band index + shingle store, persisted once
-    val idxDir = graft.core.TempDirs.scratchSlot("mh_band_index").toString
-    val shDir = graft.core.TempDirs.scratchSlot("mh_shingle_store").toString
-    bandsOf(sigOf(hist)).write.mode("overwrite").parquet(idxDir)
-    hist.select(col("doc_id"), col("hs")).write.mode("overwrite").parquet(shDir)
+    // the nightly artifact: band index + shingle store, persisted once per
+    // source-dir CONTENT (fingerprint-stamped memo, same pattern as the
+    // IVF/PQ trainers) — "indexed once" is the op's whole point, so
+    // repeated invocations in one session probe without rebuilding
+    // slot key carries the source dir: the memo makes these slots live
+    // across invocations, and a shared slot would serve one dir's index
+    // for another's probe
+    val slot = d.replaceAll("[^A-Za-z0-9]", "_")
+    val idxDir = graft.core.TempDirs.scratchSlot(s"mh_band_index_$slot").toString
+    val shDir = graft.core.TempDirs.scratchSlot(s"mh_shingle_store_$slot").toString
+    val fp = graft.core.Fingerprint.of(Tables.path(d, "documents"))
+    if (indexBuilt.get(d) != fp) {
+      bandsOf(sigOf(hist)).write.mode("overwrite").parquet(idxDir)
+      hist.select(col("doc_id"), col("hs")).write.mode("overwrite").parquet(shDir)
+      indexBuilt.put(d, fp)
+    }
     val idx = s.read.parquet(idxDir)
     val store = s.read.parquet(shDir)
     // the incremental pass: batch-side signatures only, index probe on
@@ -256,6 +267,12 @@ object TextOps {
       .where(col("jaccard") >= 0.3)
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
+
+  /** l27's index-built memo: dir → documents-fingerprint the persisted
+    * band index/shingle store were built from (staleness check, not key —
+    * an in-place mutation rebuilds and replaces). */
+  private val indexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** l5b core with the optional hot-bucket cap (see minhashBandsVerify). */
   def l5bMinhashLshCapped(maxBucket: Option[Long]): Q = (s, d) => {

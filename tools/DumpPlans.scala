@@ -18,6 +18,8 @@ object DumpPlans {
       "s8_bucketed_join" -> "Bucketed co-located join: both sides pre-bucketed+sorted on the key, sort-merge join with NO exchange on either input.",
       "j9_bloom_join" -> "Runtime bloom-filter semi-join reduction: InjectRuntimeFilter builds bloom_filter_agg over the filtered dim keys and pushes might_contain(xxhash64(l_orderkey)) into the fact-side scan filter — non-matching fact rows die before the join exchange.",
       "l5_jaccard_pairs" -> "Near-dup inverted index: shuffle on 8-byte hashed shingles only; no cross join anywhere.",
+      "l27_incremental_dedup" -> "Incremental dedup: the new batch's band rows probe the PERSISTED history index (parquet scan of (band, bh, doc_id) rows — history text never re-read); candidates exact-verify against the persisted 8-byte shingle store.",
+      "l26_pagerank" -> "Weighted PageRank, 3 unrolled iterations: per iteration one edge shuffle on src (contribution join) + one inflow aggregation on dst; nodes/out-weights/N computed once and reused.",
       "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
       "l7c_knn_ivf" -> "IVF ANN: learned (Lloyd's) unit centroids as literals, assignment is K codegen'd dots per row, candidate join shuffles ids on (label, cell) only.",
