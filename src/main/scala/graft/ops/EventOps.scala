@@ -93,13 +93,46 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** E4: event-transition matrix — first-order Markov statistics over each
+    * user's event stream (the "what do users do next" table product
+    * analytics asks for, and the sequence prior a behavioral-cloning
+    * dataset builder samples from). Per user, events total-ordered by
+    * (ts_us, event_id) exactly like e1; every adjacent step contributes
+    * one (from_type → to_type) observation; probabilities normalize per
+    * source state. ONE user-partitioned window (the same partitioning e1
+    * already shuffles on — a warehouse would reuse the layout) + one
+    * 5×5-scale pair aggregation; the per-from normalizer is a window over
+    * the tiny aggregate, never a second pass over events. */
+  val e4Transitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val steps = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val counts = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+    counts.withColumn("p",
+      round(col("n_steps") / sum(col("n_steps")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
-    "e3_retention" -> e3Retention
+    "e3_retention" -> e3Retention,
+    "e4_transitions" -> e4Transitions
   )
 
   val oracle: Map[String, String] = Map(
+    "e4_transitions" ->
+      """WITH st AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n_steps
+               FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_steps,
+                round(n_steps * 1.0 / sum(n_steps) OVER (PARTITION BY from_type), 6) AS p
+         FROM c""",
     "e1_sessionize" ->
       """WITH o AS (
            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

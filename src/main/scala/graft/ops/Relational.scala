@@ -313,6 +313,95 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
   }
 
+  /** S12: SCHEMA-EVOLUTION read — a long-lived warehouse table whose
+    * writer gained a column mid-stream: batch 1 lands (key, segment),
+    * batch 2 lands (key, acctbal). `mergeSchema` reconciles the parquet
+    * footers into one superset schema; rows carry null in the columns
+    * their batch didn't have. At 100 TB this is the difference between
+    * re-writing years of history on every producer change and just
+    * reading on (footer merge is metadata work; the data files are
+    * untouched). The aggregation exercises both null-filled directions. */
+  val s12SchemaEvolution: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val out = graft.core.TempDirs.scratch("schema_evo").toString
+    c.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/b1")
+    c.where(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("n_with_bal"),
+        coalesce(dsum(col("c_acctbal")), lit(0.0)).as("bal_sum"))
+  }
+
+  /** S13: MERGE/upsert — the CDC apply step every long-lived warehouse
+    * table needs (the reference re-materializes whole impressions instead;
+    * `VJob.py` has no notion of in-place change). A change batch carries
+    * updates, brand-new rows and delete tombstones; the merged snapshot is
+    * latest-version-wins per key, tombstones dropped. The Spark shape is
+    * union + one window over the key — ONE shuffle on the merge key, no
+    * join at all, and at 100 TB the window partitioning is exactly the
+    * table's natural key layout so successive merges reuse the same
+    * exchange. Change rows are derived deterministically from `orders` so
+    * DuckDB can replay the merge arithmetic as CASE logic. */
+  val s13MergeUpsert: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    def shape(df: DataFrame, st: Column, pr: Column, v: Int, del: Boolean) =
+      df.select(col("o_orderkey"), st.as("o_orderstatus"),
+        pr.as("o_totalprice"), lit(v).as("v"), lit(del).as("del"))
+    val snap = shape(o, col("o_orderstatus"), col("o_totalprice"), 1, del = false)
+    // updates: status bumped + price correction (keys not being deleted).
+    // ×2.0 and not ×1.1: doubling is binary-exact, so the corrected double
+    // is no closer to a .005 decimal-cast halfway point than the raw money
+    // values every other oracle already sums — ×1.1 would mint exact
+    // 3-decimal values whose DECIMAL(18,2) rounding is engine-sensitive.
+    val upd = shape(o.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0),
+      lit("U"), col("o_totalprice") * 2.0, 2, del = false)
+    // inserts: new keys in a disjoint range
+    val ins = shape(o.where(col("o_orderkey") % 29 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)),
+      lit("N"), lit(100.0), 2, del = false)
+    // delete tombstones
+    val del = shape(o.where(col("o_orderkey") % 17 === 0),
+      col("o_orderstatus"), col("o_totalprice"), 2, del = true)
+    val merged = snap.unionByName(upd).unionByName(ins).unionByName(del)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)))
+      .where(col("rn") === 1 && !col("del"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("price_sum"))
+  }
+
+  /** S14: dynamic-partition-overwrite correction — the daily-rerun story
+    * at 100 TB: a partitioned table holds history; one partition's data
+    * was wrong; the corrected batch overwrites ONLY the partitions it
+    * contains (`partitionOverwriteMode=dynamic`, set per-write, not on the
+    * session), leaving every other partition's files untouched. Static
+    * overwrite (the default) would TRUNCATE the whole table first — at
+    * scale that's re-writing years to fix a day. The read-back aggregate
+    * proves the other partitions survived byte-for-byte. */
+  val s14DynamicOverwrite: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val out = graft.core.TempDirs.scratchSlot(
+      "dyn_overwrite_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    e.select(col("event_type"), col("event_id"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // corrected 'click' batch: values re-scaled; row count intentionally
+    // differs from the original partition (drops zero/negative values)
+    e.where(col("event_type") === "click" && col("value") > 0)
+      .select(col("event_type"), col("event_id"), (col("value") * 2.0).as("value"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("value_sum"))
+  }
+
   /** J9: runtime bloom-filter–pruned join (the semi-join reduction the
     * reference's planner can't do at all). A selective dim-side filter
     * ('1-URGENT' keeps ~20% of orders) turns the fact-side scan mostly
@@ -443,10 +532,39 @@ object Relational {
     "j5_range_join" -> j5RangeJoin,
     "j6_broadcast" -> j6Broadcast,
     "j7_asof_join" -> j7AsOf,
-    "j9_bloom_join" -> j9BloomJoin
+    "j9_bloom_join" -> j9BloomJoin,
+    "s12_schema_evolution" -> s12SchemaEvolution,
+    "s13_merge_upsert" -> s13MergeUpsert,
+    "s14_dynamic_overwrite" -> s14DynamicOverwrite
   )
 
   val oracle: Map[String, String] = Map(
+    "s13_merge_upsert" ->
+      """WITH merged AS (
+           SELECT CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+                       THEN 'U' ELSE o_orderstatus END AS st,
+                  CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+                       THEN o_totalprice * 2.0 ELSE o_totalprice END AS pr
+           FROM orders WHERE o_orderkey % 17 <> 0
+           UNION ALL
+           SELECT 'N' AS st, 100.0 AS pr FROM orders WHERE o_orderkey % 29 = 0)
+         SELECT st AS o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM merged GROUP BY 1""",
+    "s14_dynamic_overwrite" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN event_type = 'click'
+                              THEN value * 2.0 ELSE value END) AS DOUBLE) AS value_sum
+         FROM events
+         WHERE event_type <> 'click' OR value > 0
+         GROUP BY event_type""",
+    "s12_schema_evolution" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS c_mktsegment,
+                count(*) AS n,
+                count(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END) AS n_with_bal,
+                coalesce(CAST(sum(CASE WHEN c_custkey % 2 = 1
+                  THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS bal_sum
+         FROM customer GROUP BY 1""",
     "j9_bloom_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum

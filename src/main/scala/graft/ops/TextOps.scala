@@ -723,6 +723,49 @@ object TextOps {
       .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
   }
 
+  /** L28 core: directed containment pairs over the 3-gram shingle space.
+    * Containment C(a→b) = |Sa ∩ Sb| / |Sa| is the near-dup relation
+    * Jaccard misses: a short doc quoted whole inside a much longer one
+    * has Jaccard ≈ |Sa|/|Sb| (tiny — the union is the long doc) but
+    * containment ≈ 1 (Broder's original resemblance/containment split).
+    * Same inverted-index shape as L5 — candidates blocked on the 8-byte
+    * shingle hash, never doc×doc; only (doc_id, hash) travels — with the
+    * asymmetric normalizer, emitted per DIRECTION. τ = 0.6 splits the
+    * fixture's bimodal distribution (true quotes ≥ 0.9, noise < 0.3). */
+  private def containmentPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    a.join(b, Seq("s")).where(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("containment", col("inter") / col("na"))
+      .where(col("containment") >= 0.6)
+  }
+
+  /** L28: the containment-pair table (da is ≥60% covered by db). */
+  val l28Containment: Q = (s, d) =>
+    containmentPairs(s, d).select(col("da"), col("db"), col("containment"))
+
+  /** L28b: containment dedup APPLY — drop every doc ≥60% contained in a
+    * STRICTLY LARGER doc (keep the container; equal-sized mutual dups
+    * keep the smallest doc_id — deterministic without comparing floats).
+    * The drop set is doc_id-only, so the apply is one anti-join against
+    * ids; survivors aggregate per source. */
+  val l28bContainmentDedup: Q = (s, d) => {
+    val dropped = containmentPairs(s, d)
+      .where(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("da") > col("db")))
+      .select(col("da").as("doc_id")).distinct()
+    Tables.documents(s, d)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+  }
+
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
     * text by a language model's log-probability; cut the tail) with the LM
     * trained ON the corpus itself: bigram MLE, P(w2|w1) =
@@ -975,8 +1018,45 @@ object TextOps {
     "l11b_repetition" -> l11bRepetition,
     "l12_rolling_fp" -> l12RollingFp,
     "l13_source_mix" -> l13SourceMix,
-    "l14_token_pack" -> l14TokenPack
+    "l14_token_pack" -> l14TokenPack,
+    "l28_containment" -> l28Containment,
+    "l28b_containment_dedup" -> l28bContainmentDedup
   )
+
+  /** Shared CTE prefix of the containment oracles: distinct 3-gram
+    * shingles → per-doc sizes → directed intersection counts. */
+  private val containmentCte =
+    """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+          sh AS (SELECT DISTINCT doc_id,
+                        CASE WHEN len(t) >= 3 THEN t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                             ELSE NULL END AS s
+                 FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
+                 UNION
+                 SELECT DISTINCT doc_id, text AS s FROM documents
+                 WHERE len(string_split(text, ' ')) < 3),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)"""
+
+  private val l28OracleSql = containmentCte +
+    """
+       SELECT da, db, inter * 1.0 / sa.n AS containment
+       FROM inter JOIN sizes sa ON da = sa.doc_id
+       WHERE inter * 1.0 / sa.n >= 0.6"""
+
+  private val l28bOracleSql = containmentCte +
+    """,
+          dropped AS (SELECT DISTINCT da FROM inter
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / sa.n >= 0.6
+                        AND (sa.n < sb.n OR (sa.n = sb.n AND da > db)))
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS chars_sum
+       FROM documents WHERE doc_id NOT IN (SELECT da FROM dropped)
+       GROUP BY source"""
 
   /** l5e's DuckDB twin — also the base CTE of the l5f apply oracle. */
   /** Exact shingle-Jaccard pairs at τ = 0.3 — the oracle for l5 AND for
@@ -1032,6 +1112,8 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l28_containment" -> l28OracleSql,
+    "l28b_containment_dedup" -> l28bOracleSql,
     "l27_incremental_dedup" ->
       """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
                       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

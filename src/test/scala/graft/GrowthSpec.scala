@@ -51,6 +51,8 @@ class GrowthSpec extends SparkSpec {
       "l24_bm25" -> TextOps.queries("l24_bm25"),
       "l25_temperature_mix" -> TextOps.queries("l25_temperature_mix"),
       "l27_incremental_dedup" -> TextOps.queries("l27_incremental_dedup"),
+      "l28_containment" -> TextOps.queries("l28_containment"),
+      "l28b_containment_dedup" -> TextOps.queries("l28b_containment_dedup"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
