@@ -766,6 +766,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
   }
 
+  /** L29: first-occurrence novelty — per doc, the fraction of its distinct
+    * 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id, the
+    * crawl-order stand-in) is this doc. The signal a curriculum/dedup
+    * prioritizer ranks by: ~1 means the doc contributes new content, ~0
+    * means everything in it was already seen. Shape: the existing shingle
+    * explode + ONE groupBy on the 8-byte shingle hash (min doc_id) + a
+    * join back on that same key — co-partitioned with the agg it follows,
+    * so no second wide exchange — + the per-doc rollup. Never doc×doc. */
+  val l29Novelty: Q = (s, d) => {
+    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+  }
+
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
     * text by a language model's log-probability; cut the tail) with the LM
     * trained ON the corpus itself: bigram MLE, P(w2|w1) =
@@ -1020,12 +1038,14 @@ object TextOps {
     "l13_source_mix" -> l13SourceMix,
     "l14_token_pack" -> l14TokenPack,
     "l28_containment" -> l28Containment,
-    "l28b_containment_dedup" -> l28bContainmentDedup
+    "l28b_containment_dedup" -> l28bContainmentDedup,
+    "l29_novelty" -> l29Novelty
   )
 
-  /** Shared CTE prefix of the containment oracles: distinct 3-gram
-    * shingles → per-doc sizes → directed intersection counts. */
-  private val containmentCte =
+  /** The (pos, sh) CTE pair every shingle-space oracle starts from:
+    * distinct 3-gram shingles per doc, whole-text fallback for short docs
+    * — the SQL twin of [[shingleTable]]. */
+  private val shingleCte =
     """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
                     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
           sh AS (SELECT DISTINCT doc_id,
@@ -1034,7 +1054,12 @@ object TextOps {
                  FROM pos WHERE i + 3 <= len(t) AND len(t) >= 3
                  UNION
                  SELECT DISTINCT doc_id, text AS s FROM documents
-                 WHERE len(string_split(text, ' ')) < 3),
+                 WHERE len(string_split(text, ' ')) < 3)"""
+
+  /** Shared CTE prefix of the containment oracles: distinct 3-gram
+    * shingles → per-doc sizes → directed intersection counts. */
+  private val containmentCte = shingleCte +
+    """,
           sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
           inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
@@ -1114,6 +1139,15 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "l28_containment" -> l28OracleSql,
     "l28b_containment_dedup" -> l28bOracleSql,
+    "l29_novelty" -> (shingleCte +
+      """,
+          first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       SELECT sh.doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              round(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+                    / count(*), 6) AS novelty
+       FROM sh JOIN first ON sh.s = first.s
+       GROUP BY sh.doc_id"""),
     "l27_incremental_dedup" ->
       """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
                       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),

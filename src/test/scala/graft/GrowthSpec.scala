@@ -53,6 +53,7 @@ class GrowthSpec extends SparkSpec {
       "l27_incremental_dedup" -> TextOps.queries("l27_incremental_dedup"),
       "l28_containment" -> TextOps.queries("l28_containment"),
       "l28b_containment_dedup" -> TextOps.queries("l28b_containment_dedup"),
+      "l29_novelty" -> TextOps.queries("l29_novelty"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {

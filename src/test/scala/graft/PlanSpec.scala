@@ -191,6 +191,21 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unkeyed join in substring-dup plan:\n$plan")
   }
 
+  test("l28 containment: hash-keyed equi-joins only, never doc x doc") {
+    val plan = executed(graft.SparkEntry.queries("l28_containment")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in containment plan:\n$plan")
+  }
+
+  test("s13 merge/upsert: pure union + window — no join operator anywhere") {
+    val plan = executed(graft.SparkEntry.queries("s13_merge_upsert")(spark, sfDir))
+    val joins = collectAll(plan).filter(p =>
+      p.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"merge should be union+window, found joins:\n$plan")
+  }
+
   test("s11 binary ingest: the readback scans the binaryFile source, not a parsed format") {
     val df = graft.SparkEntry.queries("s11_binary_ingest")(spark, sfDir)
     df.collect()

@@ -35,7 +35,11 @@ object DumpPlans {
       "g11b_hll_persist" -> "Precompute-once rollup end-to-end: per-(type, day) HLL sketches persisted as parquet BYTES; the rollup side scans only the sketch rows (hll_union_agg), never re-reading raw events — the exact-count branch exists solely for the property-form verification.",
       "l23_tfidf" -> "TF-IDF keyword extraction: explode once, (doc,word) tf and word-keyed df tables meet on the word key (AQE broadcasts the vocabulary when it fits), corpus size joins as a broadcast 1-row cross, per-doc window ranks by INTEGER (df, word) — deterministic across engines, no float ordering.",
       "l24_bm25" -> "BM25 scoring: the query-term filter prunes the exploded token stream BEFORE any shuffle; df/avgdl/N are metadata-sized broadcasts; one doc_id rollup emits every matching doc.",
-      "o3_topk_global" -> "Global top-k compiles to TakeOrderedAndProject: per-partition top-k, k-row driver merge, no global sort.")
+      "o3_topk_global" -> "Global top-k compiles to TakeOrderedAndProject: per-partition top-k, k-row driver merge, no global sort.",
+      "s13_merge_upsert" -> "MERGE/upsert as union + latest-version-wins window: ONE shuffle on the merge key, no join operator anywhere — successive merges reuse the table's natural key partitioning.",
+      "l28_containment" -> "Asymmetric containment pairs: the L5 inverted-index blocking (shingle-hash equi-joins only) with the per-direction normalizer; candidate generation never goes doc x doc.",
+      "l29_novelty" -> "First-occurrence novelty: ONE min-agg on the 8-byte shingle hash, join back on the same key (co-partitioned with the agg), per-doc rollup.",
+      "e4_transitions" -> "Event-transition matrix: lead() over the same user_id window e1 shuffles on; the per-from normalizer windows the 5x5 aggregate, never re-scanning events.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
