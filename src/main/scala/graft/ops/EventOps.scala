@@ -103,17 +103,26 @@ object EventOps {
     * already shuffles on — a warehouse would reuse the layout) + one
     * 5×5-scale pair aggregation; the per-from normalizer is a window over
     * the tiny aggregate, never a second pass over events. */
-  val e4Transitions: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val steps = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+  /** Transition core over ANY frame: `by` partitions the streams, `order`
+    * totally orders within one, `typeCol` is the state. Exposed to the
+    * pipeline registry as `transitions`. */
+  private[graft] def transitionsFrames(ev: org.apache.spark.sql.DataFrame,
+      by: String, order: Seq[String], typeCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(by)).orderBy(order.map(col): _*)
+    val steps = ev
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
       .where(col("to_type").isNotNull)
     val counts = steps
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_steps"))
     counts.withColumn("p",
       round(col("n_steps") / sum(col("n_steps")).over(Window.partitionBy(col("from_type"))), 6))
   }
+
+  val e4Transitions: Q = (s, d) =>
+    transitionsFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      by = "user_id", order = Seq("ts_us", "event_id"), typeCol = "event_type")
 
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,

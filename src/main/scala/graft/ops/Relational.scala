@@ -347,8 +347,22 @@ object Relational {
     * table's natural key layout so successive merges reuse the same
     * exchange. Change rows are derived deterministically from `orders` so
     * DuckDB can replay the merge arithmetic as CASE logic. */
-  val s13MergeUpsert: Q = (s, d) => {
+  /** MERGE core over ANY snapshot/changes pair sharing a schema that
+    * carries the merge key, a version column, and a delete-tombstone
+    * boolean: latest-version-wins per key, tombstones dropped. ONE
+    * shuffle on the merge key, no join operator (PlanSpec-pinned via
+    * s13). Exposed to the pipeline registry as `merge_upsert`. */
+  private[graft] def mergeUpsertFrames(snapshot: DataFrame, changes: DataFrame,
+      key: String, version: String, deleteFlag: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    snapshot.unionByName(changes)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(version).desc)))
+      .where(col("_rn") === 1 && !col(deleteFlag))
+      .drop("_rn")
+  }
+
+  val s13MergeUpsert: Q = (s, d) => {
     val o = Tables.orders(s, d)
     def shape(df: DataFrame, st: Column, pr: Column, v: Int, del: Boolean) =
       df.select(col("o_orderkey"), st.as("o_orderstatus"),
@@ -368,11 +382,9 @@ object Relational {
     // delete tombstones
     val del = shape(o.where(col("o_orderkey") % 17 === 0),
       col("o_orderstatus"), col("o_totalprice"), 2, del = true)
-    val merged = snap.unionByName(upd).unionByName(ins).unionByName(del)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)))
-      .where(col("rn") === 1 && !col("del"))
-    merged.groupBy(col("o_orderstatus"))
+    val changes = upd.unionByName(ins).unionByName(del)
+    mergeUpsertFrames(snap, changes, "o_orderkey", "v", "del")
+      .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("price_sum"))
   }
 

@@ -732,9 +732,17 @@ object TextOps {
     * shingle hash, never doc×doc; only (doc_id, hash) travels — with the
     * asymmetric normalizer, emitted per DIRECTION. τ = 0.6 splits the
     * fixture's bimodal distribution (true quotes ≥ 0.9, noise < 0.3). */
-  private def containmentPairs(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+  /** (doc_id, s = xxhash64 shingle) rows for ANY (doc_id, text) frame —
+    * the parameterized entry the registry transforms share with the
+    * declared fixture queries. */
+  private def shingleRows(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+
+  private[graft] def containmentPairsFrames(
+      docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sh = shingleRows(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -743,28 +751,33 @@ object TextOps {
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .withColumn("containment", col("inter") / col("na"))
-      .where(col("containment") >= 0.6)
+      .where(col("containment") >= tau)
+  }
+
+  /** Containment dedup over any (doc_id, text, …) frame: survivors only —
+    * docs ≥tau contained in a STRICTLY LARGER doc are dropped (equal-sized
+    * mutual dups keep the smallest doc_id — deterministic without
+    * comparing floats). Drop set is doc_id-only → ONE anti-join. */
+  private[graft] def containmentDedupFrames(
+      docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val dropped = containmentPairsFrames(docs, n, tau)
+      .where(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("da") > col("db")))
+      .select(col("da").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** L28: the containment-pair table (da is ≥60% covered by db). */
   val l28Containment: Q = (s, d) =>
-    containmentPairs(s, d).select(col("da"), col("db"), col("containment"))
+    containmentPairsFrames(Tables.documentsWide(s, d), n = 3, tau = 0.6)
+      .select(col("da"), col("db"), col("containment"))
 
-  /** L28b: containment dedup APPLY — drop every doc ≥60% contained in a
-    * STRICTLY LARGER doc (keep the container; equal-sized mutual dups
-    * keep the smallest doc_id — deterministic without comparing floats).
-    * The drop set is doc_id-only, so the apply is one anti-join against
-    * ids; survivors aggregate per source. */
-  val l28bContainmentDedup: Q = (s, d) => {
-    val dropped = containmentPairs(s, d)
-      .where(col("na") < col("nb") ||
-        (col("na") === col("nb") && col("da") > col("db")))
-      .select(col("da").as("doc_id")).distinct()
-    Tables.documents(s, d)
-      .join(dropped, Seq("doc_id"), "left_anti")
+  /** L28b: containment dedup APPLY — the frames core over the fixture
+    * corpus, rolled up per source for the oracle. */
+  val l28bContainmentDedup: Q = (s, d) =>
+    containmentDedupFrames(Tables.documentsWide(s, d), n = 3, tau = 0.6)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
-  }
 
   /** L29: first-occurrence novelty — per doc, the fraction of its distinct
     * 3-gram shingles whose corpus-wide FIRST occurrence (min doc_id, the
@@ -774,8 +787,8 @@ object TextOps {
     * explode + ONE groupBy on the 8-byte shingle hash (min doc_id) + a
     * join back on that same key — co-partitioned with the agg it follows,
     * so no second wide exchange — + the per-doc rollup. Never doc×doc. */
-  val l29Novelty: Q = (s, d) => {
-    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+  private[graft] def noveltyFrames(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingleRows(docs, n)
     val firstSeen = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firstSeen, Seq("s"))
       .groupBy(col("doc_id"))
@@ -783,6 +796,8 @@ object TextOps {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
   }
+
+  val l29Novelty: Q = (s, d) => noveltyFrames(Tables.documentsWide(s, d), n = 3)
 
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
     * text by a language model's log-probability; cut the tail) with the LM

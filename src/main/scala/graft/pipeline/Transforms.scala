@@ -72,6 +72,37 @@ object Transforms {
         p.params.getOrElse("alpha", "0.3").toDouble,
         p.params.getOrElse("frac", "0.5").toDouble)
     }
+    // containment dedup over any (doc_id, text, …) step: returns the
+    // SURVIVORS (docs ≥tau contained in a strictly larger doc dropped);
+    // n is the shingle length, tau the containment threshold
+    r.register("containment_dedup") { (_, in, p) =>
+      graft.ops.TextOps.containmentDedupFrames(in("docs"),
+        p.params.getOrElse("n", "3").toInt,
+        p.params.getOrElse("tau", "0.6").toDouble)
+    }
+    // first-occurrence novelty scores for any (doc_id, text) step
+    r.register("novelty") { (_, in, p) =>
+      graft.ops.TextOps.noveltyFrames(in("docs"),
+        p.params.getOrElse("n", "3").toInt)
+    }
+    // CDC MERGE: inputs {snapshot, changes} share a schema carrying the
+    // merge key, a version column, and a boolean delete-tombstone column;
+    // latest version per key wins, tombstones drop out
+    r.register("merge_upsert") { (_, in, p) =>
+      graft.ops.Relational.mergeUpsertFrames(in("snapshot"), in("changes"),
+        p("key"),
+        p.params.getOrElse("version", "v"),
+        p.params.getOrElse("delete", "del"))
+    }
+    // first-order transition matrix over any partitioned ordered stream;
+    // order is a comma-separated column list
+    r.register("transitions") { (_, in, p) =>
+      graft.ops.EventOps.transitionsFrames(in("events"),
+        p.params.getOrElse("by", "user_id"),
+        p.params.getOrElse("order", "ts,event_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("type", "event_type"))
+    }
     r
   }
 }

@@ -286,6 +286,77 @@ class PipelineSpecTest extends SparkSpec {
     assert((System.nanoTime() - t0) < 2e9, "impression hashing not linear")
   }
 
+  test("containment_dedup and novelty transforms: shingle knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_cn").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val docsStep = StepSpec("docs", "source",
+      params = Map("dir" -> sfDir, "table" -> "documents"))
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    // tau=0.6 drops the fixture's contained docs; tau>1 is unreachable
+    // (containment tops out at 1.0) so every doc survives — the knob is
+    // live and each setting is its own impression
+    def cdSpec(tau: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("clean", "containment_dedup", Map("docs" -> "docs"),
+        Map("tau" -> tau))))
+    val drop = runner.execute(cdSpec("0.6"), Seq("clean"))
+    val dropN = spark.read.parquet(s"$wh/${drop("clean")}").count()
+    assert(dropN < nDocs, s"expected drops at tau=0.6, kept $dropN of $nDocs")
+    val keep = runner.execute(cdSpec("1.01"), Seq("clean"))
+    assert(keep("clean") != drop("clean"))
+    assert(spark.read.parquet(s"$wh/${keep("clean")}").count() == nDocs)
+    // novelty: one score row per doc, scores in [0,1], and the corpus's
+    // near-dups force at least one doc below 1
+    def nvSpec(n: Int) = PipelineSpec(Seq(docsStep,
+      StepSpec("scores", "novelty", Map("docs" -> "docs"),
+        Map("n" -> n.toString))))
+    val n3 = runner.execute(nvSpec(3), Seq("scores"))
+    val scores = spark.read.parquet(s"$wh/${n3("scores")}")
+    assert(scores.count() == nDocs)
+    assert(scores.where(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    assert(scores.where(col("novelty") < 1.0).count() > 0,
+      "near-dup fixture docs must score below 1")
+    assert(runner.execute(nvSpec(5), Seq("scores"))("scores") != n3("scores"),
+      "different shingle length must be a different impression")
+  }
+
+  test("merge_upsert and transitions transforms through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_mt").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val dummy = StepSpec("d0", "source", params = Map("dir" -> sfDir, "table" -> "region"))
+    // CDC merge: update k=2, delete k=3, insert k=4
+    val mergeSpec = PipelineSpec(Seq(dummy,
+      StepSpec("snap", "sql", Map("d" -> "d0"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), 'a', 1, false), (CAST(2 AS BIGINT), 'b', 1, false), " +
+          "(CAST(3 AS BIGINT), 'c', 1, false)) AS t(k, payload, v, del)"))),
+      StepSpec("chg", "sql", Map("d" -> "d0"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(2 AS BIGINT), 'B', 2, false), (CAST(3 AS BIGINT), 'c', 2, true), " +
+          "(CAST(4 AS BIGINT), 'd', 2, false)) AS t(k, payload, v, del)"))),
+      StepSpec("merged", "merge_upsert",
+        Map("snapshot" -> "snap", "changes" -> "chg"), Map("key" -> "k"))))
+    val imp = runner.execute(mergeSpec, Seq("merged"))
+    val merged = spark.read.parquet(s"$wh/${imp("merged")}")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 4L -> "d"), merged.toString)
+    // transitions over the fixture event streams: per-user adjacent steps
+    // mean sum(n_steps) = n_events - n_users, and each from-state's
+    // probabilities sum to 1
+    val tmSpec = PipelineSpec(Seq(
+      StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events")),
+      StepSpec("tm", "transitions", Map("events" -> "ev"))))
+    val tmImp = runner.execute(tmSpec, Seq("tm"))
+    val tm = spark.read.parquet(s"$wh/${tmImp("tm")}")
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val expectedSteps = ev.count() - ev.select("user_id").distinct().count()
+    assert(tm.agg(org.apache.spark.sql.functions.sum(col("n_steps")))
+      .head().getLong(0) == expectedSteps)
+    val pSums = tm.groupBy(col("from_type"))
+      .agg(org.apache.spark.sql.functions.sum(col("p")).as("ps"))
+      .collect().map(_.getDouble(1))
+    assert(pSums.nonEmpty && pSums.forall(s => math.abs(s - 1.0) < 1e-4), pSums.mkString(","))
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(
