@@ -124,11 +124,61 @@ object EventOps {
       Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
       by = "user_id", order = Seq("ts_us", "event_id"), typeCol = "event_type")
 
+  /** E5: time-series gap fill — the densification step every downstream
+    * forecaster/anomaly-detector needs: each user's activity as a DENSE
+    * hourly series between their first and last event, zero rows minted
+    * for silent hours. Hour buckets are exact µs-long floors
+    * (`ts_us - ts_us % 3600e6`), the spine is `sequence()` + `explode`
+    * generated FROM the per-user bounds aggregate — never a driver loop,
+    * never a global calendar crossjoin — and the spine⋈counts join is
+    * keyed on (user_id, hour_us), the same key both sides just aggregated
+    * on. Spine size is Σ_user(active-span hours), bounded by
+    * users × corpus span — at 100 TB the per-user window keeps every
+    * partition small, and a user's whole series lands in one partition. */
+  val e5GapFill: Q = (s, d) => {
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", us(col("ts")))
+      .withColumn("hour_us", col("ts_us") - col("ts_us") % hourUs)
+    val bounds = ev.groupBy(col("user_id"))
+      .agg(min(col("hour_us")).as("h0"), max(col("hour_us")).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
+    val counts = ev.groupBy(col("user_id"), col("hour_us"))
+      .agg(count(lit(1)).as("n"), sum(Relational.cents(col("value"))).as("c"))
+    spine.join(counts, Seq("user_id", "hour_us"), "left")
+      .select(col("user_id"), col("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("c"), lit(0L)).as("value_cents"))
+  }
+
+  /** E6: growth accounting — new users per hour + running cumulative
+    * distinct users (the "total users over time" chart). Distinctness
+    * never needs a running-distinct state: a user is NEW exactly once
+    * (their min-ts hour), so one per-user min-agg → per-hour count →
+    * running sum OVER THE HOUR-LEVEL AGGREGATE. The only ordered window
+    * runs over ~hours rows, not events — at 100 TB that aggregate is tens
+    * of thousands of rows no matter the corpus size, so the unpartitioned
+    * cumulative window is safe by construction. */
+  val e6CumulativeUsers: Q = (s, d) => {
+    val hourUs = 3600L * 1000000
+    val first = Tables.events(s, d)
+      .withColumn("ts_us", us(col("ts")))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_us"))
+      .withColumn("hour_us", col("first_us") - col("first_us") % hourUs)
+    val hourly = first.groupBy(col("hour_us")).agg(count(lit(1)).as("n_new"))
+    hourly.withColumn("cum_users",
+      sum(col("n_new")).over(Window.orderBy(col("hour_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
     "e3_retention" -> e3Retention,
-    "e4_transitions" -> e4Transitions
+    "e4_transitions" -> e4Transitions,
+    "e5_gap_fill" -> e5GapFill,
+    "e6_cumulative_users" -> e6CumulativeUsers
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +228,34 @@ object EventOps {
                 (epoch_us(e.ts) - f.first_us) // 604800000000 AS week_offset,
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN f ON e.user_id = f.user_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "e5_gap_fill" ->
+      """WITH ev AS (SELECT user_id,
+                            epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                            value
+                     FROM events),
+            b AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+                  FROM ev GROUP BY 1),
+            spine AS (SELECT user_id,
+                             unnest(range(h0, h1 + 1, 3600000000)) AS hour_us
+                      FROM b),
+            c AS (SELECT user_id, hour_us, count(*) AS n,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                  FROM ev GROUP BY 1, 2)
+         SELECT spine.user_id, spine.hour_us,
+                coalesce(c.n, 0) AS n_events,
+                coalesce(c.cents, 0) AS value_cents
+         FROM spine LEFT JOIN c
+           ON spine.user_id = c.user_id AND spine.hour_us = c.hour_us""",
+    "e6_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us
+                    FROM events GROUP BY 1),
+            hourly AS (SELECT first_us - first_us % 3600000000 AS hour_us,
+                              count(*) AS n_new
+                       FROM f GROUP BY 1)
+         SELECT hour_us, n_new,
+                CAST(sum(n_new) OVER (ORDER BY hour_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM hourly"""
   )
 }

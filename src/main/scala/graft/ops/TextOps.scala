@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.RollingHash
@@ -799,6 +800,64 @@ object TextOps {
 
   val l29Novelty: Q = (s, d) => noveltyFrames(Tables.documentsWide(s, d), n = 3)
 
+  /** L30: skip-gram co-occurrence + PMI — the corpus-statistics table
+    * word-embedding pipelines (word2vec SGNS, GloVe) train from: every
+    * directed (wa → wb) pair within a forward window of `win` tokens,
+    * scored by pointwise mutual information against the pair-space
+    * marginals.
+    *
+    * Scale shape: the naive formulation self-joins the token stream per
+    * doc (|doc|² pair blowup before the distance filter). Here each token
+    * instead EMITS its `win` forward slot keys — (doc_id, pos+k) — and
+    * meets the token stream in an EQUI-join on (doc_id, pos): linear in
+    * corpus size, co-partitioned on the same composite key both sides,
+    * never a range join. Marginals (ca, cb, N) come from windows OVER THE
+    * (wa, wb) AGGREGATE — vocab² rows, not corpus rows — so the
+    * unpartitioned total-sum window is safe at any corpus size. PMI rides
+    * as round(·,6) on double arithmetic ordered identically in both
+    * engines; row identity is the integer (wa, wb, counts) core. */
+  private[graft] def pmiFrames(docs: DataFrame, win: Int = 2): DataFrame = {
+    val tok = docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
+    val slots = (1 to win).map(k =>
+      tok.select(col("doc_id"), (col("pos") + k).as("pos"), col("w").as("wa")))
+      .reduce(_ union _)
+    val pairs = slots.join(tok.withColumnRenamed("w", "wb"), Seq("doc_id", "pos"))
+    val counts = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+    counts
+      .withColumn("ca", sum(col("n_ab")).over(Window.partitionBy(col("wa"))))
+      .withColumn("cb", sum(col("n_ab")).over(Window.partitionBy(col("wb"))))
+      .withColumn("n_total", sum(col("n_ab")).over(Window.partitionBy()))
+      .withColumn("pmi",
+        round(log(col("n_ab").cast("double") * col("n_total") /
+          (col("ca").cast("double") * col("cb"))), 6))
+      .drop("n_total")
+  }
+
+  val l30PmiCooccur: Q = (s, d) => pmiFrames(Tables.documentsWide(s, d), win = 2)
+
+  /** L31: per-source quality-rank cut — the FineWeb/DCLM-style "keep the
+    * best half of every source" curation step: rank docs WITHIN their
+    * source by the l11 quality blend, keep rank ≤ ⌈n/2⌉. Ranking is by
+    * INTEGER (µ-scaled score, doc_id) — never by raw float — so survivor
+    * identity is bit-deterministic cross-engine; the per-source median
+    * threshold adapts to each source's own score distribution (a global
+    * cut would empty the weakest source, the failure mode per-source
+    * ranking exists to avoid). One window shuffle on `source`; at 100 TB
+    * each source partition ranks independently. */
+  val l31QualityRank: Q = (s, d) => {
+    val scored = Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("source"),
+        round(StreamingOps.docQuality(col("text")) * 1e6).cast("long").as("q_i"))
+    val w = Window.partitionBy(col("source")).orderBy(col("q_i").desc, col("doc_id"))
+    val n = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(n))
+      .where(col("rn") <= (col("n_docs") + 1) / 2)
+      .select(col("doc_id"), col("source"), col("q_i"), col("rn"), col("n_docs"))
+  }
+
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
     * text by a language model's log-probability; cut the tail) with the LM
     * trained ON the corpus itself: bigram MLE, P(w2|w1) =
@@ -1054,7 +1113,9 @@ object TextOps {
     "l14_token_pack" -> l14TokenPack,
     "l28_containment" -> l28Containment,
     "l28b_containment_dedup" -> l28bContainmentDedup,
-    "l29_novelty" -> l29Novelty
+    "l29_novelty" -> l29Novelty,
+    "l30_pmi_cooccur" -> l30PmiCooccur,
+    "l31_quality_rank" -> l31QualityRank
   )
 
   /** The (pos, sh) CTE pair every shingle-space oracle starts from:
@@ -1152,6 +1213,36 @@ object TextOps {
          FROM reach GROUP BY a"""
 
   val oracle: Map[String, String] = Map(
+    "l30_pmi_cooccur" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS w,
+                             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+                      FROM documents),
+            pairs AS (SELECT a.w AS wa, b.w AS wb
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id
+                       AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+            c AS (SELECT wa, wb, count(*) AS n_ab FROM pairs GROUP BY 1, 2)
+         SELECT wa, wb, n_ab,
+                CAST(sum(n_ab) OVER (PARTITION BY wa) AS BIGINT) AS ca,
+                CAST(sum(n_ab) OVER (PARTITION BY wb) AS BIGINT) AS cb,
+                round(ln(CAST(n_ab AS DOUBLE) * (sum(n_ab) OVER ()) /
+                         (CAST(sum(n_ab) OVER (PARTITION BY wa) AS DOUBLE)
+                          * (sum(n_ab) OVER (PARTITION BY wb)))), 6) AS pmi
+         FROM c""",
+    "l31_quality_rank" ->
+      """WITH q AS (SELECT doc_id, source,
+                           CAST(round(round(least(len(t) / 100.0, 1.0) * 0.5
+                             + (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 0.3
+                             + (CAST(len(list_filter(t, w -> w IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / len(t)) * 0.2,
+                             6) * 1e6) AS BIGINT) AS q_i
+                    FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+            r AS (SELECT doc_id, source, q_i,
+                         row_number() OVER (PARTITION BY source ORDER BY q_i DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n_docs
+                  FROM q)
+         SELECT doc_id, source, q_i, rn, n_docs
+         FROM r WHERE rn <= (n_docs + 1) / 2""",
     "l28_containment" -> l28OracleSql,
     "l28b_containment_dedup" -> l28bOracleSql,
     "l29_novelty" -> (shingleCte +

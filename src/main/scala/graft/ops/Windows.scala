@@ -14,7 +14,7 @@ import graft.core.Tables
   * 100 TB each partition stays bounded and the sort is per-key, not global.
   */
 object Windows {
-  import Relational.{Q, dsum}
+  import Relational.{Q, dsum, cents}
   private val D2 = DecimalType(18, 2)
 
   /** W1: row_number / rank / dense_rank / ntile within nation. */
@@ -91,13 +91,35 @@ object Windows {
       nth_value(col("c_name"), 2).over(full).as("second_poorest"))
   }
 
+  /** W7: event-TIME range frame — per event, how much did THIS user do in
+    * the trailing hour (inclusive)? The feature-engineering staple
+    * ("activity in the last N minutes" columns for fraud/abuse models).
+    * The frame is RANGE over exact µs-longs (`unix_micros`), so the window
+    * is true event-time — same-timestamp peers all enter the frame, and
+    * ROWS-frame off-by-one ambiguity never arises. One user-partitioned
+    * sort, no self-join: the naive equivalent is an events×events interval
+    * join; the range frame computes it in one pass per partition. Money
+    * sums go through the cents-as-long trick (exact cross-engine). */
+  val w7TimeRange: Q = (s, d) => {
+    val hourUs = 3600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(cents(col("value"))).over(w).as("cents_1h"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3RunningSum,
     "w4_first_last" -> w4FirstLast,
     "w5_topk_per_group" -> w5TopkPerGroup,
-    "w6_distribution" -> w6Distribution
+    "w6_distribution" -> w6Distribution,
+    "w7_time_range" -> w7TimeRange
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,6 +167,13 @@ object Windows {
                 row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders
-         QUALIFY rn <= 3"""
+         QUALIFY rn <= 3""",
+    "w7_time_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
   )
 }

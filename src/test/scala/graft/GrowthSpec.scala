@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Layout, TextOps, VectorOps}
+import graft.ops.{EventOps, Layout, TextOps, VectorOps, Windows}
 
 /** Scale-growth regression net for the quadratic-RISK family: the near-dup
   * operators are all bucketed (inverted-index / LSH-band / byte-pair
@@ -54,6 +54,14 @@ class GrowthSpec extends SparkSpec {
       "l28_containment" -> TextOps.queries("l28_containment"),
       "l28b_containment_dedup" -> TextOps.queries("l28b_containment_dedup"),
       "l29_novelty" -> TextOps.queries("l29_novelty"),
+      // PMI's quadratic risk is the per-doc token self-join it replaces
+      // with slot-key equi-joins; gap-fill's is an accidental
+      // calendar×users cross join instead of the per-user bounds spine;
+      // w7's is the events×events interval join the range frame avoids.
+      "l30_pmi_cooccur" -> TextOps.queries("l30_pmi_cooccur"),
+      "l31_quality_rank" -> TextOps.queries("l31_quality_rank"),
+      "e5_gap_fill" -> EventOps.queries("e5_gap_fill"),
+      "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {

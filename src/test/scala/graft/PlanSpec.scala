@@ -199,6 +199,28 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unkeyed join in containment plan:\n$plan")
   }
 
+  test("l30 PMI: slot-key equi-joins only, never a per-doc token self-join") {
+    val plan = executed(graft.SparkEntry.queries("l30_pmi_cooccur")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in PMI plan:\n$plan")
+  }
+
+  test("e5 gap fill: spine joins counts on (user, hour) — no unkeyed join") {
+    val plan = executed(graft.SparkEntry.queries("e5_gap_fill")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in gap-fill plan:\n$plan")
+  }
+
+  test("w7 time-range frame: single window pass, no self-join") {
+    val plan = executed(graft.SparkEntry.queries("w7_time_range")(spark, sfDir))
+    val joins = collectAll(plan).filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"trailing-hour feature should be a window, found joins:\n$plan")
+  }
+
   test("s13 merge/upsert: pure union + window — no join operator anywhere") {
     val plan = executed(graft.SparkEntry.queries("s13_merge_upsert")(spark, sfDir))
     val joins = collectAll(plan).filter(p =>

@@ -39,7 +39,10 @@ object DumpPlans {
       "s13_merge_upsert" -> "MERGE/upsert as union + latest-version-wins window: ONE shuffle on the merge key, no join operator anywhere — successive merges reuse the table's natural key partitioning.",
       "l28_containment" -> "Asymmetric containment pairs: the L5 inverted-index blocking (shingle-hash equi-joins only) with the per-direction normalizer; candidate generation never goes doc x doc.",
       "l29_novelty" -> "First-occurrence novelty: ONE min-agg on the 8-byte shingle hash, join back on the same key (co-partitioned with the agg), per-doc rollup.",
-      "e4_transitions" -> "Event-transition matrix: lead() over the same user_id window e1 shuffles on; the per-from normalizer windows the 5x5 aggregate, never re-scanning events.")
+      "e4_transitions" -> "Event-transition matrix: lead() over the same user_id window e1 shuffles on; the per-from normalizer windows the 5x5 aggregate, never re-scanning events.",
+      "e5_gap_fill" -> "Time-series gap fill: per-user bounds aggregate generates the hourly spine via sequence+explode (never a calendar cross join); the spine meets per-(user, hour) counts in a left join keyed on the columns both sides just aggregated on.",
+      "w7_time_range" -> "Trailing-hour activity features: one RANGE window over exact microsecond longs per user — the plan is a single sort+window pass where the naive formulation is an events x events interval self-join.",
+      "l30_pmi_cooccur" -> "Skip-gram PMI: each token emits its forward slot keys and meets the token stream in (doc_id, pos) EQUI-joins — linear in corpus size; marginals are windows over the vocab^2 aggregate, not the corpus.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
