@@ -68,16 +68,20 @@ object Tables {
     * `date_trunc('microseconds', ts)` wrappers to match. Current fixtures
     * are µs, where both engines agree exactly.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+  def events(s: SparkSession, d: String): DataFrame =
+    microTs(load(s, d, "events"), "ts")
+
+  /** The one nanos→TimestampType rule (see [[events]] scaladoc above) for
+    * any frame that reached an operator without passing through [[events]]
+    * — e.g. pipeline `source` steps feeding time-arithmetic transforms. */
+  def microTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: Spark's / is double division, and 2024-era
         // nano epochs (~1.7e18) exceed double's 2^53 exact range, so the
         // cast-back could land ±1µs off true truncation — across a second
         // boundary in the worst case
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case _ => df
     }
-  }
 }

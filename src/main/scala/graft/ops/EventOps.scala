@@ -135,22 +135,30 @@ object EventOps {
     * on. Spine size is Σ_user(active-span hours), bounded by
     * users × corpus span — at 100 TB the per-user window keeps every
     * partition small, and a user's whole series lands in one partition. */
-  val e5GapFill: Q = (s, d) => {
-    val hourUs = 3600L * 1000000
-    val ev = Tables.events(s, d)
-      .withColumn("ts_us", us(col("ts")))
-      .withColumn("hour_us", col("ts_us") - col("ts_us") % hourUs)
-    val bounds = ev.groupBy(col("user_id"))
-      .agg(min(col("hour_us")).as("h0"), max(col("hour_us")).as("h1"))
-    val spine = bounds.select(col("user_id"),
-      explode(sequence(col("h0"), col("h1"), lit(hourUs))).as("hour_us"))
-    val counts = ev.groupBy(col("user_id"), col("hour_us"))
-      .agg(count(lit(1)).as("n"), sum(Relational.cents(col("value"))).as("c"))
-    spine.join(counts, Seq("user_id", "hour_us"), "left")
-      .select(col("user_id"), col("hour_us"),
+  /** e5 core over ANY (key, ts, value) stream with a caller-chosen bucket
+    * width. Exposed to the pipeline registry as `gap_fill`. */
+  private[graft] def gapFillFrames(ev: org.apache.spark.sql.DataFrame,
+      key: String, tsCol: String, valueCol: String,
+      bucketUs: Long): org.apache.spark.sql.DataFrame = {
+    val base = Tables.microTs(ev, tsCol)
+      .withColumn("ts_us", us(col(tsCol)))
+      .withColumn("bucket_us", col("ts_us") - col("ts_us") % bucketUs)
+    val bounds = base.groupBy(col(key))
+      .agg(min(col("bucket_us")).as("b0"), max(col("bucket_us")).as("b1"))
+    val spine = bounds.select(col(key),
+      explode(sequence(col("b0"), col("b1"), lit(bucketUs))).as("bucket_us"))
+    val counts = base.groupBy(col(key), col("bucket_us"))
+      .agg(count(lit(1)).as("n"), sum(Relational.cents(col(valueCol))).as("c"))
+    spine.join(counts, Seq(key, "bucket_us"), "left")
+      .select(col(key), col("bucket_us"),
         coalesce(col("n"), lit(0L)).as("n_events"),
         coalesce(col("c"), lit(0L)).as("value_cents"))
   }
+
+  val e5GapFill: Q = (s, d) =>
+    gapFillFrames(Tables.events(s, d), key = "user_id", tsCol = "ts",
+      valueCol = "value", bucketUs = 3600L * 1000000)
+      .withColumnRenamed("bucket_us", "hour_us")
 
   /** E6: growth accounting — new users per hour + running cumulative
     * distinct users (the "total users over time" chart). Distinctness
@@ -172,13 +180,47 @@ object EventOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** E7: RFM segmentation — the classic customer-value table: per user,
+    * Recency (days since last event, vs the corpus max as "now"),
+    * Frequency (event count) and Monetary (cents sum), banded 1-5 and
+    * composed into the 3-digit RFM segment code. Bands are FIXED
+    * business-rule thresholds evaluated per row — not global quintile
+    * ntile ranks, which would force every user through ONE unpartitioned
+    * sort (the classic RFM scale trap); with fixed bands the whole
+    * operator is one user-keyed aggregation plus a broadcast 1-row "now",
+    * embarrassingly parallel at any user count. All-integer output. */
+  val e7Rfm: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val now = ev.agg(max(col("ts_us")).as("now_us"))
+    val per = ev.groupBy(col("user_id")).agg(
+      max(col("ts_us")).as("last_us"),
+      count(lit(1)).as("f"),
+      sum(Relational.cents(col("value"))).as("m_cents"))
+    per.crossJoin(broadcast(now))
+      .withColumn("r_days", expr("(now_us - last_us) div 86400000000"))
+      .withColumn("r_score",
+        when(col("r_days") <= 0, 5).when(col("r_days") <= 1, 4)
+          .when(col("r_days") <= 3, 3).when(col("r_days") <= 7, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("f") >= 80, 5).when(col("f") >= 70, 4)
+          .when(col("f") >= 60, 3).when(col("f") >= 50, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("m_cents") >= 500000, 5).when(col("m_cents") >= 400000, 4)
+          .when(col("m_cents") >= 300000, 3).when(col("m_cents") >= 200000, 2).otherwise(1))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
     "e3_retention" -> e3Retention,
     "e4_transitions" -> e4Transitions,
     "e5_gap_fill" -> e5GapFill,
-    "e6_cumulative_users" -> e6CumulativeUsers
+    "e6_cumulative_users" -> e6CumulativeUsers,
+    "e7_rfm" -> e7Rfm
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,6 +298,29 @@ object EventOps {
          SELECT hour_us, n_new,
                 CAST(sum(n_new) OVER (ORDER BY hour_us
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-         FROM hourly"""
+         FROM hourly""",
+    "e7_rfm" ->
+      """WITH now AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+            per AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+                    FROM events GROUP BY 1),
+            scored AS (
+              SELECT user_id,
+                     (now_us - last_us) // 86400000000 AS r_days, f, m_cents,
+                     CASE WHEN (now_us - last_us) // 86400000000 <= 0 THEN 5
+                          WHEN (now_us - last_us) // 86400000000 <= 1 THEN 4
+                          WHEN (now_us - last_us) // 86400000000 <= 3 THEN 3
+                          WHEN (now_us - last_us) // 86400000000 <= 7 THEN 2
+                          ELSE 1 END AS r_score,
+                     CASE WHEN f >= 80 THEN 5 WHEN f >= 70 THEN 4
+                          WHEN f >= 60 THEN 3 WHEN f >= 50 THEN 2
+                          ELSE 1 END AS f_score,
+                     CASE WHEN m_cents >= 500000 THEN 5 WHEN m_cents >= 400000 THEN 4
+                          WHEN m_cents >= 300000 THEN 3 WHEN m_cents >= 200000 THEN 2
+                          ELSE 1 END AS m_score
+              FROM per CROSS JOIN now)
+         SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+                r_score * 100 + f_score * 10 + m_score AS segment
+         FROM scored"""
   )
 }

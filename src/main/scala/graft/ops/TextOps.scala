@@ -845,8 +845,10 @@ object TextOps {
     * cut would empty the weakest source, the failure mode per-source
     * ranking exists to avoid). One window shuffle on `source`; at 100 TB
     * each source partition ranks independently. */
-  val l31QualityRank: Q = (s, d) => {
-    val scored = Tables.documentsWide(s, d)
+  /** l31 core with a caller-chosen keep fraction (rank ≤ ⌈n·frac⌉ per
+    * source). Exposed to the pipeline registry as `quality_rank`. */
+  private[graft] def qualityRankFrames(docs: DataFrame, frac: Double): DataFrame = {
+    val scored = docs
       .select(col("doc_id"), col("source"),
         round(StreamingOps.docQuality(col("text")) * 1e6).cast("long").as("q_i"))
     val w = Window.partitionBy(col("source")).orderBy(col("q_i").desc, col("doc_id"))
@@ -854,8 +856,39 @@ object TextOps {
     scored
       .withColumn("rn", row_number().over(w))
       .withColumn("n_docs", count(lit(1)).over(n))
-      .where(col("rn") <= (col("n_docs") + 1) / 2)
+      .where(col("rn") <= ceil(col("n_docs") * frac))
       .select(col("doc_id"), col("source"), col("q_i"), col("rn"), col("n_docs"))
+  }
+
+  val l31QualityRank: Q = (s, d) =>
+    qualityRankFrames(Tables.documentsWide(s, d), frac = 0.5)
+
+  /** L32: robust length-outlier flags — median/MAD (median absolute
+    * deviation), the outlier rule that survives the heavy-tailed length
+    * distributions real corpora have (mean/stddev is dragged by the very
+    * outliers it's meant to find; the median pair is immune). A doc is
+    * flagged when its token count sits > 3 MAD from its source's median —
+    * the standard "drop truncated fragments and concatenation accidents"
+    * pre-filter.
+    *
+    * Scale shape: two source-keyed exact-percentile aggregations (the
+    * 100 TB swap is `approx_percentile`, same plan — l15's argument) and
+    * two joins back on `source` — a broadcast-sized key set. All doc-level
+    * work is per-row. Medians of integer counts are exact .0/.5 doubles,
+    * so `dev > 3·mad` compares exactly in both engines — no float
+    * tolerance needed on the BOOLEAN, and row identity is integer. */
+  val l32MadOutliers: Q = (s, d) => {
+    val base = tokenized(s, d, wide = true)
+      .select(col("doc_id"), col("source"), size(col("t")).cast("long").as("n_tokens"))
+    val med = base.groupBy(col("source"))
+      .agg(expr("percentile(n_tokens, 0.5D)").as("med"))
+    val withMed = base.join(med, Seq("source"))
+      .withColumn("dev", abs(col("n_tokens") - col("med")))
+    val mad = withMed.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    withMed.join(mad, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("med"), col("mad"),
+        (col("dev") > col("mad") * 3).as("is_outlier"))
   }
 
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
@@ -1115,7 +1148,8 @@ object TextOps {
     "l28b_containment_dedup" -> l28bContainmentDedup,
     "l29_novelty" -> l29Novelty,
     "l30_pmi_cooccur" -> l30PmiCooccur,
-    "l31_quality_rank" -> l31QualityRank
+    "l31_quality_rank" -> l31QualityRank,
+    "l32_mad_outliers" -> l32MadOutliers
   )
 
   /** The (pos, sh) CTE pair every shingle-space oracle starts from:
@@ -1243,6 +1277,20 @@ object TextOps {
                   FROM q)
          SELECT doc_id, source, q_i, rn, n_docs
          FROM r WHERE rn <= (n_docs + 1) / 2""",
+    "l32_mad_outliers" ->
+      """WITH base AS (SELECT doc_id, source,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            med AS (SELECT source, CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS med
+                    FROM base GROUP BY 1),
+            dv AS (SELECT b.doc_id, b.source, b.n_tokens, med.med,
+                          abs(b.n_tokens - med.med) AS dev
+                   FROM base b JOIN med USING (source)),
+            mad AS (SELECT source, CAST(quantile_cont(dev, 0.5) AS DOUBLE) AS mad
+                    FROM dv GROUP BY 1)
+         SELECT dv.doc_id, dv.source, dv.n_tokens, dv.med, mad.mad,
+                dv.dev > mad.mad * 3 AS is_outlier
+         FROM dv JOIN mad USING (source)""",
     "l28_containment" -> l28OracleSql,
     "l28b_containment_dedup" -> l28bOracleSql,
     "l29_novelty" -> (shingleCte +

@@ -103,6 +103,27 @@ object Transforms {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         p.params.getOrElse("type", "event_type"))
     }
+    // dense per-key time series with zero rows minted for silent buckets;
+    // bucket is the bucket width in SECONDS (declared e5 pins 3600)
+    r.register("gap_fill") { (_, in, p) =>
+      graft.ops.EventOps.gapFillFrames(in("events"),
+        p.params.getOrElse("key", "user_id"),
+        p.params.getOrElse("ts", "ts"),
+        p.params.getOrElse("value", "value"),
+        p.params.getOrElse("bucket", "3600").toLong * 1000000)
+    }
+    // skip-gram co-occurrence + PMI over any (doc_id, text) step; win is
+    // the forward window in tokens (declared l30 pins 2)
+    r.register("pmi") { (_, in, p) =>
+      graft.ops.TextOps.pmiFrames(in("docs"),
+        p.params.getOrElse("win", "2").toInt)
+    }
+    // per-source quality-rank cut: keep the top `frac` of every source by
+    // the l11 quality blend (declared l31 pins 0.5)
+    r.register("quality_rank") { (_, in, p) =>
+      graft.ops.TextOps.qualityRankFrames(in("docs"),
+        p.params.getOrElse("frac", "0.5").toDouble)
+    }
     r
   }
 }

@@ -357,6 +357,43 @@ class PipelineSpecTest extends SparkSpec {
     assert(pSums.nonEmpty && pSums.forall(s => math.abs(s - 1.0) < 1e-4), pSums.mkString(","))
   }
 
+  test("gap_fill, pmi and quality_rank transforms: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_gpq").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    // gap_fill: a 2x-wider bucket roughly halves the spine, and silent
+    // buckets materialize as zero rows (the fixture has idle hours)
+    def gfSpec(bucket: String) = PipelineSpec(Seq(evStep,
+      StepSpec("series", "gap_fill", Map("events" -> "ev"),
+        Map("bucket" -> bucket))))
+    val hourly = runner.execute(gfSpec("3600"), Seq("series"))
+    val twoHourly = runner.execute(gfSpec("7200"), Seq("series"))
+    assert(hourly("series") != twoHourly("series"))
+    val hourlyDf = spark.read.parquet(s"$wh/${hourly("series")}")
+    val twoHourlyN = spark.read.parquet(s"$wh/${twoHourly("series")}").count()
+    assert(twoHourlyN < hourlyDf.count())
+    assert(hourlyDf.where(col("n_events") === 0).count() > 0,
+      "zero-filled silent buckets must materialize")
+    // pmi: a wider window strictly grows the pair-event space
+    def pmiSpec(win: Int) = PipelineSpec(Seq(docsStep,
+      StepSpec("cooc", "pmi", Map("docs" -> "docs"), Map("win" -> win.toString))))
+    def pairTotal(imp: Map[String, String]) =
+      spark.read.parquet(s"$wh/${imp("cooc")}")
+        .agg(org.apache.spark.sql.functions.sum(col("n_ab"))).head().getLong(0)
+    val n1 = pairTotal(runner.execute(pmiSpec(1), Seq("cooc")))
+    val n2 = pairTotal(runner.execute(pmiSpec(2), Seq("cooc")))
+    assert(n1 < n2, s"win=1 pairs $n1 should be fewer than win=2 pairs $n2")
+    // quality_rank: a smaller keep fraction keeps fewer docs per source
+    def qrSpec(frac: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("kept", "quality_rank", Map("docs" -> "docs"), Map("frac" -> frac))))
+    val half = spark.read.parquet(
+      s"$wh/${runner.execute(qrSpec("0.5"), Seq("kept"))("kept")}").count()
+    val quarter = spark.read.parquet(
+      s"$wh/${runner.execute(qrSpec("0.25"), Seq("kept"))("kept")}").count()
+    assert(quarter < half && quarter > 0)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(
