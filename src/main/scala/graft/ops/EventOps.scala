@@ -213,6 +213,32 @@ object EventOps {
         col("r_score"), col("f_score"), col("m_score"), col("segment"))
   }
 
+  /** E8: rolling active users — per-day DAU and trailing-7-day WAU (the
+    * engagement chart every product team draws first). Sliding COUNT
+    * DISTINCT has no bounded-state window form; the scalable identity is
+    * offset-explode: each distinct (user, day) row votes for the 7 target
+    * days it keeps the user "weekly active" on, and WAU is a plain
+    * count-distinct per target day. Explode factor is the window length
+    * (7), applied to the already-deduped user-day table — event volume
+    * never multiplies. Days are integer day numbers (µs div 86400e6), so
+    * every column is integer-exact cross-engine. Target days are inner-
+    * joined back to days with actual activity, so no phantom trailing
+    * days appear after the corpus end. */
+  val e8ActiveUsers: Q = (s, d) => {
+    val dayUs = 86400L * 1000000L
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(6))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau7"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
@@ -220,7 +246,8 @@ object EventOps {
     "e4_transitions" -> e4Transitions,
     "e5_gap_fill" -> e5GapFill,
     "e6_cumulative_users" -> e6CumulativeUsers,
-    "e7_rfm" -> e7Rfm
+    "e7_rfm" -> e7Rfm,
+    "e8_active_users" -> e8ActiveUsers
   )
 
   val oracle: Map[String, String] = Map(
@@ -321,6 +348,15 @@ object EventOps {
               FROM per CROSS JOIN now)
          SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
                 r_score * 100 + f_score * 10 + m_score AS segment
-         FROM scored"""
+         FROM scored""",
+    "e8_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+            dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+            tgt AS (SELECT DISTINCT user_id, day + k AS day
+                    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks),
+            wau AS (SELECT day, count(*) AS wau7 FROM tgt GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau7
+         FROM dau JOIN wau USING (day)"""
   )
 }

@@ -414,6 +414,90 @@ object Relational {
         sum(col("value")).cast("double").as("value_sum"))
   }
 
+  /** P7: one-pass column profiling — the ANALYZE/data-quality summary
+    * (row count, null count, exact distinct count, min/max) for every
+    * column of a table, long-format one row per column. All statistics
+    * come out of ONE aggregation: Catalyst plans the multi-column
+    * count_distinct set via Expand (one pass over the data, k-way row
+    * multiplication before the partial agg — the standard exact plan;
+    * the 100 TB swap is approx_count_distinct, same single-pass shape
+    * minus the Expand). min/max render through type-stable channels:
+    * integers/strings directly, doubles through the cents-as-long rule
+    * every money oracle uses, so the stringified extrema compare exactly
+    * cross-engine. */
+  val p7Profile: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    def mm(x: Column) = x.cast("string")
+    val agg = c.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("nul1"),
+      count_distinct(col("c_custkey")).as("nd1"),
+      mm(min(col("c_custkey"))).as("mn1"), mm(max(col("c_custkey"))).as("mx1"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("nul2"),
+      count_distinct(col("c_name")).as("nd2"),
+      mm(min(col("c_name"))).as("mn2"), mm(max(col("c_name"))).as("mx2"),
+      sum(when(col("c_nationkey").isNull, 1L).otherwise(0L)).as("nul3"),
+      count_distinct(col("c_nationkey")).as("nd3"),
+      mm(min(col("c_nationkey"))).as("mn3"), mm(max(col("c_nationkey"))).as("mx3"),
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("nul4"),
+      count_distinct(col("c_acctbal")).as("nd4"),
+      mm(cents(min(col("c_acctbal")))).as("mn4"), mm(cents(max(col("c_acctbal")))).as("mx4"),
+      sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("nul5"),
+      count_distinct(col("c_mktsegment")).as("nd5"),
+      mm(min(col("c_mktsegment"))).as("mn5"), mm(max(col("c_mktsegment"))).as("mx5"))
+    agg.select(expr(
+      """stack(5,
+           'c_custkey',    n, nul1, nd1, mn1, mx1,
+           'c_name',       n, nul2, nd2, mn2, mx2,
+           'c_nationkey',  n, nul3, nd3, mn3, mx3,
+           'c_acctbal',    n, nul4, nd4, mn4, mx4,
+           'c_mktsegment', n, nul5, nd5, mn5, mx5)
+         as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"""))
+  }
+
+  /** Snapshot-diff core over ANY two frames sharing key + compare columns:
+    * FULL OUTER on the keys, presence markers decide added/removed, a
+    * null-safe inequality OR over the compare set decides changed;
+    * unchanged rows are dropped. ONE co-partitioned shuffle per side on
+    * the key — the 100 TB table-diff shape (no window, no collect);
+    * emitted volume is the churn, not the table. Exposed to the pipeline
+    * registry as `snapshot_diff`. */
+  private[graft] def snapshotDiffFrames(old: DataFrame, cur: DataFrame,
+      keys: Seq[String], compare: Seq[String]): DataFrame = {
+    val l = old.select(keys.map(col) ++ compare.map(c => col(c).as(s"l_$c")): _*)
+      .withColumn("_l", lit(true))
+    val r = cur.select(keys.map(col) ++ compare.map(c => col(c).as(s"r_$c")): _*)
+      .withColumn("_r", lit(true))
+    val changed = compare.map(c => !(col(s"l_$c") <=> col(s"r_$c")))
+      .reduce(_ || _)
+    l.join(r, keys, "full_outer")
+      .withColumn("change",
+        when(col("_l").isNull, "added")
+          .when(col("_r").isNull, "removed")
+          .when(changed, "changed").otherwise("unchanged"))
+      .where(col("change") =!= "unchanged")
+      .drop("_l", "_r")
+  }
+
+  /** S15: snapshot diff — "what changed between yesterday's table and
+    * today's" (added / removed / changed keys with both sides' values),
+    * the audit query behind every CDC backfill review. The declared query
+    * derives two deterministic snapshots of `orders` (disjoint modulus
+    * drops + a binary-exact ×2 price correction on a third modulus) and
+    * diffs them; money compares as cents-longs so 'changed' is
+    * integer-exact in both engines. */
+  val s15SnapshotDiff: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"), cents(col("o_totalprice")).as("price_cents"))
+    val old = ord.where(col("o_orderkey") % 97 =!= 0)
+    val cur = ord.where(col("o_orderkey") % 89 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 13 === 0, col("price_cents") * 2)
+          .otherwise(col("price_cents")))
+    snapshotDiffFrames(old, cur, Seq("o_orderkey"),
+      Seq("o_orderstatus", "price_cents"))
+  }
+
   /** J9: runtime bloom-filter–pruned join (the semi-join reduction the
     * reference's planner can't do at all). A selective dim-side filter
     * ('1-URGENT' keeps ~20% of orders) turns the fact-side scan mostly
@@ -547,10 +631,60 @@ object Relational {
     "j9_bloom_join" -> j9BloomJoin,
     "s12_schema_evolution" -> s12SchemaEvolution,
     "s13_merge_upsert" -> s13MergeUpsert,
-    "s14_dynamic_overwrite" -> s14DynamicOverwrite
+    "s14_dynamic_overwrite" -> s14DynamicOverwrite,
+    "s15_snapshot_diff" -> s15SnapshotDiff,
+    "p7_profile" -> p7Profile
   )
 
   val oracle: Map[String, String] = Map(
+    "p7_profile" ->
+      """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+                count(*) - count(c_custkey) AS n_null,
+                count(DISTINCT c_custkey) AS n_distinct,
+                CAST(min(c_custkey) AS VARCHAR) AS min_s,
+                CAST(max(c_custkey) AS VARCHAR) AS max_s FROM customer
+         UNION ALL
+         SELECT 'c_name', count(*), count(*) - count(c_name),
+                count(DISTINCT c_name),
+                CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+                count(DISTINCT c_nationkey),
+                CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+                count(DISTINCT c_acctbal),
+                CAST(CAST(round(min(c_acctbal) * 100) AS BIGINT) AS VARCHAR),
+                CAST(CAST(round(max(c_acctbal) * 100) AS BIGINT) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+                count(DISTINCT c_mktsegment),
+                CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+         FROM customer""",
+    "s15_snapshot_diff" ->
+      """WITH ord AS (SELECT o_orderkey, o_orderstatus,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                      FROM orders),
+            o AS (SELECT * FROM ord WHERE o_orderkey % 97 <> 0),
+            n AS (SELECT o_orderkey, o_orderstatus,
+                         CASE WHEN o_orderkey % 13 = 0 THEN price_cents * 2
+                              ELSE price_cents END AS price_cents
+                  FROM ord WHERE o_orderkey % 89 <> 0)
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                o.o_orderstatus AS l_o_orderstatus,
+                n.o_orderstatus AS r_o_orderstatus,
+                o.price_cents AS l_price_cents,
+                n.price_cents AS r_price_cents,
+                CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                     WHEN n.o_orderkey IS NULL THEN 'removed'
+                     ELSE 'changed' END AS change
+         FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+            OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            OR o.price_cents IS DISTINCT FROM n.price_cents""",
     "s13_merge_upsert" ->
       """WITH merged AS (
            SELECT CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0

@@ -891,6 +891,58 @@ object TextOps {
         (col("dev") > col("mad") * 3).as("is_outlier"))
   }
 
+  /** L33: edit-distance near-dup verification — exact Levenshtein over
+    * BLOCKED candidates (the fuzzy-match dedup fine-tuning sets use, where
+    * token-set Jaccard is blind to word-order edits). All-pairs Levenshtein
+    * is O(n²·len²) — never runs at scale; the plan is the standard two
+    * stage: the l5 inverted shingle-hash index proposes pairs sharing ≥ 5
+    * distinct 3-gram shingles (fixture-bimodal: real near-dups share most
+    * shingles, noise shares ≤ 4 — probed 28/25/305 candidate pairs at the
+    * three SFs, against millions of raw pairs), then full text joins back
+    * ONLY for candidates and the codegen'd `levenshtein` scores each pair
+    * once. The duplicate verdict dist ≤ 0.2·maxlen compares as integer
+    * `dist·5 ≤ maxlen` — no float crosses the engines. */
+  val l33EditDedup: Q = (s, d) => {
+    val docs = Tables.documentsWide(s, d)
+    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val cand = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 5)
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .select(col("da"), col("db"), col("n_shared"),
+        levenshtein(col("ta"), col("tb")).as("dist"),
+        length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
+      .withColumn("is_dup", col("dist") * 5 <= greatest(col("len_a"), col("len_b")))
+  }
+
+  /** L34: cross-source overlap matrix — how much 3-gram shingle mass every
+    * source pair shares (the corpus-contamination / provenance-leak
+    * diagnostic run before mixing sources into one training set; exact
+    * cross-source duplicate DOCS are too rare on the fixture to be a
+    * stable declared query — sf0.001/0.01 have none). Distinct (source,
+    * shingle-hash) pairs first — so join buckets per shingle are bounded
+    * by the SOURCE count, not document frequency — then one self-join on
+    * the 8-byte hash and a source-pair count; output is #sources² rows.
+    * With thousands of sources the l5 df-cap argument applies unchanged. */
+  val l34SourceOverlap: Q = (s, d) => {
+    val docs = Tables.documentsWide(s, d)
+    val ss = shingleTable(s, d)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), xxhash64(col("s")).as("h")).distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("sa"), col("h"))
+      .join(ss.select(col("source").as("sb"), col("h")), Seq("h"))
+      .where(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("n_a")), Seq("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("n_b")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
   /** L21: n-gram LM quality scoring — the CCNet/KenLM-style filter (score
     * text by a language model's log-probability; cut the tail) with the LM
     * trained ON the corpus itself: bigram MLE, P(w2|w1) =
@@ -1149,7 +1201,9 @@ object TextOps {
     "l29_novelty" -> l29Novelty,
     "l30_pmi_cooccur" -> l30PmiCooccur,
     "l31_quality_rank" -> l31QualityRank,
-    "l32_mad_outliers" -> l32MadOutliers
+    "l32_mad_outliers" -> l32MadOutliers,
+    "l33_edit_dedup" -> l33EditDedup,
+    "l34_source_overlap" -> l34SourceOverlap
   )
 
   /** The (pos, sh) CTE pair every shingle-space oracle starts from:
@@ -1291,6 +1345,31 @@ object TextOps {
          SELECT dv.doc_id, dv.source, dv.n_tokens, dv.med, mad.mad,
                 dv.dev > mad.mad * 3 AS is_outlier
          FROM dv JOIN mad USING (source)""",
+    "l33_edit_dedup" -> (shingleCte +
+      """,
+          cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT c.da, c.db, c.n_shared,
+                levenshtein(ta.text, tb.text) AS dist,
+                len(ta.text) AS len_a, len(tb.text) AS len_b,
+                levenshtein(ta.text, tb.text) * 5
+                  <= greatest(len(ta.text), len(tb.text)) AS is_dup
+         FROM cand c
+         JOIN documents ta ON c.da = ta.doc_id
+         JOIN documents tb ON c.db = tb.doc_id"""),
+    "l34_source_overlap" -> (shingleCte +
+      """,
+          ss AS (SELECT DISTINCT d.source, sh.s
+                 FROM sh JOIN documents d USING (doc_id)),
+          sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+          pairs AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+                    FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+                    GROUP BY 1, 2)
+         SELECT p.sa, p.sb, p.n_shared, x.n AS n_a, y.n AS n_b
+         FROM pairs p
+         JOIN sizes x ON p.sa = x.source
+         JOIN sizes y ON p.sb = y.source"""),
     "l28_containment" -> l28OracleSql,
     "l28b_containment_dedup" -> l28bOracleSql,
     "l29_novelty" -> (shingleCte +

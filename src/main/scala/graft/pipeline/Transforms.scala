@@ -124,6 +124,13 @@ object Transforms {
       graft.ops.TextOps.qualityRankFrames(in("docs"),
         p.params.getOrElse("frac", "0.5").toDouble)
     }
+    // table diff between two snapshot steps: added/removed/changed keys
+    // with both sides' values; keys/compare are comma-separated lists
+    r.register("snapshot_diff") { (_, in, p) =>
+      def cols(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      graft.ops.Relational.snapshotDiffFrames(in("old"), in("new"),
+        cols(p("keys")), cols(p("compare")))
+    }
     r
   }
 }

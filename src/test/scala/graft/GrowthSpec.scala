@@ -60,7 +60,16 @@ class GrowthSpec extends SparkSpec {
       // w7's is the events×events interval join the range frame avoids.
       "l30_pmi_cooccur" -> TextOps.queries("l30_pmi_cooccur"),
       "l31_quality_rank" -> TextOps.queries("l31_quality_rank"),
+      // l33's quadratic risk is unblocked all-pairs Levenshtein (len²
+      // per pair, n² pairs); l34's is a df-keyed self-join bucketing on
+      // document frequency instead of the distinct source set; l32 and
+      // e8 are agg/explode shaped — linear by construction, guarded
+      // because they carry scale claims.
+      "l32_mad_outliers" -> TextOps.queries("l32_mad_outliers"),
+      "l33_edit_dedup" -> TextOps.queries("l33_edit_dedup"),
+      "l34_source_overlap" -> TextOps.queries("l34_source_overlap"),
       "e5_gap_fill" -> EventOps.queries("e5_gap_fill"),
+      "e8_active_users" -> EventOps.queries("e8_active_users"),
       "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {

@@ -394,6 +394,27 @@ class PipelineSpecTest extends SparkSpec {
     assert(quarter < half && quarter > 0)
   }
 
+  test("snapshot_diff transform: added/removed/changed over arbitrary key/compare lists") {
+    val wh = Files.createTempDirectory("graft_wh_sd").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val dummy = StepSpec("d0", "source", params = Map("dir" -> sfDir, "table" -> "region"))
+    val spec = PipelineSpec(Seq(dummy,
+      StepSpec("old", "sql", Map("d" -> "d0"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), 'a', 10), (CAST(2 AS BIGINT), 'b', 20), " +
+          "(CAST(3 AS BIGINT), 'c', 30)) AS t(k, s, v)"))),
+      StepSpec("new", "sql", Map("d" -> "d0"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(2 AS BIGINT), 'b', 20), (CAST(3 AS BIGINT), 'c', 99), " +
+          "(CAST(4 AS BIGINT), 'd', 40)) AS t(k, s, v)"))),
+      StepSpec("diff", "snapshot_diff", Map("old" -> "old", "new" -> "new"),
+        Map("keys" -> "k", "compare" -> "s,v"))))
+    val imp = runner.execute(spec, Seq("diff"))
+    val rows = spark.read.parquet(s"$wh/${imp("diff")}")
+      .select("k", "change").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), rows.toString)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(

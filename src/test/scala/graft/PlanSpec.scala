@@ -228,6 +228,43 @@ class PlanSpec extends SparkSpec {
     assert(joins.isEmpty, s"merge should be union+window, found joins:\n$plan")
   }
 
+  test("l33 edit dedup: candidates come from the shingle index — no unkeyed join") {
+    val plan = executed(graft.SparkEntry.queries("l33_edit_dedup")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in edit-dedup plan:\n$plan")
+  }
+
+  test("l34 source overlap: hash-keyed self-join over distinct (source, shingle) — no unkeyed join") {
+    val plan = executed(graft.SparkEntry.queries("l34_source_overlap")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in source-overlap plan:\n$plan")
+  }
+
+  test("p7 profile: one aggregation pass — a single scan feeds an Expand, no join") {
+    val plan = executed(graft.SparkEntry.queries("p7_profile")(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.count(_.nodeName.toLowerCase.contains("scan")) == 1,
+      s"profile must read the table once:\n$plan")
+    assert(!all.exists(_.nodeName.toLowerCase.contains("join")),
+      s"profile must not join:\n$plan")
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      s"multi-column exact distinct should plan via Expand:\n$plan")
+  }
+
+  test("s15 snapshot diff: keyed full-outer join, no nested-loop fallback") {
+    val plan = executed(graft.SparkEntry.queries("s15_snapshot_diff")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in snapshot-diff plan:\n$plan")
+    assert(collectAll(plan).exists(p => p.nodeName.toLowerCase.contains("join")),
+      s"diff should be a keyed join:\n$plan")
+  }
+
   test("s11 binary ingest: the readback scans the binaryFile source, not a parsed format") {
     val df = graft.SparkEntry.queries("s11_binary_ingest")(spark, sfDir)
     df.collect()
