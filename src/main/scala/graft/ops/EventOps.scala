@@ -239,6 +239,36 @@ object EventOps {
       .select(col("day"), col("dau"), col("wau7"))
   }
 
+  /** E9: trailing-window anomaly detection — flag hours whose spend sits
+    * more than 3σ from the user's own trailing-24-hour baseline (the
+    * fraud/abuse/incident alert every event pipeline grows). Two scale
+    * decisions: the baseline is a bounded ROWS frame over the e5
+    * gap-filled series (dense hours make "24 rows" mean "24 hours" — on
+    * the raw event stream the frame would silently span idle days), and
+    * the 3σ test runs in EXACT integer arithmetic: |x−μ|>3σ with μ=S/n,
+    * σ²=(nQ−S²)/n² multiplies through to (n·x−S)² > 9·(nQ−S²) — counts,
+    * sums and squares of cents-longs only, so the flag is bit-identical
+    * cross-engine (a float z-score would wobble at band edges). Frames
+    * needing ≥8 baseline hours emit; only flagged rows are returned.
+    * Magnitudes: cents ≤ ~1e6/hour, n ≤ 24 ⇒ every term < 6e14, far
+    * inside Long. One user-keyed window shuffle total (shared with the
+    * gap-fill spine's). */
+  val e9Anomaly: Q = (s, d) => {
+    val series = gapFillFrames(Tables.events(s, d), key = "user_id",
+      tsCol = "ts", valueCol = "value", bucketUs = 3600L * 1000000)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+      .rowsBetween(-24, -1)
+    val dev = col("n_base") * col("value_cents") - col("s_base")
+    series
+      .withColumn("n_base", count(col("value_cents")).over(w))
+      .withColumn("s_base", sum(col("value_cents")).over(w))
+      .withColumn("q_base", sum(col("value_cents") * col("value_cents")).over(w))
+      .where(col("n_base") >= 8 &&
+        dev * dev > lit(9L) * (col("n_base") * col("q_base") - col("s_base") * col("s_base")))
+      .select(col("user_id"), col("bucket_us").as("hour_us"),
+        col("value_cents"), col("n_base"), col("s_base"), col("q_base"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
@@ -247,7 +277,8 @@ object EventOps {
     "e5_gap_fill" -> e5GapFill,
     "e6_cumulative_users" -> e6CumulativeUsers,
     "e7_rfm" -> e7Rfm,
-    "e8_active_users" -> e8ActiveUsers
+    "e8_active_users" -> e8ActiveUsers,
+    "e9_anomaly" -> e9Anomaly
   )
 
   val oracle: Map[String, String] = Map(
@@ -357,6 +388,34 @@ object EventOps {
                     FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k) ks),
             wau AS (SELECT day, count(*) AS wau7 FROM tgt GROUP BY 1)
          SELECT dau.day, dau.dau, wau.wau7
-         FROM dau JOIN wau USING (day)"""
+         FROM dau JOIN wau USING (day)""",
+    "e9_anomaly" ->
+      """WITH ev AS (SELECT user_id,
+                            epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                            value
+                     FROM events),
+            b AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+                  FROM ev GROUP BY 1),
+            spine AS (SELECT user_id,
+                             unnest(range(h0, h1 + 1, 3600000000)) AS hour_us
+                      FROM b),
+            c AS (SELECT user_id, hour_us,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                  FROM ev GROUP BY 1, 2),
+            srs AS (SELECT spine.user_id, spine.hour_us,
+                           coalesce(c.cents, 0) AS value_cents
+                    FROM spine LEFT JOIN c USING (user_id, hour_us)),
+            w AS (SELECT user_id, hour_us, value_cents,
+                         count(value_cents) OVER win AS n_base,
+                         CAST(sum(value_cents) OVER win AS BIGINT) AS s_base,
+                         CAST(sum(value_cents * value_cents) OVER win AS BIGINT) AS q_base
+                  FROM srs
+                  WINDOW win AS (PARTITION BY user_id ORDER BY hour_us
+                                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, hour_us, value_cents, n_base, s_base, q_base
+         FROM w
+         WHERE n_base >= 8
+           AND (n_base * value_cents - s_base) * (n_base * value_cents - s_base)
+               > 9 * (n_base * q_base - s_base * s_base)"""
   )
 }

@@ -70,6 +70,7 @@ class GrowthSpec extends SparkSpec {
       "l34_source_overlap" -> TextOps.queries("l34_source_overlap"),
       "e5_gap_fill" -> EventOps.queries("e5_gap_fill"),
       "e8_active_users" -> EventOps.queries("e8_active_users"),
+      "e9_anomaly" -> EventOps.queries("e9_anomaly"),
       "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {

@@ -42,7 +42,13 @@ object DumpPlans {
       "e4_transitions" -> "Event-transition matrix: lead() over the same user_id window e1 shuffles on; the per-from normalizer windows the 5x5 aggregate, never re-scanning events.",
       "e5_gap_fill" -> "Time-series gap fill: per-user bounds aggregate generates the hourly spine via sequence+explode (never a calendar cross join); the spine meets per-(user, hour) counts in a left join keyed on the columns both sides just aggregated on.",
       "w7_time_range" -> "Trailing-hour activity features: one RANGE window over exact microsecond longs per user — the plan is a single sort+window pass where the naive formulation is an events x events interval self-join.",
-      "l30_pmi_cooccur" -> "Skip-gram PMI: each token emits its forward slot keys and meets the token stream in (doc_id, pos) EQUI-joins — linear in corpus size; marginals are windows over the vocab^2 aggregate, not the corpus.")
+      "l30_pmi_cooccur" -> "Skip-gram PMI: each token emits its forward slot keys and meets the token stream in (doc_id, pos) EQUI-joins — linear in corpus size; marginals are windows over the vocab^2 aggregate, not the corpus.",
+      "p7_profile" -> "One-pass column profiling: a single scan feeds an Expand (the exact multi-column count_distinct plan), stack pivots the one aggregate row to a row per column — no join, no second read of the table.",
+      "s15_snapshot_diff" -> "Snapshot diff: ONE keyed full-outer join (co-partitioned shuffles both sides), presence markers + null-safe compares decide added/removed/changed; emitted volume is the churn, never the table.",
+      "e8_active_users" -> "Rolling DAU/WAU: the deduped user-day table offset-explodes x7 (window length, not event volume) and re-aggregates — sliding COUNT DISTINCT without unbounded window state.",
+      "e9_anomaly" -> "Trailing 3-sigma anomaly flags: bounded 24-row window over the gap-filled spine, z-test in exact integer arithmetic ((n*x-S)^2 > 9*(nQ-S^2)) — one user-keyed window shuffle, no float comparisons.",
+      "l33_edit_dedup" -> "Edit-distance near-dup verification: the inverted shingle-hash index proposes candidates (>=5 shared shingles), full text joins back ONLY for those pairs, codegen'd levenshtein scores each pair once — all-pairs O(n^2 len^2) never materializes.",
+      "l34_source_overlap" -> "Cross-source overlap matrix: distinct (source, shingle-hash) pairs first (join buckets bounded by the SOURCE count, not document frequency), then one 8-byte-hash self-join and a sources^2-row aggregate.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
