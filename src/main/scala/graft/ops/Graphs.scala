@@ -183,10 +183,73 @@ object Graphs {
     pageRank(edges, damping = 0.85, iters = 3)
   }
 
+  /** Triangle-count core over ANY undirected edge list (sa < sb, distinct)
+    * — DEGREE-ORDERED orientation, the O(E^1.5) classic (Schank/Wagner;
+    * the same orientation GraphX's TriangleCount and every distributed
+    * triangle paper uses): each edge points from its lower-(degree, id)
+    * endpoint to the higher, so every node's OUT-degree is O(√E) no matter
+    * how skewed the raw degree distribution — the wedge self-join that
+    * explodes quadratically on a hub node under naive id-orientation stays
+    * bounded. Wedges (u→v, u→w with rank(v) < rank(w)) close against the
+    * oriented edge set in ONE more equi-join; each triangle is counted
+    * exactly once. Counting is orientation-invariant, which is why the
+    * DuckDB twin can use the simple id-ordered 3-way join. */
+  private[graft] def triangleCount(edges: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ed = edges.select(col("sa"), col("sb")).distinct()
+    val deg = ed.select(col("sa").as("n")).unionAll(ed.select(col("sb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withD = ed
+      .join(deg.select(col("n").as("sa"), col("d").as("da")), Seq("sa"))
+      .join(deg.select(col("n").as("sb"), col("d").as("db")), Seq("sb"))
+    val lower = struct(col("da"), col("sa")) < struct(col("db"), col("sb"))
+    val e = withD.select(
+      when(lower, col("sa")).otherwise(col("sb")).as("u"),
+      when(lower, col("sb")).otherwise(col("sa")).as("v"),
+      when(lower, struct(col("db").as("d"), col("sb").as("i")))
+        .otherwise(struct(col("da").as("d"), col("sa").as("i"))).as("rv"))
+    val wedges = e.select(col("u"), col("v"), col("rv"))
+      .join(e.select(col("u"), col("v").as("w"), col("rv").as("rw")), Seq("u"))
+      .where(col("rv") < col("rw"))
+    val closed = wedges.join(
+      e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+    (deg, ed, closed)
+  }
+
+  /** L35: triangle counting — the clustering/community-density statistic
+    * (and the canonical "your join order matters at scale" benchmark).
+    * Declared over the part co-occurrence graph: two parts are linked when
+    * some order contains both (20k nodes / 1.2M edges / 1.9M triangles at
+    * sf0.1 — sparse, unlike the near-complete co-supplier graph). Emits
+    * ONE row (n_nodes, n_edges, n_triangles), all BIGINT. */
+  val l35Triangles: graft.ops.Relational.Q = (s, d) => {
+    val pl = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
+      .where(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"))
+    val (deg, ed, closed) = triangleCount(edges)
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   val queries: Map[String, graft.ops.Relational.Q] = Map(
-    "l26_pagerank" -> l26PageRank)
+    "l26_pagerank" -> l26PageRank,
+    "l35_triangles" -> l35Triangles)
 
   val oracle: Map[String, String] = Map(
+    "l35_triangles" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb
+                  FROM pl a JOIN pl b
+                    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         SELECT (SELECT count(*) FROM (SELECT sa AS n FROM e UNION SELECT sb FROM e)) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                (SELECT count(*) FROM e e1
+                   JOIN e e2 ON e1.sa = e2.sa AND e1.sb < e2.sb
+                   JOIN e e3 ON e3.sa = e1.sb AND e3.sb = e2.sb) AS n_triangles""",
     "l26_pagerank" ->
       """WITH e AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                            's' || CAST(l_suppkey AS VARCHAR) AS dst,

@@ -455,6 +455,27 @@ object Relational {
          as (col_name, n_rows, n_null, n_distinct, min_s, max_s)"""))
   }
 
+  /** P8: key-skew report — the distribution diagnostic run BEFORE choosing
+    * a join strategy (it is what decides whether j8's salting or plain AQE
+    * is enough): per-key counts summarized to total rows, key cardinality,
+    * the heaviest key's count and the p50/p90/p99 of the count
+    * distribution. Two shuffles (key agg, then a 1-row global agg over
+    * key-cardinality rows — at 100 TB the summary agg sees one row per
+    * KEY, not per data row; the percentile swap is approx_percentile,
+    * same plan). Integer counts make the interpolated percentiles exact
+    * rationals both engines compute identically in doubles. */
+  val p8SkewReport: Q = (s, d) => {
+    val perKey = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+    perKey.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5D)").as("p50_cnt"),
+      expr("percentile(cnt, 0.9D)").as("p90_cnt"),
+      expr("percentile(cnt, 0.99D)").as("p99_cnt"))
+  }
+
   /** Snapshot-diff core over ANY two frames sharing key + compare columns:
     * FULL OUTER on the keys, presence markers decide added/removed, a
     * null-safe inequality OR over the compare set decides changed;
@@ -633,10 +654,20 @@ object Relational {
     "s13_merge_upsert" -> s13MergeUpsert,
     "s14_dynamic_overwrite" -> s14DynamicOverwrite,
     "s15_snapshot_diff" -> s15SnapshotDiff,
-    "p7_profile" -> p7Profile
+    "p7_profile" -> p7Profile,
+    "p8_skew_report" -> p8SkewReport
   )
 
   val oracle: Map[String, String] = Map(
+    "p8_skew_report" ->
+      """WITH per AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                count(*) AS n_keys,
+                max(cnt) AS max_cnt,
+                CAST(quantile_cont(cnt, 0.5) AS DOUBLE) AS p50_cnt,
+                CAST(quantile_cont(cnt, 0.9) AS DOUBLE) AS p90_cnt,
+                CAST(quantile_cont(cnt, 0.99) AS DOUBLE) AS p99_cnt
+         FROM per""",
     "p7_profile" ->
       """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
                 count(*) - count(c_custkey) AS n_null,

@@ -71,6 +71,9 @@ class GrowthSpec extends SparkSpec {
       "e5_gap_fill" -> EventOps.queries("e5_gap_fill"),
       "e8_active_users" -> EventOps.queries("e8_active_users"),
       "e9_anomaly" -> EventOps.queries("e9_anomaly"),
+      // triangle counting's quadratic risk is the wedge join exploding on
+      // hub nodes — degree-ordered orientation is exactly what bounds it
+      "l35_triangles" -> graft.ops.Graphs.queries("l35_triangles"),
       "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {

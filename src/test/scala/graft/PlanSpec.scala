@@ -265,6 +265,16 @@ class PlanSpec extends SparkSpec {
       s"diff should be a keyed join:\n$plan")
   }
 
+  test("l35 triangles: degree-ordered wedge join — keyed equi-joins only, no unkeyed join") {
+    val plan = executed(graft.SparkEntry.queries("l35_triangles")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    // the three 1-row count aggregates cross-join by construction (1x1x1);
+    // only multi-row inputs to an unkeyed join are a scale bug
+    assert(bad.size <= 2, s"unkeyed join beyond the 1-row count cross in triangle plan:\n$plan")
+  }
+
   test("s11 binary ingest: the readback scans the binaryFile source, not a parsed format") {
     val df = graft.SparkEntry.queries("s11_binary_ingest")(spark, sfDir)
     df.collect()
