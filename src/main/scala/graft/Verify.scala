@@ -16,6 +16,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never let a crashed query vanish from the correctness report
+        // (round-7 lesson): dump a one-row error marker so the driver's
+        // compare still runs and records a schema/hash mismatch for it
+        try {
+          import spark.implicits._
+          Seq(("__QUERY_FAILED__", String.valueOf(e.getMessage).take(500)))
+            .toDF("__error", "__message").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // sequential harness = quiescent point; don't let one query's
       // checkpoint blocks degrade the next hundred (see core.Caches)

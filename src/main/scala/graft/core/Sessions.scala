@@ -18,6 +18,13 @@ object Sessions {
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS); read as long, normalized in Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs fixtures write isAdjustedToUTC=false, which Spark 4 infers as
+    // TIMESTAMP_NTZ by default — and NTZ breaks unix_micros(), watermarks,
+    // and every event-time operator (the round-7 e*/t4-t6/t9/w7 failures).
+    // Read them as TimestampType: value-preserving because the session
+    // time zone is pinned to UTC above, which is also how the DuckDB
+    // oracle renders the same column.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
     // iterative ops (Graphs.connectedComponents) checkpoint per round when

@@ -82,6 +82,11 @@ object Tables {
         // cast-back could land ±1µs off true truncation — across a second
         // boundary in the worst case
         df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // defense-in-depth for sessions that didn't come through
+        // Sessions.tune (inferTimestampNTZ disabled there): NTZ → instant
+        // is value-preserving under the pinned UTC session time zone
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 }

@@ -1,13 +1,20 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
-/** Judge-round probe: run a named subset of SparkEntry.queries and print
-  * pass/fail + the first exception line. Deleted after the round. */
+/** Debug probe (test scope — never ships in the production jar): run a
+  * named subset of SparkEntry.queries and print pass/fail + the first
+  * exception lines. `sbt "Test/runMain graft.tools.JudgeProbe <sfDir> [q ...]"` */
 object JudgeProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: JudgeProbe <sfDir> [queryName ...]  (no names = all)")
+      sys.exit(2)
+    }
     val sfDir = args.head
-    val names = args.tail
+    val names = if (args.tail.nonEmpty) args.tail.toSeq
+                else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = graft.core.Sessions.tune(
       SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -16,7 +23,7 @@ object JudgeProbe {
       try {
         val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
         println(s"PROBE $n OK rows=$c secs=${(System.nanoTime()-t0)/1e9}")
-      } catch { case e: Throwable =>
+      } catch { case NonFatal(e) =>
         println(s"PROBE $n FAIL ${e.getClass.getName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}")
       }
       graft.core.Caches.releaseAll(spark)
