@@ -190,30 +190,50 @@ object Graphs {
     * endpoint to the higher, so every node's OUT-degree is O(√E) no matter
     * how skewed the raw degree distribution — the wedge self-join that
     * explodes quadratically on a hub node under naive id-orientation stays
-    * bounded. Wedges (u→v, u→w with rank(v) < rank(w)) close against the
-    * oriented edge set in ONE more equi-join; each triangle is counted
-    * exactly once. Counting is orientation-invariant, which is why the
-    * DuckDB twin can use the simple id-ordered 3-way join. */
+    * bounded. Closing uses the edge-iterator form (see inline comment):
+    * out-neighbor arrays meet at each edge and intersect in-expression, so
+    * the wedge set never materializes as exchange rows; each triangle is
+    * counted exactly once. Counting is orientation-invariant, which is why
+    * the DuckDB twin can use the simple id-ordered 3-way join. */
   private[graft] def triangleCount(edges: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // MATERIALIZED once (eager localCheckpoint): the distinct edge list is
+    // read by the degree agg, the orientation join, AND the n_edges count —
+    // without the checkpoint each consumer re-runs the upstream edge build
+    // (for l35 that's the lineitem self-join: 3+ re-executions, measured
+    // 6.5 s → the dominant cost of the query at sf0.1). Released by the
+    // harness's Caches.releaseAll. At cluster scale this is the same
+    // "materialize the graph once" posture as GraphX's graph cache.
     val ed = edges.select(col("sa"), col("sb")).distinct()
+      .localCheckpoint(eager = true)
     val deg = ed.select(col("sa").as("n")).unionAll(ed.select(col("sb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withD = ed
       .join(deg.select(col("n").as("sa"), col("d").as("da")), Seq("sa"))
       .join(deg.select(col("n").as("sb"), col("d").as("db")), Seq("sb"))
     val lower = struct(col("da"), col("sa")) < struct(col("db"), col("sb"))
+    // the oriented list feeds the adjacency build and both join legs below
     val e = withD.select(
       when(lower, col("sa")).otherwise(col("sb")).as("u"),
-      when(lower, col("sb")).otherwise(col("sa")).as("v"),
-      when(lower, struct(col("db").as("d"), col("sb").as("i")))
-        .otherwise(struct(col("da").as("d"), col("sa").as("i"))).as("rv"))
-    val wedges = e.select(col("u"), col("v"), col("rv"))
-      .join(e.select(col("u"), col("v").as("w"), col("rv").as("rw")), Seq("u"))
-      .where(col("rv") < col("rw"))
-    val closed = wedges.join(
-      e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
-    (deg, ed, closed)
+      when(lower, col("sb")).otherwise(col("sa")).as("v"))
+      .localCheckpoint(eager = true)
+    // EDGE-ITERATOR closing (sorted-adjacency variant of Schank/Wagner):
+    // instead of materializing every wedge (u→v, u→w) as a row and closing
+    // it with a shuffle join — the wedge exchange is Σ outdeg² rows, the
+    // dominant cost — attach each node's OUT-neighbor array to the edges
+    // touching it and count |N⁺(u) ∩ N⁺(v)| per edge in an expression.
+    // Same O(E^1.5) work and the same degree-ordered O(√E) out-degree
+    // bound (arrays stay small on any skew), but the wedge set never
+    // exists as exchange rows: two keyed joins carry the arrays, the
+    // intersection runs where the edge row lives. Each triangle
+    // {u<v<w by rank} is counted exactly once, at its (u,v) edge.
+    val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    val tri = e
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    (deg, ed, tri)
   }
 
   /** L35: triangle counting — the clustering/community-density statistic
@@ -229,10 +249,10 @@ object Graphs {
       .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
       .where(col("sa") < col("sb"))
       .select(col("sa"), col("sb"))
-    val (deg, ed, closed) = triangleCount(edges)
+    val (deg, ed, tri) = triangleCount(edges)
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(tri)
   }
 
   val queries: Map[String, graft.ops.Relational.Q] = Map(

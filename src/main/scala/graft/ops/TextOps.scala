@@ -743,7 +743,11 @@ object TextOps {
 
   private[graft] def containmentPairsFrames(
       docs: DataFrame, n: Int, tau: Double): DataFrame = {
-    val sh = shingleRows(docs, n)
+    // MATERIALIZED once (eager localCheckpoint): the (doc_id, hash) stream
+    // feeds BOTH self-join sides and the per-doc size agg — without it the
+    // tokenize+shingle+xxhash CPU pass runs 3×. 16 bytes/row, far smaller
+    // than the text it derives from; released via Caches.releaseAll.
+    val sh = shingleRows(docs, n).localCheckpoint(eager = true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))

@@ -265,7 +265,7 @@ class PlanSpec extends SparkSpec {
       s"diff should be a keyed join:\n$plan")
   }
 
-  test("l35 triangles: degree-ordered wedge join — keyed equi-joins only, no unkeyed join") {
+  test("l35 triangles: degree-ordered edge-iterator — keyed equi-joins only, no unkeyed join") {
     val plan = executed(graft.SparkEntry.queries("l35_triangles")(spark, sfDir))
     val bad = collectAll(plan).filter(p =>
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||

@@ -15,8 +15,9 @@ object JudgeProbe {
     val sfDir = args.head
     val names = if (args.tail.nonEmpty) args.tail.toSeq
                 else graft.SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.core.Sessions.tune(
-      SparkSession.builder().master("local[8]"), "8").getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val t0 = System.nanoTime()
