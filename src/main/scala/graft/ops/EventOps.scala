@@ -269,6 +269,34 @@ object EventOps {
         col("value_cents"), col("n_base"), col("s_base"), col("q_base"))
   }
 
+  /** E10: top-k user-journey paths — sequential-pattern mining's workhorse
+    * query: each user's first 5 events (event-time order, id tie-break)
+    * become a path string, paths are counted across users, and the top 20
+    * most-common journeys come out. Scale shape: ONE user-keyed window
+    * (same exchange e1/e4 use) trims to 5 rows per user BEFORE any
+    * collection, so the per-user array is O(5) regardless of how many
+    * events a hot user has; the path aggregate's cardinality is bounded by
+    * the type-alphabet^5, not user count; the global top-k is O(paths).
+    * The collect_list is made order-independent by sorting (rn, type)
+    * structs — partition order never leaks into the path string. */
+  val e10EventPaths: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val first5 = ev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("user_id"), col("rn"), col("event_type"))
+    val paths = first5.groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
@@ -278,10 +306,19 @@ object EventOps {
     "e6_cumulative_users" -> e6CumulativeUsers,
     "e7_rfm" -> e7Rfm,
     "e8_active_users" -> e8ActiveUsers,
-    "e9_anomaly" -> e9Anomaly
+    "e9_anomaly" -> e9Anomaly,
+    "e10_event_paths" -> e10EventPaths
   )
 
   val oracle: Map[String, String] = Map(
+    "e10_event_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
     "e4_transitions" ->
       """WITH st AS (
            SELECT event_type AS from_type,

@@ -142,14 +142,65 @@ object MultiModal {
         sum(length(col("content")).cast("long")).as("content_bytes"))
   }
 
+  /** MM4: frame-fingerprint near-dup — the media analogue of L5's
+    * shingle dedup: two payloads sharing many identical FRAMES (mm3's
+    * fixed-stride substrings; codec frame offsets in production) are
+    * duplicate candidates even when their containers differ. The plan is
+    * the same inverted-index shape as L5 — candidates block on the frame
+    * digest, only (doc_id, md5) rows travel, never payload×payload — with
+    * a document-frequency cap dropping boilerplate frames (intros, color
+    * bars, silence) that appear in more than `dfCap` docs, which is what
+    * bounds every join bucket at dfCap² regardless of how common a frame
+    * is at 100 TB. Pairs sharing ≥ `minShared` distinct frames emit with
+    * the shared count (all-integer row identity). */
+  val mm4FrameDup: Q = (s, d) => {
+    val frameLen = 32; val stride = 100
+    val dfCap = 64L; val minShared = 3L
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, greatest(0, int(floor((length(payload) - 1) / $stride)))), " +
+        s"i -> substring(payload, i * $stride + 1, $frameLen))")).as("frame"))
+      .where(length(col("frame")) === frameLen)
+      .select(col("doc_id"), md5(col("frame")).as("fh"))
+      .distinct()
+    val rare = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+      .select(col("fh"))
+    val pruned = frames.join(rare, Seq("fh"), "left_semi")
+    pruned.select(col("fh"), col("doc_id").as("da"))
+      .join(pruned.select(col("fh"), col("doc_id").as("db")), Seq("fh"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm1_binary_roundtrip" -> mm1BinaryRoundtrip,
+    "mm4_frame_dup" -> mm4FrameDup,
     "mm2_feature_extract" -> mm2FeatureExtract,
     "mm3_frame_sample" -> mm3FrameSample,
     "s11_binary_ingest" -> s11BinaryIngest
   )
 
   val oracle: Map[String, String] = Map(
+    // frames re-derived with the same stride/length arithmetic as mm3's
+    // oracle (ASCII fixture caveat, see mm1); df cap and shared-count
+    // threshold mirrored exactly
+    "mm4_frame_dup" ->
+      """WITH fr AS (
+           SELECT DISTINCT doc_id,
+                  md5(substring(text, i * 100 + 1, 32)) AS fh
+           FROM (SELECT doc_id, text,
+                        unnest(range(greatest(0, CAST(floor((length(text) - 1) / 100) AS BIGINT)) + 1)) AS i
+                 FROM documents)
+           WHERE length(substring(text, i * 100 + 1, 32)) = 32),
+         rare AS (SELECT fh FROM fr GROUP BY fh HAVING count(*) <= 64),
+         pr AS (SELECT fr.doc_id, fr.fh FROM fr JOIN rare USING (fh))
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+         FROM pr a JOIN pr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
     // n_files = 1 per source BY CONSTRUCTION: repartition(source) puts a
     // source's rows in exactly one task, partitionBy splits per source —
     // so the oracle may assert the literal (a layout regression to

@@ -313,6 +313,74 @@ object Relational {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
   }
 
+  /** J10: banded time-interval join — the no-equi-key range join done
+    * right. "For each purchase, how many error events (ANY user) landed in
+    * the trailing 60 s?" has no join key at all: the naive plan is a
+    * broadcast-nested-loop over every (purchase, error) pair — quadratic in
+    * event volume. BANDING restores an equi key: both sides bucket time by
+    * the band width (60 s), the probe side is replicated to its own bucket
+    * and the previous one (a trailing window of width ≤ band spans at most
+    * 2 buckets), and the exact [t−60 s, t) predicate filters inside each
+    * bucket. The join is a plain hash join on the bucket id; work scales
+    * with Σ per-bucket density products, never |A|×|B|. Each pair meets
+    * exactly once (an error lives in ONE bucket; the probe's 2 replicas
+    * carry distinct bucket ids). µs-exact longs cross both engines; the
+    * left join restores zero-count purchases. At 100 TB the band is the
+    * knob: pick band ≈ window so replication stays ×2 regardless of data.
+    * (j5 covers the equi+range case; this is the pure-range case.) */
+  val j10TimeBandJoin: Q = (s, d) => {
+    val bandUs = 60L * 1000000L
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("et"))
+    val probes = purchases.select(col("event_id"), col("pt"),
+      explode(array(floor(col("pt") / bandUs).cast("long"),
+        floor(col("pt") / bandUs).cast("long") - 1)).as("b"))
+    val idx = errors.select(col("et"), floor(col("et") / bandUs).cast("long").as("b"))
+    val counts = probes.join(idx, Seq("b"))
+      .where(col("et") >= col("pt") - bandUs && col("et") < col("pt"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_errors_60s"))
+    purchases.join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"),
+        coalesce(col("n_errors_60s"), lit(0L)).as("n_errors_60s"))
+  }
+
+  /** S16: SCD2 dimension-history build — the slowly-changing-dimension
+    * table every warehouse derives from a change stream: per customer, the
+    * sequence of order PRIORITIES becomes versioned rows with
+    * [valid_from, valid_to) ranges, consecutive equal values compressed
+    * into one row, the open row flagged current. The scale shape is the
+    * point: ONE shuffle on the dimension key — both windows (the
+    * change-detection lag and the valid_to lead) share the same
+    * (custkey, date, key) ordering, so Catalyst plans a single exchange +
+    * sort and the second window rides it. The naive build (self-join
+    * "next change per row") is an inequality join that explodes on busy
+    * keys. Epoch-second longs for cross-engine exactness; ties broken by
+    * order key so the history is deterministic under any partitioning. */
+  val s16Scd2History: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = o
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").as("priority"))
+      .withColumn("prev", lag(col("priority"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("priority"))
+    val w2 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w2))
+      .select(
+        col("o_custkey"),
+        col("priority"),
+        unix_timestamp(col("o_orderdate")).as("valid_from"),
+        unix_timestamp(col("valid_to_ts")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
+
   /** S12: SCHEMA-EVOLUTION read — a long-lived warehouse table whose
     * writer gained a column mid-stream: batch 1 lands (key, segment),
     * batch 2 lands (key, acctbal). `mergeSchema` reconciles the parquet
@@ -650,6 +718,8 @@ object Relational {
     "j6_broadcast" -> j6Broadcast,
     "j7_asof_join" -> j7AsOf,
     "j9_bloom_join" -> j9BloomJoin,
+    "j10_time_band_join" -> j10TimeBandJoin,
+    "s16_scd2_history" -> s16Scd2History,
     "s12_schema_evolution" -> s12SchemaEvolution,
     "s13_merge_upsert" -> s13MergeUpsert,
     "s14_dynamic_overwrite" -> s14DynamicOverwrite,
@@ -659,6 +729,34 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j10_time_band_join" ->
+      """SELECT p.event_id,
+                CAST(coalesce((SELECT count(*) FROM events e
+                  WHERE e.event_type = 'error'
+                    AND epoch_us(e.ts) >= epoch_us(p.ts) - 60000000
+                    AND epoch_us(e.ts) < epoch_us(p.ts)), 0) AS BIGINT)
+                  AS n_errors_60s
+         FROM events p WHERE p.event_type = 'purchase'""",
+    "s16_scd2_history" ->
+      """WITH seq AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  o_orderpriority AS priority,
+                  lag(o_orderpriority) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    AS prev
+           FROM orders),
+         chg AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, priority FROM seq
+           WHERE prev IS NULL OR prev <> priority)
+         SELECT o_custkey, priority,
+                CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+                CAST(epoch(lead(o_orderdate) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                  AS BIGINT) AS valid_to,
+                (lead(o_orderdate) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                  IS NULL AS is_current
+         FROM chg""",
     "p8_skew_report" ->
       """WITH per AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
          SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,

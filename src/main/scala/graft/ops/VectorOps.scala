@@ -759,6 +759,119 @@ object VectorOps {
         .as("coverage_ok"))
   }
 
+  /** L36: SemDeDup — semantic deduplication over LEARNED clusters (Abbas
+    * et al. 2023, arXiv:2303.09540, the web-scale semantic-dedup recipe):
+    * embeddings are clustered by the shared spherical k-means quantizer
+    * (the SAME trained centroids l7c/l7f use, via the fingerprint cache —
+    * one trainer, three consumers, guaranteed-identical assignment);
+    * within each cluster, pairs at cosine ≥ τ are semantic duplicates,
+    * and each dup pair drops its member CLOSER to the cluster centroid
+    * (the paper's keep-low-centroid-similarity policy: the prototypical
+    * member is the redundant one), ties broken by vec_id so the survivor
+    * set is deterministic under any partitioning.
+    *
+    * Scale design: candidate pairs exist ONLY within a cluster — the
+    * paper's whole point, never corpus×corpus — so pair volume is
+    * Σ_cell size²/2 ≈ n²/2K with data-adaptive cells; ids + centroid
+    * similarity travel through the pair join, vectors re-attach by
+    * broadcast at fixture scale (a co-partitioned id join at 100 TB);
+    * if a cluster outgrows its budget the l6c hyperplane sub-cell cap
+    * applies unchanged.
+    *
+    * Declared as a property-form summary row (the annSummary pattern):
+    * `n_vectors` is exact (DuckDB recomputes it), the booleans are
+    * in-plan checks the oracle asserts TRUE — partition_ok
+    * (kept + dropped = all), dedup_ok (NO within-cluster pair at ≥ τ
+    * survives — the SemDeDup guarantee), drops_bounded_ok (at least one
+    * member of every dup group survives). Row-level behavior is pinned
+    * by the ApproxOpsSpec contract. */
+  val l36SemDedup: Q = (s, d) => {
+    graft.functions.VecDot.register(s)
+    val tau = 0.35
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
+    val cents = cachedByFingerprint(centroidCache, d)(
+      trainIvfCentroids(base, "embedding", IvfK, IvfIters))
+    val ds = array(cents.toIndexedSeq.map(c =>
+      dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    // cell + similarity-to-own-centroid in one pass; materialized once —
+    // the pair join reads it twice and the kept/dropped checks re-read it
+    val assigned = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
+      array_max(ds).as("csim"))
+      .localCheckpoint(eager = true)
+    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
+    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
+      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
+        Seq("cell"))
+      .where(col("ida") < col("idb"))
+    val va = assigned.select(col("vec_id").as("ida"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val vb = assigned.select(col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val pairs = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(col("ida"), col("idb"), col("ca"), col("cb"))
+      .localCheckpoint(eager = true) // read by the drop set AND the residual check
+    val dropped = pairs.select(
+      when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
+        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
+    val kept = assigned.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+    val nAll = assigned.agg(count(lit(1)).as("n_vectors"))
+    val nKept = kept.agg(count(lit(1)).as("n_kept"))
+    val nDropped = dropped.agg(count(lit(1)).as("n_dropped"))
+    // a surviving within-cluster τ-pair would have BOTH ends kept
+    val resid = pairs
+      .join(dropped.select(col("vec_id").as("ida")), Seq("ida"), "left_anti")
+      .join(dropped.select(col("vec_id").as("idb")), Seq("idb"), "left_anti")
+      .agg(count(lit(1)).as("n_resid"))
+    nAll.crossJoin(nKept).crossJoin(nDropped).crossJoin(resid).select(
+      col("n_vectors"),
+      (col("n_kept") + col("n_dropped") === col("n_vectors")).as("partition_ok"),
+      (col("n_resid") === 0).as("dedup_ok"),
+      (col("n_dropped") < col("n_vectors")).as("drops_bounded_ok"))
+  }
+
+  /** Row-level SemDeDup internals for the ScalaTest contract: (vec_id,
+    * cell, csim, is_kept) per vector. Same plan as [[l36SemDedup]] up to
+    * the summary. */
+  private[graft] def semDedupAssignments(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val tau = 0.35
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
+    val cents = cachedByFingerprint(centroidCache, d)(
+      trainIvfCentroids(base, "embedding", IvfK, IvfIters))
+    val ds = array(cents.toIndexedSeq.map(c =>
+      dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    val assigned = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
+      array_max(ds).as("csim"))
+      .localCheckpoint(eager = true)
+    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
+    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
+      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
+        Seq("cell"))
+      .where(col("ida") < col("idb"))
+    val va = assigned.select(col("vec_id").as("ida"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val vb = assigned.select(col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
+        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
+      .withColumn("is_kept", lit(false))
+    assigned.select(col("vec_id"), col("cell"), col("csim"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .withColumn("is_kept", coalesce(col("is_kept"), lit(true)))
+  }
+
   // Constant floors: measured at ALL THREE driver scales (sf0.001 /
   // sf0.01 / sf0.1) with ≥ 0.05 margin under the worst point:
   // l7b .648/.626/.685, l7c .654/.640/.674 (cov ≥ .996),
@@ -787,7 +900,8 @@ object VectorOps {
       cappedKnnSummary(l7eKnnBruteCapped(s, d), l7KnnBruteForce(s, d),
         Tables.embeddings(s, d), blockCap, safety = 0.9, covFloor)),
     "l7f_knn_ivfpq" -> ((s, d) =>
-      annSummary(l7fKnnIvfPq(s, d), l7KnnBruteForce(s, d), 0.8, covFloor))
+      annSummary(l7fKnnIvfPq(s, d), l7KnnBruteForce(s, d), 0.8, covFloor)),
+    "l36_semdedup" -> l36SemDedup
   )
 
   /** Oracle twin of [[annSummary]]: `n_queries` is the count of vectors
@@ -800,6 +914,11 @@ object VectorOps {
          ON a.label = b.label AND a.vec_id <> b.vec_id"""
 
   val oracle: Map[String, String] = Map(
+    "l36_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                TRUE AS partition_ok, TRUE AS dedup_ok,
+                TRUE AS drops_bounded_ok
+         FROM embeddings""",
     "l7b_knn_lsh" -> annSummaryOracle,
     "l7c_knn_ivf" -> annSummaryOracle,
     "l7d_knn_pq" -> annSummaryOracle,

@@ -392,4 +392,42 @@ class ApproxOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("l36 SemDeDup: survivor set equals an independent per-cluster greedy recomputation") {
+    val rows = VectorOps.semDedupAssignments(spark, sfDir)
+      .select(col("vec_id"), col("cell"), col("csim"), col("is_kept")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // sequential-order dot, same as the VecDot kernel — bit-identical math
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedDropped = scala.collection.mutable.Set[Long]()
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val ms = members.map(m => (m._1, m._3)).sortBy(_._1)
+      for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+        if cos(emb(ms(i)._1), emb(ms(j)._1)) >= 0.35
+      } {
+        val (ida, ca) = ms(i); val (idb, cb) = ms(j)
+        // drop the member closer to the centroid (higher csim), id tie-break
+        expectedDropped += (if (ca > cb || (ca == cb && ida > idb)) ida else idb)
+      }
+    }
+    val reportedDropped = rows.filter(!_._4).map(_._1).toSet
+    assert(reportedDropped == expectedDropped.toSet,
+      s"mismatch: extra=${(reportedDropped -- expectedDropped).take(5)} " +
+      s"missing=${(expectedDropped -- reportedDropped).take(5)}")
+    assert(expectedDropped.nonEmpty,
+      "fixture should contain at least one within-cluster semantic dup at tau=0.35")
+    // the declared summary row's own contract booleans must hold
+    val sum = VectorOps.l36SemDedup(spark, sfDir).head()
+    assert(sum.getBoolean(1) && sum.getBoolean(2) && sum.getBoolean(3), sum.toString)
+  }
 }

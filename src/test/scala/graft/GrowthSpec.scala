@@ -74,6 +74,14 @@ class GrowthSpec extends SparkSpec {
       // triangle counting's quadratic risk is the wedge join exploding on
       // hub nodes — degree-ordered orientation is exactly what bounds it
       "l35_triangles" -> graft.ops.Graphs.queries("l35_triangles"),
+      // j10's quadratic risk is the nested-loop pure-range join banding
+      // replaces; mm4's is an unblocked payload×payload compare (or a
+      // boilerplate frame turning one bucket quadratic — the df cap);
+      // e10/s16 are window-shaped, guarded for their scale claims.
+      "j10_time_band_join" -> graft.ops.Relational.queries("j10_time_band_join"),
+      "mm4_frame_dup" -> graft.ops.MultiModal.queries("mm4_frame_dup"),
+      "e10_event_paths" -> EventOps.queries("e10_event_paths"),
+      "s16_scd2_history" -> graft.ops.Relational.queries("s16_scd2_history"),
       "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
       "s10_compaction" -> Layout.s10Compaction)) {
@@ -102,7 +110,10 @@ class GrowthSpec extends SparkSpec {
       "l7b_knn_lsh" -> VectorOps.l7bKnnLsh,
       "l7c_knn_ivf" -> VectorOps.l7cKnnIvf,
       "l7d_knn_pq" -> VectorOps.l7dKnnPq,
-      "l7f_knn_ivfpq" -> VectorOps.l7fKnnIvfPq)) {
+      "l7f_knn_ivfpq" -> VectorOps.l7fKnnIvfPq,
+      // SemDeDup's quadratic risk is ignoring the cluster blocking — the
+      // within-cell pair join must track Σ cell²/2, not n²
+      "l36_semdedup" -> VectorOps.l36SemDedup)) {
     test(s"$name: 4x embedding growth stays sub-quadratic in wall time") {
       // warm up BOTH tiers: quantizer training (l7c/l7d) memoizes per
       // source dir, so warming only the small tier would time the probe

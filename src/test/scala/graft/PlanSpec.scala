@@ -265,6 +265,22 @@ class PlanSpec extends SparkSpec {
       s"diff should be a keyed join:\n$plan")
   }
 
+  test("j10 banded interval join: the no-equi-key range join stays a hash join, never nested-loop") {
+    val plan = executed(graft.SparkEntry.queries("j10_time_band_join")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty,
+      s"banding should have restored an equi key; nested-loop join found:\n$plan")
+  }
+
+  test("s16 SCD2: change-detection and valid_to windows share one exchange") {
+    val plan = executed(graft.SparkEntry.queries("s16_scd2_history")(spark, sfDir))
+    val shuffles = collectAll(plan).collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"both windows order by (custkey, date, key) — expected a single shuffle:\n$plan")
+  }
+
   test("l35 triangles: degree-ordered edge-iterator — keyed equi-joins only, no unkeyed join") {
     val plan = executed(graft.SparkEntry.queries("l35_triangles")(spark, sfDir))
     val bad = collectAll(plan).filter(p =>
