@@ -279,23 +279,32 @@ object EventOps {
     * the type-alphabet^5, not user count; the global top-k is O(paths).
     * The collect_list is made order-independent by sorting (rn, type)
     * structs — partition order never leaks into the path string. */
-  val e10EventPaths: Q = (s, d) => {
-    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-    val first5 = ev.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
-      .select(col("user_id"), col("rn"), col("event_type"))
-    val paths = first5.groupBy(col("user_id"))
+  /** e10 core over ANY partitioned ordered typed stream: first `k` steps
+    * per `by` key become the path, top `topN` paths by incidence. Exposed
+    * to the registry as `event_paths`. */
+  private[graft] def eventPathsFrames(ev: org.apache.spark.sql.DataFrame,
+      by: String, order: Seq[String], typeCol: String,
+      k: Int, topN: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(by)).orderBy(order.map(col): _*)
+    val firstK = ev.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col(by), col("_rn"), col(typeCol))
+    val paths = firstK.groupBy(col(by))
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("rn"), col("event_type")))),
-          x => x.getField("event_type")),
+          array_sort(collect_list(struct(col("_rn"), col(typeCol)))),
+          x => x.getField(typeCol)),
         ">").as("path"))
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
-      .limit(20)
+      .limit(topN)
   }
+
+  val e10EventPaths: Q = (s, d) =>
+    eventPathsFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      by = "user_id", order = Seq("ts_us", "event_id"),
+      typeCol = "event_type", k = 5, topN = 20)
 
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,

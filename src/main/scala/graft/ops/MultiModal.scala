@@ -153,11 +153,11 @@ object MultiModal {
     * bounds every join bucket at dfCap² regardless of how common a frame
     * is at 100 TB. Pairs sharing ≥ `minShared` distinct frames emit with
     * the shared count (all-integer row identity). */
-  val mm4FrameDup: Q = (s, d) => {
-    val frameLen = 32; val stride = 100
-    val dfCap = 64L; val minShared = 3L
-    val frames = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  /** mm4 core over ANY (doc_id, payload: binary) frame. Exposed to the
+    * registry as `frame_dup`. */
+  private[graft] def frameDupFrames(media: DataFrame, frameLen: Int,
+      stride: Int, dfCap: Long, minShared: Long): DataFrame = {
+    val frames = media
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, greatest(0, int(floor((length(payload) - 1) / $stride)))), " +
         s"i -> substring(payload, i * $stride + 1, $frameLen))")).as("frame"))
@@ -175,6 +175,12 @@ object MultiModal {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  val mm4FrameDup: Q = (s, d) =>
+    frameDupFrames(
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      frameLen = 32, stride = 100, dfCap = 64L, minShared = 3L)
 
   val queries: Map[String, Q] = Map(
     "mm1_binary_roundtrip" -> mm1BinaryRoundtrip,

@@ -328,23 +328,34 @@ object Relational {
     * left join restores zero-count purchases. At 100 TB the band is the
     * knob: pick band ≈ window so replication stays ×2 regardless of data.
     * (j5 covers the equi+range case; this is the pure-range case.) */
+  /** j10 core over ANY probe/index pair: `probe` carries (idCol, tsCol
+    * µs-long), `index` carries (tsCol µs-long); emits per-probe counts of
+    * index rows in the trailing [t−band, t) window. Exposed to the
+    * pipeline registry as `time_band_join`. */
+  private[graft] def timeBandJoinFrames(probe: DataFrame, index: DataFrame,
+      idCol: String, probeTs: String, indexTs: String, bandUs: Long,
+      outCol: String): DataFrame = {
+    val probes = probe.select(col(idCol), col(probeTs).as("_pt"),
+      explode(array(floor(col(probeTs) / bandUs).cast("long"),
+        floor(col(probeTs) / bandUs).cast("long") - 1)).as("_b"))
+    val idx = index.select(col(indexTs).as("_et"),
+      floor(col(indexTs) / bandUs).cast("long").as("_b"))
+    val counts = probes.join(idx, Seq("_b"))
+      .where(col("_et") >= col("_pt") - bandUs && col("_et") < col("_pt"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as(outCol))
+    probe.select(col(idCol)).join(counts, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(outCol), lit(0L)).as(outCol))
+  }
+
   val j10TimeBandJoin: Q = (s, d) => {
-    val bandUs = 60L * 1000000L
     val ev = Tables.events(s, d)
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), unix_micros(col("ts")).as("pt"))
-    val errors = ev.where(col("event_type") === "error")
-      .select(unix_micros(col("ts")).as("et"))
-    val probes = purchases.select(col("event_id"), col("pt"),
-      explode(array(floor(col("pt") / bandUs).cast("long"),
-        floor(col("pt") / bandUs).cast("long") - 1)).as("b"))
-    val idx = errors.select(col("et"), floor(col("et") / bandUs).cast("long").as("b"))
-    val counts = probes.join(idx, Seq("b"))
-      .where(col("et") >= col("pt") - bandUs && col("et") < col("pt"))
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_errors_60s"))
-    purchases.join(counts, Seq("event_id"), "left_outer")
-      .select(col("event_id"),
-        coalesce(col("n_errors_60s"), lit(0L)).as("n_errors_60s"))
+    timeBandJoinFrames(
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("pt")),
+      ev.where(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("et")),
+      idCol = "event_id", probeTs = "pt", indexTs = "et",
+      bandUs = 60L * 1000000L, outCol = "n_errors_60s")
   }
 
   /** S16: SCD2 dimension-history build — the slowly-changing-dimension
@@ -359,27 +370,33 @@ object Relational {
     * "next change per row") is an inequality join that explodes on busy
     * keys. Epoch-second longs for cross-engine exactness; ties broken by
     * order key so the history is deterministic under any partitioning. */
-  val s16Scd2History: Q = (s, d) => {
+  /** s16 core over ANY change stream: `key` the dimension key, `ts` the
+    * change timestamp, `tie` the deterministic tie-break column, `attr`
+    * the tracked attribute. Exposed to the registry as `scd2`. */
+  private[graft] def scd2Frames(df: DataFrame, key: String, ts: String,
+      tie: String, attr: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(s, d)
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val changes = o
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-        col("o_orderpriority").as("priority"))
-      .withColumn("prev", lag(col("priority"), 1).over(w))
-      .where(col("prev").isNull || col("prev") =!= col("priority"))
-    val w2 = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val changes = df
+      .select(col(key), col(tie), col(ts), col(attr).as("_attr"))
+      .withColumn("_prev", lag(col("_attr"), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col("_attr"))
+    val w2 = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
     changes
-      .withColumn("valid_to_ts", lead(col("o_orderdate"), 1).over(w2))
+      .withColumn("_vt", lead(col(ts), 1).over(w2))
       .select(
-        col("o_custkey"),
-        col("priority"),
-        unix_timestamp(col("o_orderdate")).as("valid_from"),
-        unix_timestamp(col("valid_to_ts")).as("valid_to"),
-        col("valid_to_ts").isNull.as("is_current"))
+        col(key),
+        col("_attr").as(attr),
+        unix_timestamp(col(ts)).as("valid_from"),
+        unix_timestamp(col("_vt")).as("valid_to"),
+        col("_vt").isNull.as("is_current"))
   }
+
+  val s16Scd2History: Q = (s, d) =>
+    scd2Frames(
+      Tables.orders(s, d).withColumnRenamed("o_orderpriority", "priority"),
+      key = "o_custkey", ts = "o_orderdate", tie = "o_orderkey",
+      attr = "priority")
 
   /** S12: SCHEMA-EVOLUTION read — a long-lived warehouse table whose
     * writer gained a column mid-stream: batch 1 lands (key, segment),

@@ -835,6 +835,39 @@ object VectorOps {
       (col("n_dropped") < col("n_vectors")).as("drops_bounded_ok"))
   }
 
+  /** SemDeDup SURVIVORS over ANY (vec_id, embedding) frame — the registry
+    * transform (`semdedup`): clusters trained on the input itself, within-
+    * cluster τ-pairs drop the centroid-closer member, survivors join back
+    * to the caller's rows. */
+  private[graft] def semDedupFrames(emb: DataFrame, tau: Double,
+      k: Int, iters: Int): DataFrame = {
+    graft.functions.VecDot.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
+    val cents = trainIvfCentroids(base, "embedding", k, iters)
+    val ds = array(cents.toIndexedSeq.map(c =>
+      dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    val assigned = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
+      array_max(ds).as("csim"))
+      .localCheckpoint(eager = true)
+    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
+    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
+      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
+        Seq("cell"))
+      .where(col("ida") < col("idb"))
+    val va = assigned.select(col("vec_id").as("ida"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val vb = assigned.select(col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
+        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Row-level SemDeDup internals for the ScalaTest contract: (vec_id,
     * cell, csim, is_kept) per vector. Same plan as [[l36SemDedup]] up to
     * the summary. */

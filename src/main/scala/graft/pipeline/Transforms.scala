@@ -131,6 +131,50 @@ object Transforms {
       graft.ops.Relational.snapshotDiffFrames(in("old"), in("new"),
         cols(p("keys")), cols(p("compare")))
     }
+    // SCD2 history from any change stream: key/ts/tie/attr name the
+    // dimension key, change timestamp, tie-break and tracked attribute
+    r.register("scd2") { (_, in, p) =>
+      graft.ops.Relational.scd2Frames(in("changes"),
+        p("key"), p("ts"),
+        p.params.getOrElse("tie", p("key")), p("attr"))
+    }
+    // banded trailing-window count join: inputs {probe, index}; probe
+    // carries (id, ts µs-long), index (ts µs-long); band in seconds
+    r.register("time_band_join") { (_, in, p) =>
+      graft.ops.Relational.timeBandJoinFrames(in("probe"), in("index"),
+        p("id"), p.params.getOrElse("probe_ts", "ts_us"),
+        p.params.getOrElse("index_ts", "ts_us"),
+        p.params.getOrElse("band", "60").toLong * 1000000,
+        p.params.getOrElse("out", "n_in_band"))
+    }
+    // top-N first-k-step journey paths over any partitioned typed stream
+    r.register("event_paths") { (_, in, p) =>
+      graft.ops.EventOps.eventPathsFrames(in("events"),
+        p.params.getOrElse("by", "user_id"),
+        p.params.getOrElse("order", "ts,event_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("type", "event_type"),
+        p.params.getOrElse("k", "5").toInt,
+        p.params.getOrElse("top", "20").toInt)
+    }
+    // frame-fingerprint near-dup pairs over any (doc_id, payload) step;
+    // declared mm4 pins frame=32/stride=100/df_cap=64/min_shared=3
+    r.register("frame_dup") { (_, in, p) =>
+      graft.ops.MultiModal.frameDupFrames(in("media"),
+        p.params.getOrElse("frame", "32").toInt,
+        p.params.getOrElse("stride", "100").toInt,
+        p.params.getOrElse("df_cap", "64").toLong,
+        p.params.getOrElse("min_shared", "3").toLong)
+    }
+    // SemDeDup survivors over any (vec_id, embedding) step; production
+    // embeddings typically run tau ≈ 0.95 (the default here); k/iters
+    // size the cluster quantizer trained on the input itself
+    r.register("semdedup") { (_, in, p) =>
+      graft.ops.VectorOps.semDedupFrames(in("embeddings"),
+        p.params.getOrElse("tau", "0.95").toDouble,
+        p.params.getOrElse("k", "16").toInt,
+        p.params.getOrElse("iters", "3").toInt)
+    }
     r
   }
 }

@@ -415,6 +415,84 @@ class PipelineSpecTest extends SparkSpec {
     assert(rows == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), rows.toString)
   }
 
+  test("scd2 transform: hand-checked history from a VALUES change stream") {
+    val wh = Files.createTempDirectory("graft_wh_scd2").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val dummy = StepSpec("d0", "source", params = Map("dir" -> sfDir, "table" -> "region"))
+    // key 1: A (t1, t2 compressed) -> B (t3); key 2: single open row
+    val spec = PipelineSpec(Seq(dummy,
+      StepSpec("chg", "sql", Map("d" -> "d0"),
+        Map("sql" -> ("SELECT * FROM (VALUES " +
+          "(CAST(1 AS BIGINT), CAST(101 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00', 'A'), " +
+          "(CAST(1 AS BIGINT), CAST(102 AS BIGINT), TIMESTAMP '2024-01-02 00:00:00', 'A'), " +
+          "(CAST(1 AS BIGINT), CAST(103 AS BIGINT), TIMESTAMP '2024-01-03 00:00:00', 'B'), " +
+          "(CAST(2 AS BIGINT), CAST(201 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00', 'Z')) " +
+          "AS t(k, id, ts, attr)"))),
+      StepSpec("hist", "scd2", Map("changes" -> "chg"),
+        Map("key" -> "k", "ts" -> "ts", "tie" -> "id", "attr" -> "attr"))))
+    val imp = runner.execute(spec, Seq("hist"))
+    val rows = spark.read.parquet(s"$wh/${imp("hist")}")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    val day = 86400L
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(rows == Set(
+      (1L, "A", t0, Some(t0 + 2 * day), false),
+      (1L, "B", t0 + 2 * day, None, true),
+      (2L, "Z", t0 + 4 * day, None, true)), rows.toString)
+  }
+
+  test("time_band_join, event_paths, frame_dup, semdedup: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    val embStep = StepSpec("emb", "source", params = Map("dir" -> sfDir, "table" -> "embeddings"))
+    // time_band_join: a wider band can only find MORE index rows per probe
+    def tbSpec(band: String) = PipelineSpec(Seq(evStep,
+      StepSpec("probe", "sql", Map("e" -> "ev"),
+        Map("sql" -> "SELECT event_id, unix_micros(ts) AS ts_us FROM e WHERE event_type = 'purchase'")),
+      StepSpec("index", "sql", Map("e" -> "ev"),
+        Map("sql" -> "SELECT unix_micros(ts) AS ts_us FROM e WHERE event_type = 'view'")),
+      StepSpec("near", "time_band_join", Map("probe" -> "probe", "index" -> "index"),
+        Map("id" -> "event_id", "band" -> band))))
+    def bandTotal(imp: Map[String, String]) =
+      spark.read.parquet(s"$wh/${imp("near")}")
+        .agg(org.apache.spark.sql.functions.sum(col("n_in_band"))).head().getLong(0)
+    val narrow = bandTotal(runner.execute(tbSpec("60"), Seq("near")))
+    val wide = bandTotal(runner.execute(tbSpec("600"), Seq("near")))
+    assert(narrow < wide, s"band=60s total $narrow should be < band=600s total $wide")
+    // event_paths: k=1 paths are single steps (no '>'), k=3 paths have them
+    def epSpec(k: String) = PipelineSpec(Seq(evStep,
+      StepSpec("paths", "event_paths", Map("events" -> "ev"), Map("k" -> k, "top" -> "50"))))
+    val p1 = spark.read.parquet(
+      s"$wh/${runner.execute(epSpec("1"), Seq("paths"))("paths")}")
+    assert(p1.where(col("path").contains(">")).count() == 0)
+    val p3 = spark.read.parquet(
+      s"$wh/${runner.execute(epSpec("3"), Seq("paths"))("paths")}")
+    assert(p3.where(col("path").contains(">")).count() > 0)
+    // frame_dup: a stricter min_shared keeps a subset of the pairs
+    def fdSpec(minShared: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("media", "sql", Map("d" -> "docs"),
+        Map("sql" -> "SELECT doc_id, encode(text, 'UTF-8') AS payload FROM d")),
+      StepSpec("dups", "frame_dup", Map("media" -> "media"),
+        Map("min_shared" -> minShared))))
+    val loose = spark.read.parquet(
+      s"$wh/${runner.execute(fdSpec("1"), Seq("dups"))("dups")}").count()
+    val strict = spark.read.parquet(
+      s"$wh/${runner.execute(fdSpec("3"), Seq("dups"))("dups")}").count()
+    assert(strict <= loose && loose > 0, s"strict=$strict loose=$loose")
+    // semdedup: fixture-calibrated tau drops some vectors; tau > 1 drops none
+    def sdSpec(tau: String) = PipelineSpec(Seq(embStep,
+      StepSpec("kept", "semdedup", Map("embeddings" -> "emb"), Map("tau" -> tau))))
+    val n = graft.core.Tables.embeddings(spark, sfDir).count()
+    val keptLo = spark.read.parquet(
+      s"$wh/${runner.execute(sdSpec("0.35"), Seq("kept"))("kept")}").count()
+    val keptHi = spark.read.parquet(
+      s"$wh/${runner.execute(sdSpec("1.01"), Seq("kept"))("kept")}").count()
+    assert(keptLo < n && keptHi == n, s"n=$n keptLo=$keptLo keptHi=$keptHi")
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(
