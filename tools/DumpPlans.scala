@@ -48,7 +48,13 @@ object DumpPlans {
       "e8_active_users" -> "Rolling DAU/WAU: the deduped user-day table offset-explodes x7 (window length, not event volume) and re-aggregates — sliding COUNT DISTINCT without unbounded window state.",
       "e9_anomaly" -> "Trailing 3-sigma anomaly flags: bounded 24-row window over the gap-filled spine, z-test in exact integer arithmetic ((n*x-S)^2 > 9*(nQ-S^2)) — one user-keyed window shuffle, no float comparisons.",
       "l33_edit_dedup" -> "Edit-distance near-dup verification: the inverted shingle-hash index proposes candidates (>=5 shared shingles), full text joins back ONLY for those pairs, codegen'd levenshtein scores each pair once — all-pairs O(n^2 len^2) never materializes.",
-      "l34_source_overlap" -> "Cross-source overlap matrix: distinct (source, shingle-hash) pairs first (join buckets bounded by the SOURCE count, not document frequency), then one 8-byte-hash self-join and a sources^2-row aggregate.")
+      "l34_source_overlap" -> "Cross-source overlap matrix: distinct (source, shingle-hash) pairs first (join buckets bounded by the SOURCE count, not document frequency), then one 8-byte-hash self-join and a sources^2-row aggregate.",
+      "l35_triangles" -> "Degree-ordered edge-iterator triangle counting: oriented edge list materialized once, out-neighbor arrays (O(sqrt E) each by the orientation) meet at each edge in two keyed joins and intersect in-expression — the sum-outdeg^2 wedge set never exists as exchange rows.",
+      "j10_time_band_join" -> "Banded pure-range join: time buckets restore an equi key (probe replicated to 2 buckets, trailing window <= band), plain hash join + in-bucket microsecond predicate — no nested-loop join anywhere in the plan.",
+      "s16_scd2_history" -> "SCD2 history build: lag change-detection and lead valid_to share ONE (custkey, date, key) exchange — a single sort+window pass, where the naive next-change formulation is an inequality self-join.",
+      "e10_event_paths" -> "Journey-path mining: the user-keyed window trims to 5 rows per user BEFORE collection (hot users stay O(5)); the path aggregate's key space is the type alphabet^5, and the global top-20 is TakeOrdered over path counts.",
+      "mm4_frame_dup" -> "Frame-fingerprint media dedup: fixed-stride frames digest per payload, distinct (doc_id, md5) rows block the candidate join on the frame hash with a document-frequency cap — payloads never meet pairwise.",
+      "l36_semdedup" -> "SemDeDup: learned k-means cells (literal centroids, K codegen'd dots per row) block the within-cluster pair join; ids + centroid-similarity travel, vectors re-attach by broadcast; the summary row verifies partition/dedup/drop invariants in-plan.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
