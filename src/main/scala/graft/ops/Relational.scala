@@ -447,28 +447,40 @@ object Relational {
       .drop("_rn")
   }
 
-  val s13MergeUpsert: Q = (s, d) => {
-    val o = Tables.orders(s, d)
-    def shape(df: DataFrame, st: Column, pr: Column, v: Int, del: Boolean) =
-      df.select(col("o_orderkey"), st.as("o_orderstatus"),
-        pr.as("o_totalprice"), lit(v).as("v"), lit(del).as("del"))
-    val snap = shape(o, col("o_orderstatus"), col("o_totalprice"), 1, del = false)
-    // updates: status bumped + price correction (keys not being deleted).
-    // ×2.0 and not ×1.1: doubling is binary-exact, so the corrected double
-    // is no closer to a .005 decimal-cast halfway point than the raw money
-    // values every other oracle already sums — ×1.1 would mint exact
-    // 3-decimal values whose DECIMAL(18,2) rounding is engine-sensitive.
-    val upd = shape(o.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0),
+  private def cdcShape(df: DataFrame, st: Column, pr: Column, v: Int, del: Boolean) =
+    df.select(col("o_orderkey"), st.as("o_orderstatus"),
+      pr.as("o_totalprice"), lit(v).as("v"), lit(del).as("del"))
+
+  /** The CDC fixture's snapshot side (version 1, no tombstones). Shared by
+    * s13 (one-shot merge) and t12 (streaming apply). */
+  private[graft] def cdcSnapshot(o: DataFrame): DataFrame =
+    cdcShape(o, col("o_orderstatus"), col("o_totalprice"), 1, del = false)
+
+  /** The CDC fixture's change derivation — a ROW-LOCAL function of the
+    * orders rows, so deriving it per micro-batch (t12) yields exactly the
+    * change set of deriving it once (s13): each source row produces at
+    * most one change row and the key spaces are disjoint across rows.
+    *
+    * updates: ×2.0 and not ×1.1 — doubling is binary-exact, so the
+    * corrected double is no closer to a .005 decimal-cast halfway point
+    * than the raw money values every other oracle already sums; ×1.1
+    * would mint exact 3-decimal values whose DECIMAL(18,2) rounding is
+    * engine-sensitive. Inserts mint new keys in a disjoint range;
+    * tombstones delete the %17 keys. */
+  private[graft] def cdcChanges(o: DataFrame): DataFrame = {
+    val upd = cdcShape(o.where(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0),
       lit("U"), col("o_totalprice") * 2.0, 2, del = false)
-    // inserts: new keys in a disjoint range
-    val ins = shape(o.where(col("o_orderkey") % 29 === 0)
+    val ins = cdcShape(o.where(col("o_orderkey") % 29 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)),
       lit("N"), lit(100.0), 2, del = false)
-    // delete tombstones
-    val del = shape(o.where(col("o_orderkey") % 17 === 0),
+    val del = cdcShape(o.where(col("o_orderkey") % 17 === 0),
       col("o_orderstatus"), col("o_totalprice"), 2, del = true)
-    val changes = upd.unionByName(ins).unionByName(del)
-    mergeUpsertFrames(snap, changes, "o_orderkey", "v", "del")
+    upd.unionByName(ins).unionByName(del)
+  }
+
+  val s13MergeUpsert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    mergeUpsertFrames(cdcSnapshot(o), cdcChanges(o), "o_orderkey", "v", "del")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("price_sum"))
   }

@@ -360,8 +360,73 @@ object StreamingOps {
     runToMemory(agg, "t11_sink", "complete")
   }
 
+  /** Orders-table file stream (the CDC-feed analogue of [[eventsStream]]):
+    * same fresh symlink staging. `extraFiles` lets tests stage a MULTI-file
+    * source (one micro-batch per file under maxFilesPerTrigger=1). */
+  private[graft] def ordersStream(s: SparkSession, d: String,
+      extraFiles: Seq[java.nio.file.Path] = Nil,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val raw = s.read.parquet(Tables.path(d, "orders"))
+    val stageDir = graft.core.TempDirs.scratch("stream_orders")
+    if (extraFiles.isEmpty)
+      java.nio.file.Files.createSymbolicLink(
+        stageDir.resolve("orders.parquet"),
+        java.nio.file.Paths.get(Tables.path(d, "orders")).toAbsolutePath)
+    else extraFiles.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        stageDir.resolve(f"b$i%03d.parquet"), p.toAbsolutePath)
+    }
+    val reader = s.readStream.schema(raw.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(stageDir.toString)
+  }
+
+  /** T12: STREAMING CDC apply — continuous MERGE/upsert, the production
+    * shape for keeping a warehouse table current from a change feed
+    * (Structured Streaming + merge, the streaming twin of s13's one-shot
+    * merge). Each micro-batch derives its change rows (a row-local
+    * function — see [[Relational.cdcChanges]]) and merges them into the
+    * current snapshot with latest-version-wins semantics; snapshots are
+    * versioned per batch (v0 = seed, v(batchId+1) after each apply), so a
+    * replayed batch after a crash re-writes ITS version instead of
+    * double-applying — the same idempotence posture as t10, via
+    * write-versioning instead of partition overwrite.
+    *
+    * Determinism across batching: each source row yields at most one
+    * change row and change keys are disjoint across rows, so applying the
+    * changes in ANY batch partition order reaches s13's one-shot result —
+    * which is why the s13-shaped oracle can hash-check a streaming query
+    * (asserted batch-vs-stream in StreamingSpec with a forced 2-batch
+    * split). */
+  val t12StreamUpsert: Q = (s, d) => t12Upsert(ordersStream(s, d), s, d)
+
+  private[graft] def t12Upsert(changes: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val wh = graft.core.TempDirs.scratch("t12_wh").toString
+    Relational.cdcSnapshot(Tables.orders(s, d))
+      .write.mode("overwrite").parquet(s"$wh/v0")
+    @volatile var latest = 0L
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val merged = Relational.mergeUpsertFrames(
+          s.read.parquet(s"$wh/v$latest"), Relational.cdcChanges(batch),
+          "o_orderkey", "v", "del")
+        merged.write.mode("overwrite").parquet(s"$wh/v${batchId + 1}")
+        latest = batchId + 1
+      }
+      .option("checkpointLocation", ckptDir("t12"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$wh/v$latest")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Relational.dsum(col("o_totalprice")).as("price_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t11_doc_ingest" -> t11DocIngest,
+    "t12_stream_upsert" -> t12StreamUpsert,
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t1_tumbling_window" -> t1Tumbling,
     "t2_sliding_window" -> t2Sliding,
@@ -375,6 +440,20 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the streaming apply must land exactly where s13's one-shot merge
+    // lands (change derivation is row-local, keys disjoint across rows)
+    "t12_stream_upsert" ->
+      """WITH merged AS (
+           SELECT CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+                       THEN 'U' ELSE o_orderstatus END AS st,
+                  CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+                       THEN o_totalprice * 2.0 ELSE o_totalprice END AS pr
+           FROM orders WHERE o_orderkey % 17 <> 0
+           UNION ALL
+           SELECT 'N' AS st, 100.0 AS pr FROM orders WHERE o_orderkey % 29 = 0)
+         SELECT st AS o_orderstatus, count(*) AS n_orders,
+                CAST(sum(CAST(pr AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+         FROM merged GROUP BY 1""",
     // exact-text duplicates don't exist in the fixture, so dedup-by-hash
     // keeps every doc and the rk=1 window is form, not selection — it
     // encodes which copy WOULD survive (first arrival = doc_id order on a

@@ -868,6 +868,94 @@ object VectorOps {
     emb.join(dropped, Seq("vec_id"), "left_anti")
   }
 
+  /** L37: prototypicality-based data pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws", the SSL-prototypes metric): similarity
+    * to a vector's own k-means centroid ranks examples
+    * prototypical(easy) → marginal(hard); keeping the HARD fraction per
+    * cluster is the paper's data-pruning recipe at scale (easy examples
+    * are the redundant ones once the corpus is large). Shares the trained
+    * centroids with l7c/l7f/l36 via the fingerprint cache — assignment is
+    * K codegen'd dots per row, ranking is ONE cell-partitioned window
+    * (cells are the blocking key, so no global sort exists anywhere).
+    *
+    * Property-form summary (the l36 pattern): n_vectors exact; the
+    * booleans assert the pruning invariants in-plan — partition_ok
+    * (kept + dropped = all), frac_ok (every cell keeps exactly
+    * ceil(frac · size) members), hardness_ok (within every cell, each
+    * kept member is at most as prototypical as every dropped one). */
+  val l37ProtoPrune: Q = (s, d) => {
+    val sized = protoPruneAssignments(s, d)
+    val nAll = sized.agg(count(lit(1)).as("n_vectors"))
+    val nKept = sized.where(col("is_kept")).agg(count(lit(1)).as("n_kept"))
+    val nDropped = sized.where(!col("is_kept")).agg(count(lit(1)).as("n_dropped"))
+    val fracBad = sized.groupBy(col("cell"), col("keep_n"))
+      .agg(sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept_in_cell"))
+      .where(col("kept_in_cell") =!= col("keep_n"))
+      .agg(count(lit(1)).as("n_frac_bad"))
+    val hardBad = sized.groupBy(col("cell"))
+      .agg(max(when(col("is_kept"), col("csim"))).as("max_kept"),
+        min(when(!col("is_kept"), col("csim"))).as("min_dropped"))
+      .where(col("min_dropped").isNotNull && col("max_kept") > col("min_dropped"))
+      .agg(count(lit(1)).as("n_hard_bad"))
+    nAll.crossJoin(nKept).crossJoin(nDropped).crossJoin(fracBad).crossJoin(hardBad)
+      .select(
+        col("n_vectors"),
+        (col("n_kept") + col("n_dropped") === col("n_vectors")).as("partition_ok"),
+        (col("n_frac_bad") === 0).as("frac_ok"),
+        (col("n_hard_bad") === 0).as("hardness_ok"))
+  }
+
+  /** Row-level prototypicality internals for the ScalaTest contract AND
+    * [[l37ProtoPrune]]'s summary: (vec_id, cell, csim, rk, cell_n, keep_n,
+    * is_kept) per vector at keepFrac=0.5, shared trained centroids. */
+  private[graft] def protoPruneAssignments(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(s)
+    val keepFrac = 0.5
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
+    val cents = cachedByFingerprint(centroidCache, d)(
+      trainIvfCentroids(base, "embedding", IvfK, IvfIters))
+    val ds = array(cents.toIndexedSeq.map(c =>
+      dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    val assigned = base.select(col("vec_id"),
+      (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
+      array_max(ds).as("csim"))
+      .localCheckpoint(eager = true)
+    // hardest-first rank: LOWEST centroid similarity = most marginal
+    val w = Window.partitionBy(col("cell")).orderBy(col("csim"), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .withColumn("keep_n", ceil(col("cell_n") * keepFrac).cast("long"))
+      .withColumn("is_kept", col("rk") <= col("keep_n"))
+  }
+
+  /** Prototypicality-pruning SURVIVORS over ANY (vec_id, embedding) frame
+    * — the registry transform (`proto_prune`): keep the `frac` hardest
+    * (least prototypical) members of every cluster, quantizer trained on
+    * the input itself. */
+  private[graft] def protoPruneFrames(emb: DataFrame, frac: Double,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecDot.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")).localCheckpoint(eager = true)
+    val cents = trainIvfCentroids(base, "embedding", k, iters)
+    val ds = array(cents.toIndexedSeq.map(c =>
+      dot(col("embedding"), typedLit(c)) / col("nrm")): _*)
+    val w = Window.partitionBy(col("cell")).orderBy(col("csim"), col("vec_id"))
+    val kept = base.select(col("vec_id"),
+        (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
+        array_max(ds).as("csim"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .where(col("rk") <= ceil(col("cell_n") * frac).cast("long"))
+      .select(col("vec_id"))
+    emb.join(kept, Seq("vec_id"), "left_semi")
+  }
+
   /** Row-level SemDeDup internals for the ScalaTest contract: (vec_id,
     * cell, csim, is_kept) per vector. Same plan as [[l36SemDedup]] up to
     * the summary. */
@@ -934,7 +1022,8 @@ object VectorOps {
         Tables.embeddings(s, d), blockCap, safety = 0.9, covFloor)),
     "l7f_knn_ivfpq" -> ((s, d) =>
       annSummary(l7fKnnIvfPq(s, d), l7KnnBruteForce(s, d), 0.8, covFloor)),
-    "l36_semdedup" -> l36SemDedup
+    "l36_semdedup" -> l36SemDedup,
+    "l37_proto_prune" -> l37ProtoPrune
   )
 
   /** Oracle twin of [[annSummary]]: `n_queries` is the count of vectors
@@ -951,6 +1040,11 @@ object VectorOps {
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
                 TRUE AS partition_ok, TRUE AS dedup_ok,
                 TRUE AS drops_bounded_ok
+         FROM embeddings""",
+    "l37_proto_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                TRUE AS partition_ok, TRUE AS frac_ok,
+                TRUE AS hardness_ok
          FROM embeddings""",
     "l7b_knn_lsh" -> annSummaryOracle,
     "l7c_knn_ivf" -> annSummaryOracle,

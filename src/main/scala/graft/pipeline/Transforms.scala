@@ -175,6 +175,14 @@ object Transforms {
         p.params.getOrElse("k", "16").toInt,
         p.params.getOrElse("iters", "3").toInt)
     }
+    // prototypicality pruning (SSL-prototypes): keep the `frac` hardest
+    // (least centroid-similar) members of every learned cluster
+    r.register("proto_prune") { (_, in, p) =>
+      graft.ops.VectorOps.protoPruneFrames(in("embeddings"),
+        p.params.getOrElse("frac", "0.5").toDouble,
+        p.params.getOrElse("k", "16").toInt,
+        p.params.getOrElse("iters", "3").toInt)
+    }
     r
   }
 }

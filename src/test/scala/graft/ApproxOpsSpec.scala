@@ -430,4 +430,26 @@ class ApproxOpsSpec extends SparkSpec {
     val sum = VectorOps.l36SemDedup(spark, sfDir).head()
     assert(sum.getBoolean(1) && sum.getBoolean(2) && sum.getBoolean(3), sum.toString)
   }
+
+  test("l37 prototypicality pruning: kept set equals an independent per-cell recomputation") {
+    val rows = VectorOps.protoPruneAssignments(spark, sfDir)
+      .select(col("vec_id"), col("cell"), col("csim"), col("is_kept")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // independent recomputation: per cell, sort ascending by (csim, id) —
+    // hardest (least prototypical) first — and keep ceil(0.5 * n)
+    val expectedKept = rows.groupBy(_._2).iterator.flatMap { case (_, members) =>
+      val keepN = math.ceil(members.length * 0.5).toInt
+      members.sortBy(m => (m._3, m._1)).take(keepN).map(_._1)
+    }.toSet
+    val reportedKept = rows.filter(_._4).map(_._1).toSet
+    assert(reportedKept == expectedKept,
+      s"mismatch: extra=${(reportedKept -- expectedKept).take(5)} " +
+      s"missing=${(expectedKept -- reportedKept).take(5)}")
+    // a strict subset: pruning must actually drop something at frac=0.5
+    assert(reportedKept.size < rows.length)
+    // the declared summary row's own contract booleans must hold
+    val sum = VectorOps.l37ProtoPrune(spark, sfDir).head()
+    assert(sum.getBoolean(1) && sum.getBoolean(2) && sum.getBoolean(3), sum.toString)
+  }
 }

@@ -136,6 +136,29 @@ class StreamingSpec extends SparkSpec {
       s"deduped token total $gotTokens != batch ${want.getLong(1)}")
   }
 
+  test("t12 streaming CDC apply over a FORCED 2-batch split equals the one-shot merge") {
+    // split the change feed into two parquet files and cap the trigger at
+    // one file per micro-batch: the apply loop must land exactly where
+    // s13's single merge lands, proving batch-boundary independence
+    val stage = graft.core.TempDirs.scratch("t12_split")
+    val o = Tables.orders(spark, sfDir)
+    o.where(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/even")
+    o.where(col("o_orderkey") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/odd")
+    import scala.jdk.CollectionConverters._
+    val files = Seq(s"$stage/even", s"$stage/odd").flatMap { dir =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
+    assert(files.size == 2, files.toString)
+    val changes = StreamingOps.ordersStream(spark, sfDir,
+      extraFiles = files, maxFilesPerTrigger = Some(1))
+    val got = StreamingOps.t12Upsert(changes, spark, sfDir)
+    val want = graft.ops.Relational.s13MergeUpsert(spark, sfDir)
+    assertSameRows(got, want)
+  }
+
   test("t10 foreachBatch ingest lands batch-stamped rows matching the batch twin") {
     val (got, landingDir) = StreamingOps.t10Ingest(spark, sfDir)
     val purchases = events.where(col("event_type") === "purchase")
