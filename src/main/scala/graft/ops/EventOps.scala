@@ -306,6 +306,39 @@ object EventOps {
       by = "user_id", order = Seq("ts_us", "event_id"),
       typeCol = "event_type", k = 5, topN = 20)
 
+  /** e11 core over ANY typed event stream: histogram of the lag between a
+    * user's first `fromType` and their first subsequent `toType`,
+    * bucketed to whole hours and capped at `capHours` (the open tail
+    * bucket). Exposed to the registry as `conversion_lag`. */
+  private[graft] def conversionLagFrames(ev: org.apache.spark.sql.DataFrame,
+      fromType: String, toType: String, capHours: Int): org.apache.spark.sql.DataFrame = {
+    val hourUs = 3600L * 1000000
+    val from = ev.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("from_us"))
+    val to = ev.where(col("event_type") === toType)
+      .select(col("user_id"), col("ts_us"))
+      .join(from, Seq("user_id"))
+      .where(col("ts_us") >= col("from_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("to_us"), min(col("from_us")).as("from_us"))
+    to.withColumn("lag_hours",
+        least(((col("to_us") - col("from_us")) / hourUs).cast("long"), lit(capHours.toLong)))
+      .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** E11: conversion-lag distribution — "how long from first view to
+    * first purchase?", the time-to-convert histogram behind every funnel
+    * dashboard. Two user-keyed min-aggregations and one histogram
+    * groupBy; the first-view side shuffles (user_id, µs-long) pairs only,
+    * and the histogram's key space is `capHours`+1 buckets regardless of
+    * user count. Lag math is exact µs-long division (truncation = floor
+    * for the non-negative lags the `>=` join guarantees), so both engines
+    * bucket identically. */
+  val e11ConversionLag: Q = (s, d) =>
+    conversionLagFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      fromType = "view", toType = "purchase", capHours = 48)
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e2_funnel" -> e2Funnel,
@@ -316,10 +349,23 @@ object EventOps {
     "e7_rfm" -> e7Rfm,
     "e8_active_users" -> e8ActiveUsers,
     "e9_anomaly" -> e9Anomaly,
-    "e10_event_paths" -> e10EventPaths
+    "e10_event_paths" -> e10EventPaths,
+    "e11_conversion_lag" -> e11ConversionLag
   )
 
   val oracle: Map[String, String] = Map(
+    "e11_conversion_lag" ->
+      """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS from_us
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+            fb AS (SELECT e.user_id, min(epoch_us(e.ts)) AS to_us,
+                          min(fv.from_us) AS from_us
+                   FROM events e JOIN fv ON e.user_id = fv.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND epoch_us(e.ts) >= fv.from_us
+                   GROUP BY 1)
+         SELECT least((to_us - from_us) // 3600000000, 48) AS lag_hours,
+                count(*) AS n_users
+         FROM fb GROUP BY 1""",
     "e10_event_paths" ->
       """WITH r AS (SELECT user_id, event_type,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -511,6 +511,38 @@ object Relational {
         sum(col("value")).cast("double").as("value_sum"))
   }
 
+  /** S17: incremental materialized-view maintenance — the standing-
+    * aggregate refresh every warehouse runs nightly: the view's history
+    * lives as PERSISTED PARTIAL AGGREGATES (count + exact cents-as-long
+    * sum per key, both mergeable), and refresh touches ONLY the new
+    * arrivals — partials for the delta are computed, unioned with the
+    * stored partials, and re-aggregated by key. No history re-scan: at
+    * 100 TB the delta is a day and the partial table is keys×months rows
+    * (KB-scale), so refresh cost is O(delta), not O(history) — the whole
+    * point of mergeable state (same posture as g11b's persisted sketches,
+    * here with exact counters). Month parity stands in for the date
+    * cutoff so both the split and the oracle are pure row predicates.
+    * Money merges as cents-longs (round(×100)): partial sums re-sum
+    * exactly, where double partials would drift by merge order. */
+  val s17IncrementalAgg: Q = (s, d) => {
+    val mv = graft.core.TempDirs.scratchSlot(
+      "s17_mv_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val o = Tables.orders(s, d)
+      .withColumn("month_us", unix_micros(date_trunc("month", col("o_orderdate"))))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    def partials(df: DataFrame) =
+      df.groupBy(col("o_orderstatus"), col("month_us"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    // history = odd months, persisted as the standing partial table
+    partials(o.where(month(col("o_orderdate")) % 2 === 1))
+      .write.mode("overwrite").parquet(mv)
+    // refresh: delta partials + stored partials, one merge re-agg
+    s.read.parquet(mv)
+      .unionByName(partials(o.where(month(col("o_orderdate")) % 2 === 0)))
+      .groupBy(col("o_orderstatus"), col("month_us"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+  }
+
   /** P7: one-pass column profiling — the ANALYZE/data-quality summary
     * (row count, null count, exact distinct count, min/max) for every
     * column of a table, long-format one row per column. All statistics
@@ -753,11 +785,20 @@ object Relational {
     "s13_merge_upsert" -> s13MergeUpsert,
     "s14_dynamic_overwrite" -> s14DynamicOverwrite,
     "s15_snapshot_diff" -> s15SnapshotDiff,
+    "s17_incremental_agg" -> s17IncrementalAgg,
     "p7_profile" -> p7Profile,
     "p8_skew_report" -> p8SkewReport
   )
 
   val oracle: Map[String, String] = Map(
+    // oracle is the FULL recompute — the refresh must land exactly where
+    // a from-scratch aggregation lands, whatever the history/delta split
+    "s17_incremental_agg" ->
+      """SELECT o_orderstatus,
+                epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2""",
     "j10_time_band_join" ->
       """SELECT p.event_id,
                 CAST(coalesce((SELECT count(*) FROM events e

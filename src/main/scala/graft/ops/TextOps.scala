@@ -506,6 +506,33 @@ object TextOps {
         (col("id") === col("component")).cast("boolean").as("is_canonical"))
   }
 
+  /** Group-atomic split assignment over ANY (doc_id, component) frame:
+    * the SPLIT is a pure function of the GROUP id, so every member of a
+    * near-dup group lands in the same fold by construction — no
+    * cross-split communication, no extra shuffle beyond the grouping
+    * itself. Exposed to the registry as `group_split`. */
+  private[graft] def groupSplitFrames(groups: org.apache.spark.sql.DataFrame,
+      trainPct: Int, valPct: Int): org.apache.spark.sql.DataFrame =
+    groups.withColumn("split",
+      when(col("component") % 100 < trainPct, "train")
+        .when(col("component") % 100 < trainPct + valPct, "val")
+        .otherwise("test"))
+
+  /** L38: leakage-safe train/val/test split — the evaluation-hygiene step
+    * after near-dup grouping: random DOCUMENT-level splits leak, because a
+    * near-duplicate of a test document trains the model on the answer
+    * (the decontamination failure l17 guards against, reintroduced by the
+    * splitter itself). The unit of assignment is therefore the DEDUP
+    * GROUP (l5e's connected component): fold = component mod 100 cut at
+    * 80/10/10, a pure row function of the group id — deterministic,
+    * engine-independent, and free of any extra exchange (the CC result
+    * already carries the component on every row). At 100 TB the split
+    * adds zero cost on top of the dedup the pipeline runs anyway. */
+  val l38GroupSplit: Q = (s, d) =>
+    groupSplitFrames(
+      l5eDedupGroups(s, d).select(col("doc_id"), col("component")),
+      trainPct = 80, valPct = 10)
+
   /** L13: deterministic source-weighted mixing — the training-data "data
     * mixture" step. Every (source, doc) decision is a pure function of the
     * row (rate from the source name, bucket from doc_id mod 100), so the
@@ -1193,6 +1220,7 @@ object TextOps {
     "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
     "l5e_dedup_groups" -> l5eDedupGroups,
+    "l38_group_split" -> l38GroupSplit,
     "l8_lang_stats" -> l8LangStats,
     "l10_lang_id" -> l10LangId,
     "l11_quality" -> l11Quality,
@@ -1613,6 +1641,13 @@ object TextOps {
     "l5b_minhash_lsh" -> l5PairsOracleSql,
     "l5d_minhash_agg" -> l5PairsOracleSql,
     "l5e_dedup_groups" -> l5eOracleSql,
+    // same transitive closure as l5e, split = pure function of component
+    "l38_group_split" ->
+      s"""SELECT doc_id, component,
+                 CASE WHEN component % 100 < 80 THEN 'train'
+                      WHEN component % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM ($l5eOracleSql) g""",
     "l13_source_mix" ->
       """SELECT doc_id, source,
                 (length(source) * 37) % 51 + 40 AS keep_rate

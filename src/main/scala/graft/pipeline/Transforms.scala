@@ -183,6 +183,26 @@ object Transforms {
         p.params.getOrElse("k", "16").toInt,
         p.params.getOrElse("iters", "3").toInt)
     }
+    // leakage-safe fold assignment over any (doc_id, component) grouping
+    // (e.g. l5e/l6b output): whole dedup groups land in one fold;
+    // train/val percents of the 100-way component hash (declared l38
+    // pins 80/10)
+    r.register("group_split") { (_, in, p) =>
+      graft.ops.TextOps.groupSplitFrames(in("groups"),
+        p.params.getOrElse("train", "80").toInt,
+        p.params.getOrElse("val", "10").toInt)
+    }
+    // conversion-lag histogram between two event types over any typed
+    // event stream (declared e11 pins view→purchase, 48h cap)
+    r.register("conversion_lag") { (_, in, p) =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      graft.ops.EventOps.conversionLagFrames(
+        in("events").withColumn("ts_us",
+          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        p.params.getOrElse("from", "view"),
+        p.params.getOrElse("to", "purchase"),
+        p.params.getOrElse("cap", "48").toInt)
+    }
     r
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{EventOps, Relational, TextOps}
+
+/** Contracts for the incremental-maintenance / split family:
+  * s17 (mergeable-partial MV refresh), l38 (leakage-safe group split),
+  * e11 (conversion-lag histogram) — each pinned against an independent
+  * recomputation that shares no plan with the declared query. */
+class IncrementalSpec extends SparkSpec {
+
+  private def sortedRows(df: DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("s17 incremental refresh lands exactly on the from-scratch aggregate") {
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("month_us", unix_micros(date_trunc("month", col("o_orderdate"))))
+      .withColumn("cents", Relational.cents(col("o_totalprice")))
+    val full = o.groupBy(col("o_orderstatus"), col("month_us"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    assert(sortedRows(Relational.s17IncrementalAgg(spark, sfDir)) == sortedRows(full))
+  }
+
+  test("s17 partial merge is split-independent: a 3-way split reaches the same result") {
+    // the declared query splits history/delta by month parity; merging the
+    // SAME mergeable partials from a month%3 three-way split must land on
+    // the identical rows — associativity of (count, cents-long) merge
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("month_us", unix_micros(date_trunc("month", col("o_orderdate"))))
+      .withColumn("cents", Relational.cents(col("o_totalprice")))
+    def partials(df: DataFrame) =
+      df.groupBy(col("o_orderstatus"), col("month_us"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    val threeWay = (0 to 2).map(i =>
+        partials(o.where(month(col("o_orderdate")) % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy(col("o_orderstatus"), col("month_us"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+    assert(sortedRows(Relational.s17IncrementalAgg(spark, sfDir)) == sortedRows(threeWay))
+  }
+
+  test("l38 split is group-atomic, total, and uses all three folds") {
+    val rows = TextOps.l38GroupSplit(spark, sfDir)
+      .select(col("doc_id"), col("component"), col("split")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs, "split must be total over documents")
+    assert(rows.map(_._1).distinct.length == rows.length, "one fold per doc")
+    // group-atomicity: no component straddles folds
+    val perGroup = rows.groupBy(_._2).map { case (_, ms) => ms.map(_._3).distinct.length }
+    assert(perGroup.forall(_ == 1), "a dedup group straddles folds")
+    // fold = pure function of component id, exactly the declared 80/10/10 cut
+    rows.foreach { case (_, comp, split) =>
+      val want = if (comp % 100 < 80) "train" else if (comp % 100 < 90) "val" else "test"
+      assert(split == want, s"component $comp -> $split, want $want")
+    }
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"),
+      "fixture should populate all three folds")
+  }
+
+  test("e11 conversion lag matches a driver-side brute-force recomputation") {
+    val got = EventOps.e11ConversionLag(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.toSeq.flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val v0 = views.min
+        val buys = es.filter(e => e._2 == "purchase" && e._3 >= v0).map(_._3)
+        if (buys.isEmpty) None
+        else Some(math.min((buys.min - v0) / 3600000000L, 48L))
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty && got.keys.forall(k => k >= 0 && k <= 48))
+  }
+}
