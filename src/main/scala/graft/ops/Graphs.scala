@@ -255,11 +255,91 @@ object Graphs {
       .crossJoin(tri)
   }
 
+  /** Synchronous deterministic label propagation over ANY undirected edge
+    * list: labels start as node ids; each round every node adopts the
+    * most frequent label among its NEIGHBORS (count desc, label asc
+    * tie-break — the determinism knob async LPA lacks). Every node in the
+    * derived node set has ≥1 edge, so each round relabels every node.
+    * Per round: one edge-keyed join + one (node, label) aggregation + one
+    * node-partitioned window — the same exchange budget as a PageRank
+    * iteration, with label counts (not floats) on the wire. */
+  private[graft] def labelPropagation(edges: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .localCheckpoint(eager = true)
+    val nodes = bi.select(col("u").as("node")).distinct()
+    var labels = nodes.withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      // argmax by (count desc, label asc) as a HASH aggregation:
+      // max(struct(c, -label)) picks the highest count, then the lowest
+      // label — no per-node sort, and the partial agg combines map-side
+      labels = bi
+        .join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
+        .groupBy(col("u"), col("nlab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("m"))
+        .select(col("u").as("node"), (-col("m.neg")).as("lab"))
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
+  /** L40: community detection via label propagation (Raghavan et al.
+    * 2007) — the near-linear community algorithm GraphX ships as
+    * `LabelPropagation`; here the SYNCHRONOUS deterministic variant
+    * (fixed rounds, count-then-min tie-break) so the assignment is a pure
+    * function of the graph and both engines land on identical rows.
+    * Declared over the same part co-occurrence graph as l35 (deduped to a
+    * simple graph). Three unrolled rounds, like l26's PageRank — at
+    * 100 TB each round is edge-linear with 8-byte (node, label) pairs on
+    * the wire, and the loop would checkpoint per round (the
+    * [[connectedComponents]] posture). */
+  val l40LabelProp: graft.ops.Relational.Q = (s, d) => {
+    val pl = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
+      .where(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    labelPropagation(edges, rounds = 3)
+  }
+
   val queries: Map[String, graft.ops.Relational.Q] = Map(
     "l26_pagerank" -> l26PageRank,
-    "l35_triangles" -> l35Triangles)
+    "l35_triangles" -> l35Triangles,
+    "l40_label_prop" -> l40LabelProp)
 
   val oracle: Map[String, String] = Map(
+    // same 3 synchronous rounds, unrolled (the l26 pattern); count-desc /
+    // label-asc tie-break makes every round engine-independent
+    "l40_label_prop" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb
+                   FROM pl a JOIN pl b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            bi AS (SELECT sa AS u, sb AS v FROM e0
+                   UNION ALL SELECT sb AS u, sa AS v FROM e0),
+            l0 AS (SELECT DISTINCT u AS node, u AS lab FROM bi),
+            c1 AS (SELECT b.u, l.lab AS nlab, count(*) AS c
+                   FROM bi b JOIN l0 l ON b.v = l.node GROUP BY 1, 2),
+            l1 AS (SELECT u AS node, nlab AS lab FROM
+                     (SELECT u, nlab, c, row_number() OVER
+                        (PARTITION BY u ORDER BY c DESC, nlab) AS rk FROM c1)
+                   WHERE rk = 1),
+            c2 AS (SELECT b.u, l.lab AS nlab, count(*) AS c
+                   FROM bi b JOIN l1 l ON b.v = l.node GROUP BY 1, 2),
+            l2 AS (SELECT u AS node, nlab AS lab FROM
+                     (SELECT u, nlab, c, row_number() OVER
+                        (PARTITION BY u ORDER BY c DESC, nlab) AS rk FROM c2)
+                   WHERE rk = 1),
+            c3 AS (SELECT b.u, l.lab AS nlab, count(*) AS c
+                   FROM bi b JOIN l2 l ON b.v = l.node GROUP BY 1, 2),
+            l3 AS (SELECT u AS node, nlab AS lab FROM
+                     (SELECT u, nlab, c, row_number() OVER
+                        (PARTITION BY u ORDER BY c DESC, nlab) AS rk FROM c3)
+                   WHERE rk = 1)
+         SELECT node, lab AS community FROM l3""",
     "l35_triangles" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             e AS (SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb

@@ -605,6 +605,43 @@ object Relational {
       expr("percentile(cnt, 0.99D)").as("p99_cnt"))
   }
 
+  /** P9: declarative data-quality expectations — the Deequ / dbt-test
+    * contract check every ingest gate runs: completeness (NOT NULL),
+    * uniqueness (key cardinality), range, accepted values, and
+    * referential integrity, reported long-format one row per constraint
+    * with the VIOLATION count (0 = pass), so a failing table says what
+    * broke and by how much. Everything except the FK probe folds into ONE
+    * aggregation over one scan (the p7 posture — Expand handles the
+    * distinct); the FK check is a left-anti count against the dimension,
+    * broadcast when it fits. At 100 TB this is the cheapest full-table
+    * audit shape: no row-level violation materialization unless asked. */
+  val p9Expectations: Q = (s, d) =>
+    expectationsFrames(Tables.orders(s, d), Tables.customer(s, d))
+
+  /** p9 core over ANY (orders-shaped, customer-shaped) pair — split out so
+    * the spec can inject known violations and assert exact counts. */
+  private[graft] def expectationsFrames(o: DataFrame, c: DataFrame): DataFrame = {
+    val onePass = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      count_distinct(col("o_orderkey")).as("nd_key"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    onePass.crossJoin(orphans)
+      .select(expr(
+        """stack(5,
+             'not_null:o_orderkey',        null_key,
+             'unique:o_orderkey',          n - nd_key,
+             'range:o_totalprice>0',       bad_price,
+             'accepted:o_orderstatus',     bad_status,
+             'fk:o_custkey->customer',     n_orphan)
+           AS (check_name, n_violations)"""))
+      .withColumn("passed", col("n_violations") === 0)
+  }
+
   /** Snapshot-diff core over ANY two frames sharing key + compare columns:
     * FULL OUTER on the keys, presence markers decide added/removed, a
     * null-safe inequality OR over the compare set decides changed;
@@ -787,10 +824,27 @@ object Relational {
     "s15_snapshot_diff" -> s15SnapshotDiff,
     "s17_incremental_agg" -> s17IncrementalAgg,
     "p7_profile" -> p7Profile,
+    "p9_expectations" -> p9Expectations,
     "p8_skew_report" -> p8SkewReport
   )
 
   val oracle: Map[String, String] = Map(
+    "p9_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+                           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,
+                           count(DISTINCT o_orderkey) AS nd_key,
+                           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+                    FROM orders),
+            fk AS (SELECT count(*) AS n_orphan FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)),
+            v AS (SELECT 'not_null:o_orderkey' AS check_name, CAST(null_key AS BIGINT) AS n_violations FROM a
+                  UNION ALL SELECT 'unique:o_orderkey', CAST(n - nd_key AS BIGINT) FROM a
+                  UNION ALL SELECT 'range:o_totalprice>0', CAST(bad_price AS BIGINT) FROM a
+                  UNION ALL SELECT 'accepted:o_orderstatus', CAST(bad_status AS BIGINT) FROM a
+                  UNION ALL SELECT 'fk:o_custkey->customer', CAST(n_orphan AS BIGINT) FROM fk)
+         SELECT check_name, n_violations, n_violations = 0 AS passed FROM v""",
     // oracle is the FULL recompute — the refresh must land exactly where
     // a from-scratch aggregation lands, whatever the history/delta split
     "s17_incremental_agg" ->

@@ -60,6 +60,63 @@ class IncrementalSpec extends SparkSpec {
       "fixture should populate all three folds")
   }
 
+  test("p9 expectations: clean fixture passes all five; injected violations count exactly") {
+    val clean = Relational.p9Expectations(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clean.size == 5)
+    assert(clean.values.forall { case (n, p) => n == 0L && p }, clean.toString)
+
+    // corrupt a copy: 3 duplicated keys, 2 non-positive prices, 1 bad
+    // status, 4 orphan custkeys — each lands in exactly one counter
+    val o = Tables.orders(spark, sfDir)
+    val dups = o.orderBy(col("o_orderkey")).limit(3)
+    val badPrice = o.orderBy(col("o_orderkey")).limit(2)
+      .withColumn("o_totalprice", lit(-5.0))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+    val badStatus = o.orderBy(col("o_orderkey")).limit(1)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(910000000L))
+    val orphan = o.orderBy(col("o_orderkey")).limit(4)
+      .withColumn("o_custkey", col("o_custkey") + lit(920000000L))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(930000000L))
+    val corrupted = o.unionByName(dups).unionByName(badPrice)
+      .unionByName(badStatus).unionByName(orphan)
+    val got = Relational.expectationsFrames(corrupted, Tables.customer(spark, sfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unique:o_orderkey") == 3L, got.toString)
+    assert(got("range:o_totalprice>0") == 2L, got.toString)
+    assert(got("accepted:o_orderstatus") == 1L, got.toString)
+    assert(got("fk:o_custkey->customer") == 4L, got.toString)
+    assert(got("not_null:o_orderkey") == 0L, got.toString)
+  }
+
+  test("l40 label propagation matches a driver-side synchronous recomputation") {
+    val got = graft.ops.Graphs.l40LabelProp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent brute force: same graph, same 3 synchronous rounds,
+    // same (count desc, label asc) tie-break
+    val pl = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pl.toSeq.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val parts = grp.map(_._2).distinct
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = nbrs.map { case (node, ns) =>
+        val counts = ns.map(labels).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == labels, s"${got.size} got vs ${labels.size} want")
+    // communities must actually coalesce: fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("e11 conversion lag matches a driver-side brute-force recomputation") {
     val got = EventOps.e11ConversionLag(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -58,7 +58,9 @@ object DumpPlans {
       "l37_proto_prune" -> "Prototypicality pruning: shared trained centroids as literals rank members by own-centroid similarity; ONE cell-partitioned window keeps the hardest ceil(frac*size) per cell — no global sort, no pair join anywhere.",
       "s17_incremental_agg" -> "Incremental MV refresh: the stored partial table (parquet scan of keys x months rows) unions the delta's map-side partials and re-aggregates — history raw rows are never re-scanned; counts and cents-longs merge exactly.",
       "l38_group_split" -> "Leakage-safe group split: the fold column is a pure projection over the CC output (component mod 100) — zero exchanges added on top of the dedup grouping.",
-      "e11_conversion_lag" -> "Conversion-lag histogram: two user-keyed min-aggs share the user_id exchange, the histogram groupBy's key space is 49 buckets — final aggregation is metadata-sized regardless of user count.")
+      "e11_conversion_lag" -> "Conversion-lag histogram: two user-keyed min-aggs share the user_id exchange, the histogram groupBy's key space is 49 buckets — final aggregation is metadata-sized regardless of user count.",
+      "p9_expectations" -> "Data-quality expectations: four constraint checks fold into one aggregation over one scan; only the FK probe adds a (broadcast) left-anti join; stack pivots the single row to a row per constraint.",
+      "l40_label_prop" -> "Label propagation, 3 synchronous rounds: each round one edge-keyed join + one (node, label) count aggregation + one node-partitioned window — integer counts on the wire, no floats, no global sort.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
