@@ -493,6 +493,51 @@ class PipelineSpecTest extends SparkSpec {
     assert(keptLo < n && keptHi == n, s"n=$n keptLo=$keptLo keptHi=$keptHi")
   }
 
+  test("proto_prune, group_split, conversion_lag: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8b").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    val embStep = StepSpec("emb", "source", params = Map("dir" -> sfDir, "table" -> "embeddings"))
+    // proto_prune: frac=0.5 keeps ceil(half) per cell; frac=1.0 keeps all
+    def ppSpec(frac: String) = PipelineSpec(Seq(embStep,
+      StepSpec("kept", "proto_prune", Map("embeddings" -> "emb"), Map("frac" -> frac))))
+    val nEmb = graft.core.Tables.embeddings(spark, sfDir).count()
+    val half = spark.read.parquet(
+      s"$wh/${runner.execute(ppSpec("0.5"), Seq("kept"))("kept")}").count()
+    val all = spark.read.parquet(
+      s"$wh/${runner.execute(ppSpec("1.0"), Seq("kept"))("kept")}").count()
+    assert(all == nEmb && half >= nEmb / 2 && half < nEmb, s"n=$nEmb half=$half all=$all")
+    // group_split: folds partition the docs and track the train percent
+    def gsSpec(train: String) = PipelineSpec(Seq(docsStep,
+      StepSpec("groups", "sql", Map("d" -> "docs"),
+        Map("sql" -> "SELECT doc_id, doc_id AS component FROM d")),
+      StepSpec("folds", "group_split", Map("groups" -> "groups"),
+        Map("train" -> train, "val" -> "10"))))
+    def foldCounts(train: String) = spark.read.parquet(
+        s"$wh/${runner.execute(gsSpec(train), Seq("folds"))("folds")}")
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val c80 = foldCounts("80")
+    assert(c80.values.sum == nDocs, c80.toString)
+    val c40 = foldCounts("40")
+    assert(c40.values.sum == nDocs && c40.getOrElse("train", 0L) < c80.getOrElse("train", 0L),
+      s"c40=$c40 c80=$c80")
+    // conversion_lag: the cap folds the tail into one bucket
+    def clSpec(cap: String) = PipelineSpec(Seq(evStep,
+      StepSpec("lag", "conversion_lag", Map("events" -> "ev"), Map("cap" -> cap))))
+    val capped = spark.read.parquet(
+      s"$wh/${runner.execute(clSpec("1"), Seq("lag"))("lag")}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val open = spark.read.parquet(
+      s"$wh/${runner.execute(clSpec("48"), Seq("lag"))("lag")}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keys.forall(_ <= 1) && capped.values.sum == open.values.sum,
+      s"capped=$capped open=$open")
+    assert(open.keys.max > 1, open.toString)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(
