@@ -424,9 +424,62 @@ object StreamingOps {
         Relational.dsum(col("o_totalprice")).as("price_sum"))
   }
 
+  /** T13: streaming data-quality gate with a QUARANTINE (dead-letter)
+    * sink — the production ingest pattern p9 audits after the fact, run
+    * ON ARRIVAL instead: every micro-batch routes rows through row-local
+    * validation; passing rows append to the warehouse table, failing rows
+    * land in a quarantine table WITH their rejection reason, so bad data
+    * is preserved for repair instead of poisoning the table or being
+    * dropped silently. Routing is a pure row predicate (no state, no
+    * watermark), so any batch split reaches the same landed tables —
+    * which is what lets a batch-shaped oracle check a streaming query
+    * (2-batch split asserted in StreamingSpec). Replay posture: both
+    * sinks are fresh per run here; production appends carry t10's
+    * batch-id stamp for replay-idempotent dedup.
+    *
+    * The fixture is clean, so corruption is INJECTED row-locally on
+    * arrival (%23 keys flip the price sign, %29 keys get an unknown
+    * status) — the gate must quarantine exactly those rows. */
+  val t13StreamQuarantine: Q = (s, d) => t13Quarantine(ordersStream(s, d), s, d)
+
+  private[graft] def t13Quarantine(orders: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
+    val base = graft.core.TempDirs.scratch("t13_gate").toString
+    val q = orders.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val arrived = batch
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 23 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 29 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        val routed = arrived.withColumn("reason",
+          when(col("o_totalprice") <= 0, "range:o_totalprice")
+            .when(!col("o_orderstatus").isin("O", "F", "P"),
+              "accepted:o_orderstatus"))
+        routed.where(col("reason").isNull).drop("reason")
+          .write.mode("append").parquet(s"$base/main")
+        routed.where(col("reason").isNotNull)
+          .write.mode("append").parquet(s"$base/quarantine")
+      }
+      .option("checkpointLocation", ckptDir("t13"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/main")
+      .select(lit("main").as("route"), lit("ok").as("reason"), col("o_totalprice"))
+      .unionByName(s.read.parquet(s"$base/quarantine")
+        .select(lit("quarantine").as("route"), col("reason"), col("o_totalprice")))
+      .groupBy(col("route"), col("reason"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Relational.cents(col("o_totalprice"))).as("cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t11_doc_ingest" -> t11DocIngest,
     "t12_stream_upsert" -> t12StreamUpsert,
+    "t13_stream_quarantine" -> t13StreamQuarantine,
     "t9_stream_stream_join" -> t9StreamStreamJoin,
     "t1_tumbling_window" -> t1Tumbling,
     "t2_sliding_window" -> t2Sliding,
@@ -440,6 +493,23 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // routing is row-local, so the landed tables equal one batch pass;
+    // CASE order mirrors the gate's when-chain (range outranks accepted)
+    "t13_stream_quarantine" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 23 = 0 THEN -o_totalprice
+                               ELSE o_totalprice END AS pr,
+                          CASE WHEN o_orderkey % 29 = 0 THEN 'X'
+                               ELSE o_orderstatus END AS st
+                   FROM orders),
+            r AS (SELECT CASE WHEN pr <= 0 OR st NOT IN ('O','F','P')
+                              THEN 'quarantine' ELSE 'main' END AS route,
+                         CASE WHEN pr <= 0 THEN 'range:o_totalprice'
+                              WHEN st NOT IN ('O','F','P') THEN 'accepted:o_orderstatus'
+                              ELSE 'ok' END AS reason,
+                         pr FROM t)
+         SELECT route, reason, count(*) AS n_rows,
+                CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM r GROUP BY 1, 2""",
     // the streaming apply must land exactly where s13's one-shot merge
     // lands (change derivation is row-local, keys disjoint across rows)
     "t12_stream_upsert" ->

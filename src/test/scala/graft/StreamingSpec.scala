@@ -159,6 +159,32 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("t13 quarantine gate over a FORCED 2-batch split equals the one-pass routing") {
+    val stage = graft.core.TempDirs.scratch("t13_split")
+    val o = Tables.orders(spark, sfDir)
+    o.where(col("o_orderkey") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/even")
+    o.where(col("o_orderkey") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/odd")
+    import scala.jdk.CollectionConverters._
+    val files = Seq(s"$stage/even", s"$stage/odd").flatMap { dir =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
+    assert(files.size == 2, files.toString)
+    val split = StreamingOps.t13Quarantine(
+      StreamingOps.ordersStream(spark, sfDir,
+        extraFiles = files, maxFilesPerTrigger = Some(1)), spark, sfDir)
+    val onePass = StreamingOps.t13Quarantine(
+      StreamingOps.ordersStream(spark, sfDir), spark, sfDir)
+    assertSameRows(split, onePass)
+    // the gate must actually quarantine the injected corruption
+    val routes = onePass.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(routes.contains(("quarantine", "range:o_totalprice")), routes.toString)
+    assert(routes.contains(("quarantine", "accepted:o_orderstatus")), routes.toString)
+    assert(routes.contains(("main", "ok")), routes.toString)
+  }
+
   test("t10 foreachBatch ingest lands batch-stamped rows matching the batch twin") {
     val (got, landingDir) = StreamingOps.t10Ingest(spark, sfDir)
     val purchases = events.where(col("event_type") === "purchase")
