@@ -1010,6 +1010,64 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** L41: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) —
+    * data SELECTION by distribution matching: score every source document
+    * by how much more likely its n-gram features are under the TARGET
+    * distribution than under the source distribution,
+    * w(doc) = Σ_g [ln p̂_t(g) − ln p̂_s(g)] over the doc's unigrams +
+    * bigrams with multiplicity, Laplace-smoothed over the joint
+    * vocabulary. High-weight docs are the ones importance resampling
+    * keeps when matching a pretraining corpus to a target domain. Target
+    * here = the `doc_id % 20` held-out slice (l17's pseudo-holdout
+    * convention); production feeds a real target corpus through the same
+    * shape. Plan: ONE gram explode feeds both count tables (8-byte
+    * xxhash64 keys — l21's device; the paper's fixed hash-BUCKET variant
+    * is the same plan with `pmod(gh, B)` as the key, trading collisions
+    * for a bounded vocabulary), corpus stats are a broadcast 1-row cross,
+    * and the per-doc rollup is one doc_id shuffle. round(·,6) parity on
+    * the final sum (the l21/l30 rule). */
+  val l41DsirWeights: Q = (s, d) => {
+    val grams = dsirGrams(tokenized(s, d))
+    val isTarget = col("doc_id") % 20 === 0
+    dsirScore(grams.where(!isTarget), grams.where(isTarget))
+  }
+
+  /** Unigram+bigram feature stream of a tokenized frame, hashed to 8-byte
+    * keys. CASE guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+    * would index element 0 — bigrams only exist for size >= 2. */
+  private def dsirGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(concat(col("t"),
+        expr("CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), i -> " +
+          "concat(element_at(t, i), ' ', element_at(t, i + 1))) " +
+          "ELSE CAST(array() AS array<string>) END"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+
+  private def dsirScore(gs: DataFrame, gt: DataFrame): DataFrame = {
+    val ct = gt.groupBy(col("gh")).agg(count(lit(1)).as("ct"))
+    val cs = gs.groupBy(col("gh")).agg(count(lit(1)).as("cs"))
+    val stats = gt.select(col("gh")).unionByName(gs.select(col("gh")))
+      .agg(count_distinct(col("gh")).as("v"))
+      .crossJoin(gt.agg(count(lit(1)).as("nt")))
+      .crossJoin(gs.agg(count(lit(1)).as("ns")))
+    gs.join(ct, Seq("gh"), "left").na.fill(Map("ct" -> 0L))
+      .join(cs, Seq("gh"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(
+          log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+          log((col("cs") + 1).cast("double") / (col("ns") + col("v")))), 6)
+          .as("log_ratio"))
+  }
+
+  /** DSIR weights over ANY (source, target) document pair — the
+    * production shape: a real target-domain corpus instead of the
+    * declared query's pseudo-holdout. Exposed to the registry as
+    * `dsir`. */
+  private[graft] def dsirFrames(source: DataFrame, target: DataFrame): DataFrame =
+    dsirScore(dsirGrams(source.withColumn("t", toks(col("text")))),
+      dsirGrams(target.withColumn("t", toks(col("text")))))
+
   /** L22: the COMPOSED cleaning pipeline as ONE declared query — how a
     * training-data user actually runs the engine end-to-end: exact-dedup
     * canonical gate (l4's semantics as a window on the content hash) →
@@ -1208,6 +1266,7 @@ object TextOps {
     "l19_chunk" -> l19Chunk,
     "l20_substring_dup" -> l20SubstringDup,
     "l21_lm_score" -> l21LmScore,
+    "l41_dsir_weights" -> l41DsirWeights,
     "l22_pipeline_clean" -> l22PipelineClean,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
@@ -1517,6 +1576,27 @@ object TextOps {
          FROM q JOIN canon USING (doc_id)
          WHERE q.quality >= 0.4 AND q.dup_trigram_frac <= 0.2
            AND q.doc_id NOT IN (SELECT doc_id FROM flagged)""",
+    "l41_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            uni AS (SELECT doc_id, unnest(t) AS g FROM tok),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                   FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok)),
+            grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bg),
+            ct AS (SELECT g, count(*) AS ct FROM grams WHERE doc_id % 20 = 0 GROUP BY 1),
+            cs AS (SELECT g, count(*) AS cs FROM grams WHERE doc_id % 20 <> 0 GROUP BY 1),
+            st AS (SELECT count(DISTINCT g) AS v,
+                          sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS nt,
+                          sum(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS ns
+                   FROM grams)
+         SELECT gr.doc_id, count(*) AS n_grams,
+                round(sum(ln((coalesce(ct.ct, 0) + 1.0) / (st.nt + st.v))
+                        - ln((cs.cs + 1.0) / (st.ns + st.v))), 6) AS log_ratio
+         FROM grams gr
+         LEFT JOIN ct ON gr.g = ct.g
+         JOIN cs ON gr.g = cs.g
+         CROSS JOIN st
+         WHERE gr.doc_id % 20 <> 0
+         GROUP BY 1""",
     "l21_lm_score" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
                             len(string_split(text, ' ')) AS n

@@ -192,6 +192,11 @@ object Transforms {
         p.params.getOrElse("train", "80").toInt,
         p.params.getOrElse("val", "10").toInt)
     }
+    // DSIR importance weights: score `source` docs by target-vs-source
+    // n-gram distribution ratio (a real target corpus, not a holdout)
+    r.register("dsir") { (_, in, _) =>
+      graft.ops.TextOps.dsirFrames(in("source"), in("target"))
+    }
     // conversion-lag histogram between two event types over any typed
     // event stream (declared e11 pins view→purchase, 48h cap)
     r.register("conversion_lag") { (_, in, p) =>

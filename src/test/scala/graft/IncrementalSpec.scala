@@ -117,6 +117,20 @@ class IncrementalSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size)
   }
 
+  test("l41 DSIR: self-target weights are exactly zero; holdout target discriminates") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // target == source -> every gram's smoothed probabilities are the
+    // SAME double on both sides, so each term and the sum are exactly 0.0
+    val self = TextOps.dsirFrames(docs, docs).collect()
+    assert(self.nonEmpty)
+    assert(self.forall(_.getDouble(2) == 0.0),
+      self.filter(_.getDouble(2) != 0.0).take(3).mkString(","))
+    // the declared pseudo-holdout query must actually discriminate
+    val declared = TextOps.l41DsirWeights(spark, sfDir).collect()
+    assert(declared.exists(_.getDouble(2) != 0.0))
+    assert(declared.length == docs.where(col("doc_id") % 20 =!= 0).count().toInt)
+  }
+
   test("e11 conversion lag matches a driver-side brute-force recomputation") {
     val got = EventOps.e11ConversionLag(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
