@@ -84,7 +84,14 @@ class GrowthSpec extends SparkSpec {
       "s16_scd2_history" -> graft.ops.Relational.queries("s16_scd2_history"),
       "w7_time_range" -> Windows.queries("w7_time_range"),
       "s9_zorder_layout" -> Layout.s9ZorderLayout,
-      "s10_compaction" -> Layout.s10Compaction)) {
+      "s10_compaction" -> Layout.s10Compaction,
+      // round-8 additions with scale claims: LPA is edge-linear per round
+      // (a regression to unoriented wedge joins squares on hubs); DSIR is
+      // gram-linear (an unbucketed gram cross join squares); the split is
+      // CC + a projection
+      "l40_label_prop" -> graft.ops.Graphs.queries("l40_label_prop"),
+      "l41_dsir_weights" -> TextOps.queries("l41_dsir_weights"),
+      "l38_group_split" -> TextOps.queries("l38_group_split"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)
@@ -113,7 +120,10 @@ class GrowthSpec extends SparkSpec {
       "l7f_knn_ivfpq" -> VectorOps.l7fKnnIvfPq,
       // SemDeDup's quadratic risk is ignoring the cluster blocking — the
       // within-cell pair join must track Σ cell²/2, not n²
-      "l36_semdedup" -> VectorOps.l36SemDedup)) {
+      "l36_semdedup" -> VectorOps.l36SemDedup,
+      // prototypicality pruning is window-per-cell (linear); a regression
+      // to a global sort or a pair join shows up as super-linear growth
+      "l37_proto_prune" -> VectorOps.l37ProtoPrune)) {
     test(s"$name: 4x embedding growth stays sub-quadratic in wall time") {
       // warm up BOTH tiers: quantizer training (l7c/l7d) memoizes per
       // source dir, so warming only the small tier would time the probe
