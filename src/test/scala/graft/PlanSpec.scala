@@ -291,6 +291,46 @@ class PlanSpec extends SparkSpec {
     assert(bad.size <= 2, s"unkeyed join beyond the 1-row count cross in triangle plan:\n$plan")
   }
 
+  test("l40 label propagation: keyed equi-joins only, hash-agg argmax — no window, no unkeyed join") {
+    val plan = executed(graft.SparkEntry.queries("l40_label_prop")(spark, sfDir))
+    val all = collectAll(plan)
+    val bad = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in LPA plan:\n$plan")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"per-round argmax should be max(struct(c, -label)) hash aggregation, not a window sort:\n$plan")
+  }
+
+  test("l41 DSIR: gram-keyed equi-joins; only the 1-row stats cross is unkeyed") {
+    val plan = executed(graft.SparkEntry.queries("l41_dsir_weights")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    // three 1-row crosses by construction: v x nt, x ns (assembling the
+    // stats row), then stats x grams; a fourth unkeyed join means a gram
+    // cross join crept in
+    assert(bad.size <= 3, s"unkeyed join beyond the 1-row stats crosses in DSIR plan:\n$plan")
+  }
+
+  test("s17 incremental refresh: union of stored partials + delta partials — no join, no history re-agg") {
+    val plan = executed(graft.SparkEntry.queries("s17_incremental_agg")(spark, sfDir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.nodeName.toLowerCase.contains("join")),
+      s"refresh should be union + re-agg, found a join:\n$plan")
+    assert(all.exists(_.nodeName.toLowerCase.contains("union")),
+      s"refresh should union stored partials with delta partials:\n$plan")
+  }
+
+  test("p9 expectations: the FK probe broadcasts the dimension — anti-join never shuffles the fact side") {
+    val plan = executed(graft.SparkEntry.queries("p9_expectations")(spark, sfDir))
+    val anti = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString.toLowerCase.contains("anti") => j
+    }
+    assert(anti.nonEmpty, s"FK check should be a broadcast left-anti join:\n$plan")
+  }
+
   test("s11 binary ingest: the readback scans the binaryFile source, not a parsed format") {
     val df = graft.SparkEntry.queries("s11_binary_ingest")(spark, sfDir)
     df.collect()
