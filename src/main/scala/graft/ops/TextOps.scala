@@ -566,6 +566,39 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_no"))
   }
 
+  /** L42: training-SEQUENCE packing with cross-boundary splits — the
+    * pretraining data-loader contract l14's shard assignment stops short
+    * of: documents concatenate into fixed-length sequences (L=512 tokens)
+    * and a document crossing a boundary SPLITS, so the output maps each
+    * doc to every (sequence, in-doc offset, length) segment it
+    * contributes — exactly the index a packed-batch loader consumes.
+    * Per-source running sums (the l14 window — packing parallelizes by
+    * source, no global order), then each doc explodes to its spanned
+    * sequences: ceil(n/L)+1 rows max per doc, segment arithmetic is all
+    * integer min/max on the cumulative offsets, so both engines tile
+    * identically. Invariants (every interior sequence sums to exactly L;
+    * segments tile each doc end-to-end) are pinned in IncrementalSpec. */
+  val l42SeqPack: Q = (s, d) => seqPackFrames(Tables.documents(s, d), 512L)
+
+  /** l42 core over ANY (doc_id, source, text) frame with a caller-chosen
+    * sequence length. Exposed to the registry as `seq_pack`. */
+  private[graft] def seqPackFrames(docs: DataFrame, L: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), col("source"), size(col("t")).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_begin", col("cum_end") - col("n_tokens"))
+      .withColumn("seq_no",
+        explode(expr(s"sequence(cum_begin div $L, (cum_end - 1) div $L)")))
+      .withColumn("g_begin", greatest(col("cum_begin"), col("seq_no") * L))
+      .withColumn("g_end", least(col("cum_end"), (col("seq_no") + 1) * L))
+      .select(col("doc_id"), col("source"), col("seq_no"),
+        (col("g_begin") - col("cum_begin")).as("seg_begin"),
+        (col("g_end") - col("g_begin")).as("seg_len"))
+  }
+
   /** L15: per-source token-length quantiles — the corpus-profiling step a
     * mixture/packing policy is tuned against (sequence-length budgeting
     * needs p50/p90/p99 per source, not a global mean). EXACT `percentile`
@@ -1287,6 +1320,7 @@ object TextOps {
     "l12_rolling_fp" -> l12RollingFp,
     "l13_source_mix" -> l13SourceMix,
     "l14_token_pack" -> l14TokenPack,
+    "l42_seq_pack" -> l42SeqPack,
     "l28_containment" -> l28Containment,
     "l28b_containment_dedup" -> l28bContainmentDedup,
     "l29_novelty" -> l29Novelty,
@@ -1733,6 +1767,25 @@ object TextOps {
                 (length(source) * 37) % 51 + 40 AS keep_rate
          FROM documents
          WHERE doc_id % 100 < (length(source) * 37) % 51 + 40""",
+    "l42_seq_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                              AS BIGINT) AS cum_end
+                  FROM t WHERE n_tokens > 0),
+            e AS (SELECT doc_id, source, cum_end,
+                         cum_end - n_tokens AS cum_begin FROM c),
+            x AS (SELECT doc_id, source, cum_begin, cum_end,
+                         CAST(unnest(range(cum_begin // 512, (cum_end - 1) // 512 + 1))
+                              AS BIGINT) AS seq_no
+                  FROM e)
+         SELECT doc_id, source, seq_no,
+                greatest(cum_begin, seq_no * 512) - cum_begin AS seg_begin,
+                least(cum_end, (seq_no + 1) * 512)
+                  - greatest(cum_begin, seq_no * 512) AS seg_len
+         FROM x""",
     "l14_token_pack" ->
       """WITH t AS (SELECT doc_id, source,
                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -192,6 +192,13 @@ object Transforms {
         p.params.getOrElse("train", "80").toInt,
         p.params.getOrElse("val", "10").toInt)
     }
+    // training-sequence packing: fixed-length sequence index with
+    // cross-boundary doc splits; len is the sequence length in tokens
+    // (declared l42 pins 512)
+    r.register("seq_pack") { (_, in, p) =>
+      graft.ops.TextOps.seqPackFrames(in("docs"),
+        p.params.getOrElse("len", "512").toLong)
+    }
     // DSIR importance weights: score `source` docs by target-vs-source
     // n-gram distribution ratio (a real target corpus, not a holdout)
     r.register("dsir") { (_, in, _) =>

@@ -117,6 +117,34 @@ class IncrementalSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size)
   }
 
+  test("l42 sequence packing: interior sequences are exactly full; segments tile every doc") {
+    val rows = TextOps.queries("l42_seq_pack")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // every interior (source, seq_no) sums to exactly L; only the last
+    // sequence of a source may be ragged
+    val bySeq = rows.groupBy(r => (r._2, r._3))
+      .map { case (k, segs) => k -> segs.map(_._5).sum }
+    val lastSeq = bySeq.keys.groupBy(_._1).map { case (src, ks) => src -> ks.map(_._2).max }
+    bySeq.foreach { case ((src, seq), total) =>
+      if (seq < lastSeq(src)) assert(total == 512L, s"($src, $seq) sums to $total")
+      else assert(total <= 512L, s"($src, $seq) overflows: $total")
+    }
+    // segments tile each doc contiguously from 0 to n_tokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"doc $docId first segment offset")
+      assert(sorted.map(_._5).sum == docs(docId), s"doc $docId segment total")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"doc $docId gap at ${b._4}")
+        case _ => ()
+      }
+    }
+  }
+
   test("l41 DSIR: self-target weights are exactly zero; holdout target discriminates") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     // target == source -> every gram's smoothed probabilities are the
