@@ -145,6 +145,40 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("l42 packing law on adversarial lengths: exact-L docs, 1-token docs, straddlers") {
+    import spark.implicits._
+    val L = 7L
+    // token counts hitting every boundary case: exactly L, L±1, 1, 2L,
+    // 2L+1, and a long straddler
+    val lens = Seq(7, 1, 8, 6, 14, 15, 1, 7, 23, 2)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, if (i % 2 == 0) "sA" else "sB", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val rows = TextOps.seqPackFrames(docs, L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // tiling per doc
+    val nTokens = lens.zipWithIndex.map { case (n, i) => i.toLong -> n.toLong }.toMap
+    rows.groupBy(_._1).foreach { case (id, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L && sorted.map(_._5).sum == nTokens(id), s"doc $id")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"doc $id")
+        case _ => ()
+      }
+    }
+    // interior sequences exactly L, per source
+    val bySeq = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.map(_._5).sum }
+    val last = bySeq.keys.groupBy(_._1).map { case (s0, ks) => s0 -> ks.map(_._2).max }
+    bySeq.foreach { case ((s0, q), tot) =>
+      if (q < last(s0)) assert(tot == L, s"($s0,$q)=$tot") else assert(tot <= L)
+    }
+    // sequence numbering is dense from 0 per source
+    rows.groupBy(_._2).foreach { case (s0, rs) =>
+      val seqs = rs.map(_._3).distinct.sorted
+      assert(seqs.head == 0L && seqs.last == seqs.length - 1L, s"$s0: $seqs")
+    }
+  }
+
   test("l41 DSIR: self-target weights are exactly zero; holdout target discriminates") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     // target == source -> every gram's smoothed probabilities are the

@@ -61,7 +61,8 @@ object DumpPlans {
       "e11_conversion_lag" -> "Conversion-lag histogram: two user-keyed min-aggs share the user_id exchange, the histogram groupBy's key space is 49 buckets — final aggregation is metadata-sized regardless of user count.",
       "p9_expectations" -> "Data-quality expectations: four constraint checks fold into one aggregation over one scan; only the FK probe adds a (broadcast) left-anti join; stack pivots the single row to a row per constraint.",
       "l40_label_prop" -> "Label propagation, 3 synchronous rounds: each round one edge-keyed join + one (node, label) count aggregation + one node-partitioned window — integer counts on the wire, no floats, no global sort.",
-      "l41_dsir_weights" -> "DSIR importance weights: one gram explode feeds both distribution count tables on 8-byte hashes; smoothing constants arrive as a broadcast 1-row cross; the per-doc log-ratio rollup is a single doc_id shuffle.")
+      "l41_dsir_weights" -> "DSIR importance weights: one gram explode feeds both distribution count tables on 8-byte hashes; smoothing constants arrive as a broadcast 1-row cross; the per-doc log-ratio rollup is a single doc_id shuffle.",
+      "l42_seq_pack" -> "Training-sequence packing: ONE source-keyed window computes cumulative offsets, each doc generates its spanned sequences in-expression (no join) — scan, window, generate, project.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
