@@ -339,8 +339,51 @@ object EventOps {
       Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
       fromType = "view", toType = "purchase", capHours = 48)
 
+  /** E12: last-touch conversion attribution (24 h lookback) — every
+    * purchase is attributed to the user's most recent PRIOR click/view
+    * within the window, else 'direct': the marketing-attribution rollup
+    * behind "which channel drove this revenue", and the credit-assignment
+    * primitive behavioral datasets label conversions with.
+    *
+    * Plan: ONE user-keyed window (the e1/e4 exchange) carries the last
+    * touch as a (ts, type) struct via last(ignoreNulls) over an
+    * unbounded-to-previous-row frame — running state per user is one
+    * struct, never a per-user event buffer, and the naive alternative
+    * (purchases × touches inequality self-join) never appears. The
+    * channel rollup aggregates alphabet-sized keys. Total order
+    * (ts_us, event_id) pins same-microsecond ties; cents-long revenue
+    * sums are partitioning-independent. */
+  val e12Attribution: Q = (s, d) =>
+    attributionFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      touchTypes = Seq("click", "view"), target = "purchase",
+      lookbackUs = 86400L * 1000000)
+
+  /** e12 core over ANY (user_id, event_id, event_type, ts_us, value)
+    * stream with caller-chosen touch types, conversion type and lookback
+    * — registry name `attribution`. */
+  private[graft] def attributionFrames(ev: org.apache.spark.sql.DataFrame,
+      touchTypes: Seq[String], target: String, lookbackUs: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("lt",
+        last(
+          when(col("event_type").isin(touchTypes.map(x => x: Any): _*),
+            struct(col("ts_us").as("t_us"), col("event_type").as("ch"))),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === target)
+      .withColumn("channel",
+        when(col("lt").isNotNull && col("lt.t_us") >= col("ts_us") - lookbackUs,
+          col("lt.ch")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(Relational.cents(col("value"))).as("attributed_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
+    "e12_attribution" -> e12Attribution,
     "e2_funnel" -> e2Funnel,
     "e3_retention" -> e3Retention,
     "e4_transitions" -> e4Transitions,
@@ -354,6 +397,22 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e12_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            epoch_us(ts) AS ts_us, value FROM events),
+            lt AS (SELECT *,
+                     last_value(CASE WHEN event_type IN ('click', 'view')
+                                     THEN struct_pack(t_us := ts_us, ch := event_type)
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+                   FROM ev)
+         SELECT CASE WHEN lt IS NOT NULL AND lt.t_us >= ts_us - 86400000000
+                     THEN lt.ch ELSE 'direct' END AS channel,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS attributed_cents
+         FROM lt WHERE event_type = 'purchase'
+         GROUP BY 1""",
     "e11_conversion_lag" ->
       """WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS from_us
                      FROM events WHERE event_type = 'view' GROUP BY 1),

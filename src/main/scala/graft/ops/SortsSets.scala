@@ -68,6 +68,31 @@ object SortsSets {
                col("n") <= col("total") * 0.15).as("sample_ok"))
   }
 
+  /** O5: fixed-SIZE deterministic per-stratum sample — exactly k=5 docs
+    * per source, chosen by ranking md5(source:doc_id): the eval-set /
+    * inspection-batch carve ("give me 5 representative docs from every
+    * source, the same 5 every run, on any cluster"). Complements l16,
+    * which pins the RATE per stratum; this pins the COUNT. The hash rank
+    * is a pure function of row identity — order-independent,
+    * partitioning-independent, reproducible across engines.
+    *
+    * Plan: one source-partitioned window over (hash, doc_id); each
+    * stratum ranks independently (parallel across sources), and only the
+    * k survivors leave the window stage — no global sort, no collect. */
+  val o5StratifiedSample: Q = (s, d) =>
+    stratifiedSampleFrames(Tables.documents(s, d), "source", "doc_id", 5)
+
+  /** o5 core over ANY frame with caller-chosen stratum / id columns and
+    * per-stratum count — registry name `strat_sample`. */
+  private[graft] def stratifiedSampleFrames(df: org.apache.spark.sql.DataFrame,
+      stratum: String, id: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val h = md5(concat(col(stratum), lit(":"), col(id).cast("string")))
+    val w = Window.partitionBy(col(stratum)).orderBy(h, col(id))
+    df.select(col(id), col(stratum),
+        row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= k)
+  }
+
   /** U1: UNION ALL (multiset) — copies per key across two selections. */
   val u1UnionAll: Q = (s, d) => {
     val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
@@ -124,6 +149,7 @@ object SortsSets {
     "o2_limit_offset" -> o2LimitOffset,
     "o3_topk_global" -> o3TopkGlobal,
     "o4_sample" -> o4Sample,
+    "o5_stratified_sample" -> o5StratifiedSample,
     "u1_union_all" -> u1UnionAll,
     "u1b_union_distinct" -> u1bUnionDistinct,
     "u2_intersect" -> u2Intersect,
@@ -154,6 +180,14 @@ object SortsSets {
          ORDER BY rev DESC, l_orderkey LIMIT 10""",
     "o4_sample" ->
       "SELECT true AS sample_ok",
+    "o5_stratified_sample" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 5""",
     "u1_union_all" ->
       """SELECT c_custkey, count(*) AS n_copies FROM (
            SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -476,7 +476,38 @@ object StreamingOps {
         sum(Relational.cents(col("o_totalprice"))).as("cents"))
   }
 
+  /** T14: streaming approximate-distinct rollup — unique users per
+    * (hour, event_type) via approx_count_distinct, i.e. an HLL++ sketch
+    * maintained INSIDE the streaming aggregation state. This is the
+    * continuous-dashboard shape ("live uniques per window") where exact
+    * countDistinct is unsupported in streaming and per-key user sets
+    * would grow with cardinality; the sketch keeps state at a fixed few
+    * KB per (window, type) key no matter how many users arrive.
+    *
+    * The declared result joins the streamed estimates against the
+    * batch-exact counts (window starts are epoch-aligned, so the batch
+    * twin buckets by integer µs division) and emits the error-band
+    * boolean — the property-form oracle contract (g11's rule: DuckDB
+    * recomputes the exact side and asserts the bound TRUE). */
+  val t14StreamApproxUsers: Q = (s, d) => {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+    val streamed = runToMemory(agg, "t14_sink", "complete")
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("approx_users"))
+    val exact = Tables.events(s, d)
+      .groupBy((floor(unix_micros(col("ts")) / 3600000000L) * 3600L).as("win_start"),
+        col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    streamed.join(exact, Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) <=
+          greatest(col("n_exact").cast("double") * 0.05, lit(2.0))).as("approx_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_stream_approx_users" -> t14StreamApproxUsers,
     "t11_doc_ingest" -> t11DocIngest,
     "t12_stream_upsert" -> t12StreamUpsert,
     "t13_stream_quarantine" -> t13StreamQuarantine,
@@ -493,6 +524,12 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_stream_approx_users" ->
+      """SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS win_start,
+                event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                TRUE AS approx_ok
+         FROM events GROUP BY 1, 2""",
     // routing is row-local, so the landed tables equal one batch pass;
     // CASE order mirrors the gate's when-chain (range outranks accepted)
     "t13_stream_quarantine" ->

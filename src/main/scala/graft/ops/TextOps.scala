@@ -1101,6 +1101,67 @@ object TextOps {
     dsirScore(dsirGrams(source.withColumn("t", toks(col("text")))),
       dsirGrams(target.withColumn("t", toks(col("text")))))
 
+  /** L39: per-document unigram Shannon entropy — the vocabulary-diversity
+    * quality signal (low entropy = looping/boilerplate text even when
+    * l11b's fixed-window repetition checks miss it; filtering pipelines
+    * cut the bottom tail). H = ln(n) − Σ c·ln(c) / n over the doc's
+    * integer token counts, in nats.
+    *
+    * Plan: explode → (doc_id, word) count → doc_id rollup — l3's explode
+    * shuffle plus one doc_id-keyed aggregation, both on keys the corpus
+    * partitions evenly; no per-doc state beyond its own vocabulary. Every
+    * input to the float math is an exact integer count, so round(·,6)
+    * absorbs sum-order noise (the l21/l30 rule). */
+  val l39TokenEntropy: Q = (s, d) => entropyFrames(Tables.documents(s, d))
+
+  /** l39 core over ANY (doc_id, text) frame — registry name `entropy`. */
+  private[graft] def entropyFrames(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")), 6).as("entropy"))
+
+  /** L43: per-source Zipf slope — OLS fit of ln(freq) on ln(rank) over
+    * each source's word-frequency table. Natural language tracks slope
+    * ≈ −1 (Zipf's law); machine-generated / templated sources flatten
+    * toward 0 and spam repetition steepens past −1, so the slope is the
+    * corpus-health diagnostic data-mixing runs check per source before
+    * weighting (the l25/l13 inputs).
+    *
+    * Plan: one (source, word) count shuffle over the exploded stream,
+    * then a source-partitioned rank window + the regression rollup over
+    * VOCABULARY-sized rows — after the first aggregation nothing is
+    * corpus-scale, so the window never sees document volume. Rank is the
+    * integer row_number over (count DESC, word), bit-identical in both
+    * engines; the OLS sums are floats over those integers, round(·,6). */
+  val l43ZipfSlope: Q = (s, d) => zipfSlopeFrames(Tables.documents(s, d))
+
+  /** l43 core over ANY (source, text) frame — registry name `zipf`. */
+  private[graft] def zipfSlopeFrames(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+    val n = count(lit(1)).cast("double")
+    freq
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        round(
+          (n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))),
+          6).as("zipf_slope"))
+  }
+
   /** L22: the COMPOSED cleaning pipeline as ONE declared query — how a
     * training-data user actually runs the engine end-to-end: exact-dedup
     * canonical gate (l4's semantics as a window on the content hash) →
@@ -1300,6 +1361,8 @@ object TextOps {
     "l20_substring_dup" -> l20SubstringDup,
     "l21_lm_score" -> l21LmScore,
     "l41_dsir_weights" -> l41DsirWeights,
+    "l39_token_entropy" -> l39TokenEntropy,
+    "l43_zipf_slope" -> l43ZipfSlope,
     "l22_pipeline_clean" -> l22PipelineClean,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
@@ -1631,6 +1694,29 @@ object TextOps {
          CROSS JOIN st
          WHERE gr.doc_id % 20 <> 0
          GROUP BY 1""",
+    "l39_token_entropy" ->
+      """WITH cnt AS (SELECT doc_id, w, count(*) AS c
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents)
+                      GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+         FROM cnt GROUP BY doc_id""",
+    "l43_zipf_slope" ->
+      """WITH freq AS (SELECT source, w, count(*) AS c
+                       FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                             FROM documents)
+                       GROUP BY 1, 2),
+            xy AS (SELECT source,
+                          ln(CAST(row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS DOUBLE)) AS x,
+                          ln(CAST(c AS DOUBLE)) AS y
+                   FROM freq)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                      (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+         FROM xy GROUP BY source""",
     "l21_lm_score" ->
       """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t,
                             len(string_split(text, ' ')) AS n

@@ -204,6 +204,37 @@ object Transforms {
     r.register("dsir") { (_, in, _) =>
       graft.ops.TextOps.dsirFrames(in("source"), in("target"))
     }
+    // per-doc unigram Shannon entropy (vocabulary-diversity quality
+    // signal) over any (doc_id, text) step
+    r.register("entropy") { (_, in, _) =>
+      graft.ops.TextOps.entropyFrames(in("docs"))
+    }
+    // per-source Zipf slope (corpus-health diagnostic) over any
+    // (source, text) step
+    r.register("zipf") { (_, in, _) =>
+      graft.ops.TextOps.zipfSlopeFrames(in("docs"))
+    }
+    // last-touch conversion attribution over any typed event stream;
+    // touches is a comma-separated type list (declared e12 pins
+    // click,view → purchase in a 24 h lookback)
+    r.register("attribution") { (_, in, p) =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      graft.ops.EventOps.attributionFrames(
+        in("events").withColumn("ts_us",
+          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        p.params.getOrElse("touches", "click,view")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("target", "purchase"),
+        p.params.getOrElse("lookback", "86400").toLong * 1000000)
+    }
+    // fixed-size deterministic per-stratum sample: exactly k rows per
+    // stratum by md5 rank (declared o5 pins source/doc_id/k=5)
+    r.register("strat_sample") { (_, in, p) =>
+      graft.ops.SortsSets.stratifiedSampleFrames(in("rows"),
+        p.params.getOrElse("stratum", "source"),
+        p.params.getOrElse("id", "doc_id"),
+        p.params.getOrElse("k", "5").toInt)
+    }
     // conversion-lag histogram between two event types over any typed
     // event stream (declared e11 pins view→purchase, 48h cap)
     r.register("conversion_lag") { (_, in, p) =>

@@ -91,7 +91,14 @@ class GrowthSpec extends SparkSpec {
       // CC + a projection
       "l40_label_prop" -> graft.ops.Graphs.queries("l40_label_prop"),
       "l41_dsir_weights" -> TextOps.queries("l41_dsir_weights"),
-      "l38_group_split" -> TextOps.queries("l38_group_split"))) {
+      "l38_group_split" -> TextOps.queries("l38_group_split"),
+      // entropy is agg→agg (token-linear); zipf's risk is the rank window
+      // accidentally running over the exploded token stream instead of
+      // the aggregated vocabulary; e12's is a purchases×touches
+      // inequality join instead of the one carried-struct window
+      "l39_token_entropy" -> TextOps.queries("l39_token_entropy"),
+      "l43_zipf_slope" -> TextOps.queries("l43_zipf_slope"),
+      "e12_attribution" -> EventOps.queries("e12_attribution"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

@@ -538,6 +538,49 @@ class PipelineSpecTest extends SparkSpec {
     assert(open.keys.max > 1, open.toString)
   }
 
+  test("entropy, zipf, attribution, strat_sample: knobs live through the registry") {
+    import org.apache.spark.sql.functions.log
+    val wh = Files.createTempDirectory("graft_wh_r8c").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val nSrc = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    // entropy: one row per doc, 0 ≤ H ≤ ln(n_types) (uniform bound)
+    val ent = spark.read.parquet(s"$wh/${runner.execute(
+      PipelineSpec(Seq(docsStep, StepSpec("h", "entropy", Map("docs" -> "docs")))),
+      Seq("h"))("h")}")
+    assert(ent.count() == nDocs)
+    assert(ent.where(col("entropy") < -1e-9 ||
+      col("entropy") > log(col("n_types").cast("double")) + 1e-6).count() == 0)
+    // zipf: one row per source, slope strictly negative on ranked counts
+    val z = spark.read.parquet(s"$wh/${runner.execute(
+      PipelineSpec(Seq(docsStep, StepSpec("z", "zipf", Map("docs" -> "docs")))),
+      Seq("z"))("z")}")
+    assert(z.count() == nSrc)
+    assert(z.where(col("zipf_slope") >= 0).count() == 0)
+    // attribution: lookback=0 sends every purchase to 'direct' (no same-µs
+    // touches exist in the fixture); purchase totals are conserved
+    def att(lookback: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(evStep, StepSpec("att", "attribution",
+          Map("events" -> "ev"), Map("lookback" -> lookback)))),
+        Seq("att"))("att")}")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a0 = att("0"); val a24 = att("86400")
+    assert(a0.keySet == Set("direct") && a0.values.sum == a24.values.sum,
+      s"a0=$a0 a24=$a24")
+    assert(a24.size > 1, a24.toString)
+    // strat_sample: exactly k rows per stratum, k moves with the param
+    def strat(k: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(docsStep, StepSpec("s5", "strat_sample",
+          Map("rows" -> "docs"), Map("k" -> k)))),
+        Seq("s5"))("s5")}")
+    val s3 = strat("3").groupBy(col("source")).count().collect()
+    assert(s3.length == nSrc && s3.forall(_.getLong(1) == 3L))
+    assert(strat("7").count() == 7L * nSrc)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(

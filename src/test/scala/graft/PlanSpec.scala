@@ -337,4 +337,28 @@ class PlanSpec extends SparkSpec {
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("binaryFile") || s.contains("BinaryFile"), s)
   }
+
+  test("e12 attribution: one user-keyed window carries the last touch — no join anywhere") {
+    val plan = executed(graft.SparkEntry.queries("e12_attribution")(spark, sfDir))
+    val joins = collectAll(plan).filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty,
+      s"attribution should be window+agg, not a purchases×touches join:\n$plan")
+  }
+
+  test("l39 entropy: two keyed aggregations, no window, no join") {
+    val plan = executed(graft.SparkEntry.queries("l39_token_entropy")(spark, sfDir))
+    val all = collectAll(plan)
+    val bad = all.filter(p => p.nodeName.toLowerCase.contains("join") ||
+      p.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(bad.isEmpty, s"entropy should be agg→agg only:\n$plan")
+  }
+
+  test("l43 zipf: the rank window runs over the aggregated vocab, after the count shuffle") {
+    val plan = executed(graft.SparkEntry.queries("l43_zipf_slope")(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"expected a rank window:\n$plan")
+    val joins = all.filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"zipf fit should be agg→window→agg:\n$plan")
+  }
 }

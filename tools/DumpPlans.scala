@@ -62,7 +62,10 @@ object DumpPlans {
       "p9_expectations" -> "Data-quality expectations: four constraint checks fold into one aggregation over one scan; only the FK probe adds a (broadcast) left-anti join; stack pivots the single row to a row per constraint.",
       "l40_label_prop" -> "Label propagation, 3 synchronous rounds: each round one edge-keyed join + one (node, label) count aggregation + one node-partitioned window — integer counts on the wire, no floats, no global sort.",
       "l41_dsir_weights" -> "DSIR importance weights: one gram explode feeds both distribution count tables on 8-byte hashes; smoothing constants arrive as a broadcast 1-row cross; the per-doc log-ratio rollup is a single doc_id shuffle.",
-      "l42_seq_pack" -> "Training-sequence packing: ONE source-keyed window computes cumulative offsets, each doc generates its spanned sequences in-expression (no join) — scan, window, generate, project.")
+      "l42_seq_pack" -> "Training-sequence packing: ONE source-keyed window computes cumulative offsets, each doc generates its spanned sequences in-expression (no join) — scan, window, generate, project.",
+      "e12_attribution" -> "Last-touch attribution: one user-keyed window carries the most recent touch as a struct (last ignoreNulls over unbounded-to-previous) to every purchase row — no purchases x touches inequality join; the channel rollup aggregates alphabet-sized keys.",
+      "l39_token_entropy" -> "Per-doc token entropy: explode -> (doc_id, word) count -> doc_id rollup — two keyed aggregations, no window, no join; every float input is an exact integer count.",
+      "l43_zipf_slope" -> "Per-source Zipf slope: the rank window and the OLS rollup run over the AGGREGATED vocabulary (one corpus-scale shuffle total); integer row_number ranks make the fit bit-deterministic across engines.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
