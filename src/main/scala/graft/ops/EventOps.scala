@@ -381,9 +381,52 @@ object EventOps {
         sum(Relational.cents(col("value"))).as("attributed_cents"))
   }
 
+  /** E13: ordered k-step funnel — each step's first occurrence must
+    * FOLLOW the previous step's (e2 generalized past two steps and freed
+    * of its fixed window): per user, t₁ = first signup, t₂ = first view
+    * at-or-after t₁, t₃ = first purchase at-or-after t₂; partial funnels
+    * keep their depth. The product-analytics "activation path" report
+    * and the multi-step conversion label a sequence model trains on.
+    *
+    * Plan: one filtered min-agg per step, each joined on user_id — k
+    * user-keyed aggregations co-partitioned on the SAME key (one
+    * logical exchange family, AQE reuses the partitioning), left joins
+    * preserve drop-off. Never a window over the whole stream and never
+    * an inequality self-join: each step's filter lands BEFORE its
+    * aggregation, so step frames shrink monotonically. */
+  val e13FunnelSteps: Q = (s, d) =>
+    funnelStepsFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      Seq("signup", "view", "purchase"))
+
+  /** e13 core over ANY (user_id, event_type, ts_us) stream and ordered
+    * step-type list — registry name `funnel_steps`. */
+  private[graft] def funnelStepsFrames(ev: org.apache.spark.sql.DataFrame,
+      steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s1_us"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"s${i}_us"
+        val cur = s"s${i + 1}_us"
+        val next = ev.where(col("event_type") === step)
+          .select(col("user_id"), col("ts_us"))
+          .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+          .where(col("ts_us") >= col(prev))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as(cur))
+        acc.join(next.select(col("user_id"), col(cur)), Seq("user_id"), "left")
+    }
+    val depth = steps.indices.drop(1)
+      .map(i => when(col(s"s${i + 1}_us").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    full.withColumn("depth", depth)
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_sessionize" -> e1Sessionize,
     "e12_attribution" -> e12Attribution,
+    "e13_funnel_steps" -> e13FunnelSteps,
     "e2_funnel" -> e2Funnel,
     "e3_retention" -> e3Retention,
     "e4_transitions" -> e4Transitions,
@@ -397,6 +440,21 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e13_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us
+                     FROM events WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s2_us
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s1.s1_us
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS s3_us
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.s2_us
+                   GROUP BY 1)
+         SELECT s1.user_id, s1_us, s2_us, s3_us,
+                CAST(1 + CASE WHEN s2_us IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN s3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
     "e12_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
                             epoch_us(ts) AS ts_us, value FROM events),

@@ -1162,6 +1162,40 @@ object TextOps {
           6).as("zipf_slope"))
   }
 
+  /** L44: per-source KL divergence from the corpus unigram distribution —
+    * KL(p_source ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)): the source-
+    * distinctiveness / mixture-drift diagnostic (a source whose word
+    * distribution diverges hard from the pool gets a second look before
+    * l13/l25 weighting mixes it in). No smoothing is needed — every
+    * source word exists in the corpus by construction, so the ratio is
+    * always finite.
+    *
+    * Plan: ONE (source, word) count shuffle over the exploded stream;
+    * the corpus marginals REAGGREGATE the (source, word) table (vocab-
+    * sized input, never a second corpus scan), join back on the word
+    * key, per-source rollup. After the first aggregation everything is
+    * vocabulary-scale. Integer counts in, round(·,6) out. */
+  val l44SourceKl: Q = (s, d) => sourceKlFrames(Tables.documents(s, d))
+
+  /** l44 core over ANY (source, text) frame — registry name `source_kl`. */
+  private[graft] def sourceKlFrames(docs: DataFrame): DataFrame = {
+    val cw = docs
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val corp = cw.groupBy(col("w")).agg(sum(col("c")).as("cw_all"))
+    val tot = cw.agg(sum(col("c")).as("n"))
+    val ps = col("c").cast("double") / col("ns")
+    val p = col("cw_all").cast("double") / col("n")
+    cw.join(srcTot, Seq("source"))
+      .join(corp, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        round(sum(ps * log(ps / p)), 6).as("kl"))
+  }
+
   /** L22: the COMPOSED cleaning pipeline as ONE declared query — how a
     * training-data user actually runs the engine end-to-end: exact-dedup
     * canonical gate (l4's semantics as a window on the content hash) →
@@ -1363,6 +1397,7 @@ object TextOps {
     "l41_dsir_weights" -> l41DsirWeights,
     "l39_token_entropy" -> l39TokenEntropy,
     "l43_zipf_slope" -> l43ZipfSlope,
+    "l44_source_kl" -> l44SourceKl,
     "l22_pipeline_clean" -> l22PipelineClean,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
@@ -1703,6 +1738,20 @@ object TextOps {
                 CAST(count(*) AS BIGINT) AS n_types,
                 round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 6) AS entropy
          FROM cnt GROUP BY doc_id""",
+    "l44_source_kl" ->
+      """WITH cw AS (SELECT source, w, count(*) AS c
+                     FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     GROUP BY 1, 2),
+            srctot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cw GROUP BY 1),
+            corp AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw_all FROM cw GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cw)
+         SELECT cw.source, CAST(max(srctot.ns) AS BIGINT) AS n_tokens,
+                round(sum((cw.c * 1.0 / srctot.ns) *
+                          ln((cw.c * 1.0 / srctot.ns) /
+                             (corp.cw_all * 1.0 / tot.n))), 6) AS kl
+         FROM cw JOIN srctot USING (source) JOIN corp USING (w) CROSS JOIN tot
+         GROUP BY 1""",
     "l43_zipf_slope" ->
       """WITH freq AS (SELECT source, w, count(*) AS c
                        FROM (SELECT source, unnest(string_split(text, ' ')) AS w

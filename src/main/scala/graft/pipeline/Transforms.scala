@@ -204,6 +204,21 @@ object Transforms {
     r.register("dsir") { (_, in, _) =>
       graft.ops.TextOps.dsirFrames(in("source"), in("target"))
     }
+    // ordered k-step funnel: steps is a comma-separated ordered type
+    // list (declared e13 pins signup,view,purchase)
+    r.register("funnel_steps") { (_, in, p) =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      graft.ops.EventOps.funnelStepsFrames(
+        in("events").withColumn("ts_us",
+          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        p.params.getOrElse("steps", "signup,view,purchase")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+    // per-source KL divergence from the corpus unigram distribution
+    // over any (source, text) step
+    r.register("source_kl") { (_, in, _) =>
+      graft.ops.TextOps.sourceKlFrames(in("docs"))
+    }
     // per-doc unigram Shannon entropy (vocabulary-diversity quality
     // signal) over any (doc_id, text) step
     r.register("entropy") { (_, in, _) =>

@@ -98,7 +98,13 @@ class GrowthSpec extends SparkSpec {
       // inequality join instead of the one carried-struct window
       "l39_token_entropy" -> TextOps.queries("l39_token_entropy"),
       "l43_zipf_slope" -> TextOps.queries("l43_zipf_slope"),
-      "e12_attribution" -> EventOps.queries("e12_attribution"))) {
+      "e12_attribution" -> EventOps.queries("e12_attribution"),
+      // e13's quadratic risk is an events×events inequality self-join
+      // instead of chained filtered min-aggs; l44's is joining the
+      // corpus marginals from a second corpus-scale scan instead of
+      // reaggregating the vocab table
+      "e13_funnel_steps" -> EventOps.queries("e13_funnel_steps"),
+      "l44_source_kl" -> TextOps.queries("l44_source_kl"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

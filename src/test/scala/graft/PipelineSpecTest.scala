@@ -581,6 +581,38 @@ class PipelineSpecTest extends SparkSpec {
     assert(strat("7").count() == 7L * nSrc)
   }
 
+  test("funnel_steps and source_kl: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8d").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    // funnel_steps: a 2-step funnel has no s3 column; depth ≤ steps; the
+    // 3-step funnel's s2 population is a superset of its s3 population
+    def funnel(steps: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(evStep, StepSpec("f", "funnel_steps",
+          Map("events" -> "ev"), Map("steps" -> steps)))),
+        Seq("f"))("f")}")
+    val two = funnel("signup,purchase")
+    assert(two.columns.toSet - "_impression_id" ==
+      Set("user_id", "s1_us", "s2_us", "depth"))
+    assert(two.where(col("depth") > 2).count() == 0)
+    val three = funnel("signup,view,purchase")
+    val n3 = three.where(col("s3_us").isNotNull).count()
+    val n2 = three.where(col("s2_us").isNotNull).count()
+    assert(n3 <= n2 && n2 <= three.count(), s"n3=$n3 n2=$n2")
+    // the ordering constraint binds: each step's ts is >= the previous
+    assert(three.where(col("s2_us") < col("s1_us") ||
+      col("s3_us") < col("s2_us")).count() == 0)
+    // source_kl: KL >= 0 (Gibbs), one row per source
+    val kl = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(docsStep, StepSpec("k", "source_kl", Map("docs" -> "docs")))),
+        Seq("k"))("k")}")
+    val nSrc2 = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(kl.count() == nSrc2)
+    assert(kl.where(col("kl") < -1e-9).count() == 0)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(

@@ -353,6 +353,22 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"entropy should be agg→agg only:\n$plan")
   }
 
+  test("e13 funnel: keyed user_id equi-joins only — step filters precede aggregation, no inequality self-join") {
+    val plan = executed(graft.SparkEntry.queries("e13_funnel_steps")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in funnel plan:\n$plan")
+  }
+
+  test("l44 source KL: word-keyed equi-joins; only the 1-row total cross is unkeyed") {
+    val plan = executed(graft.SparkEntry.queries("l44_source_kl")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.size <= 1, s"unkeyed join beyond the 1-row total cross in KL plan:\n$plan")
+  }
+
   test("l43 zipf: the rank window runs over the aggregated vocab, after the count shuffle") {
     val plan = executed(graft.SparkEntry.queries("l43_zipf_slope")(spark, sfDir))
     val all = collectAll(plan)

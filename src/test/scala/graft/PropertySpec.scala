@@ -151,4 +151,79 @@ class PropertySpec extends SparkSpec {
         s"brute-only=${(want -- got).take(3)}")
     }
   }
+
+  test("attribution equals brute force on ties and exact-lookback boundaries") {
+    import s.implicits._
+    val lookback = 1800L * 1000000
+    val grid = 600L * 1000000 // deltas hit the boundary EXACTLY (>= keeps it)
+    val types = Vector("click", "view", "purchase", "error")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 80).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong,
+          types(rnd.nextInt(types.size)),
+          rnd.nextInt(10).toLong * grid,     // ts_us — frequent exact ties
+          rnd.nextInt(10000) / 100.0)
+      }
+      def cents(v: Double): Long =
+        new java.math.BigDecimal(v * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      // brute force: per user, total order (ts, id); a purchase credits
+      // the latest prior touch (any earlier row, same-µs smaller id
+      // included) iff its ts is within the lookback (boundary inclusive)
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._4, e._1)).toVector
+        sorted.zipWithIndex.collect { case ((_, _, "purchase", ts, v), i) =>
+          val touch = sorted.take(i).filter(e => e._3 == "click" || e._3 == "view")
+            .lastOption
+          val ch = touch match {
+            case Some(t) if t._4 >= ts - lookback => t._3
+            case _ => "direct"
+          }
+          (ch, v)
+        }
+      }.groupBy(_._1).map { case (ch, vs) =>
+        (ch, vs.size.toLong, vs.map(x => cents(x._2)).sum)
+      }.toSet
+      val got = graft.ops.EventOps.attributionFrames(
+          rows.toDF("event_id", "user_id", "event_type", "ts_us", "value"),
+          Seq("click", "view"), "purchase", lookback)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed: spark=$got brute=$want")
+    }
+  }
+
+  test("ordered funnel equals brute force on tied and out-of-order step times") {
+    import s.implicits._
+    val steps = Seq("a", "b", "c")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 80).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          Vector("a", "b", "c", "x")(rnd.nextInt(4)),
+          rnd.nextInt(8).toLong * 1000000L)  // small grid → ties across steps
+      }
+      // brute force: t1 = min ts of step1; tk = min ts of step-k events
+      // at-or-after t(k-1); absent steps truncate depth
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+        val t1 = es.filter(_._3 == "a").map(_._4).minOption
+        t1.map { start =>
+          val ts = scala.collection.mutable.ArrayBuffer[Option[Long]](Some(start))
+          for (st <- steps.drop(1)) {
+            val prev = ts.last
+            ts += prev.flatMap(p =>
+              es.filter(e => e._3 == st && e._4 >= p).map(_._4).minOption)
+          }
+          (u, ts(0), ts(1), ts(2), 1L + ts.drop(1).count(_.isDefined))
+        }
+      }.toSet
+      val got = graft.ops.EventOps.funnelStepsFrames(
+          rows.toDF("event_id", "user_id", "event_type", "ts_us"), steps)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSet
+      assert(got == want, s"seed=$seed: spark-only=${(got -- want).take(3)} " +
+        s"brute-only=${(want -- got).take(3)}")
+    }
+  }
 }

@@ -65,7 +65,9 @@ object DumpPlans {
       "l42_seq_pack" -> "Training-sequence packing: ONE source-keyed window computes cumulative offsets, each doc generates its spanned sequences in-expression (no join) — scan, window, generate, project.",
       "e12_attribution" -> "Last-touch attribution: one user-keyed window carries the most recent touch as a struct (last ignoreNulls over unbounded-to-previous) to every purchase row — no purchases x touches inequality join; the channel rollup aggregates alphabet-sized keys.",
       "l39_token_entropy" -> "Per-doc token entropy: explode -> (doc_id, word) count -> doc_id rollup — two keyed aggregations, no window, no join; every float input is an exact integer count.",
-      "l43_zipf_slope" -> "Per-source Zipf slope: the rank window and the OLS rollup run over the AGGREGATED vocabulary (one corpus-scale shuffle total); integer row_number ranks make the fit bit-deterministic across engines.")
+      "l43_zipf_slope" -> "Per-source Zipf slope: the rank window and the OLS rollup run over the AGGREGATED vocabulary (one corpus-scale shuffle total); integer row_number ranks make the fit bit-deterministic across engines.",
+      "e13_funnel_steps" -> "Ordered k-step funnel: one filtered min-agg per step, all co-partitioned on user_id; each step's filter lands before its aggregation so frames shrink monotonically — no window over the whole stream, no inequality self-join.",
+      "l44_source_kl" -> "Per-source KL from the corpus unigram distribution: one (source, word) count shuffle; the corpus marginals REAGGREGATE the vocab table (no second corpus scan) and join back on the word key; the 1-row total broadcasts.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
