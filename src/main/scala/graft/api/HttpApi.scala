@@ -403,6 +403,13 @@ final class HttpApi(runner: Runner, port: Int = 0,
     }
   })
 
+  // discoverability: the registered transform vocabulary a spec step can
+  // name — the typed analogue of browsing which algorithm impressions
+  // exist (image lookup, container_job.py:44-61)
+  server.createContext("/transforms", (ex: HttpExchange) =>
+    respond(ex, 200, JObject("transforms" ->
+      JArray(runner.transformNames.toList.sorted.map(JString(_))))))
+
   server.createContext("/sources", (ex: HttpExchange) =>
     respond(ex, 200, JObject("sources" -> JArray(runner.sources.map(r =>
       JObject("name" -> JString(r.name), "impression" -> JString(r.impression),

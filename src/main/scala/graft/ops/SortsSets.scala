@@ -93,6 +93,50 @@ object SortsSets {
       .where(col("rk") <= k)
   }
 
+  /** O6: 2-D skyline (Pareto front) — the preference query "parts no
+    * other part beats on BOTH price (lower better) and size (higher
+    * better)": a point survives iff no other point is ≤/≥ in both
+    * dimensions and strictly better in one. Cf. "Integration of Skyline
+    * Queries into Spark SQL" (EDBT 2023); the naive formulation is the
+    * O(n²) NOT-EXISTS self-join the oracle runs.
+    *
+    * Plan (never a self-join): normalize both dims to minimize, then on
+    * DISTINCT (x, y) pairs a point is dominated iff some pair sorted
+    * before it (x asc, y asc) has a strictly smaller y — so the skyline
+    * filter is a running-min window. Two phases: a LOCAL pass with the
+    * same window partitioned by a hash bucket (parallel, prunes ~all
+    * dominated points), then the GLOBAL window over the few survivors —
+    * the classic local-skyline/merge decomposition, and the only global
+    * ordering touches the pruned remnant, never the table. Survivors
+    * semi-join back to emit the original rows. */
+  val o6Skyline: Q = (s, d) =>
+    skyline2dFrames(Tables.part(s, d),
+      "p_retailprice", minimize1 = true, "p_size", minimize2 = false)
+
+  /** o6 core over ANY frame and chosen dimensions/directions — registry
+    * name `skyline`. Ties on both dims are all kept (equal points don't
+    * dominate each other); every original column is preserved. */
+  private[graft] def skyline2dFrames(df: org.apache.spark.sql.DataFrame,
+      c1: String, minimize1: Boolean, c2: String, minimize2: Boolean): org.apache.spark.sql.DataFrame = {
+    def sx = if (minimize1) col(c1).cast("double") else -col(c1).cast("double")
+    def sy = if (minimize2) col(c2).cast("double") else -col(c2).cast("double")
+    val pts = df.select(sx.as("_sx"), sy.as("_sy")).distinct()
+    val localW = Window.partitionBy(col("_b")).orderBy(col("_sx"), col("_sy"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("_b", pmod(hash(col("_sx"), col("_sy")), lit(32)))
+      .withColumn("_m", min(col("_sy")).over(localW))
+      .where(col("_m").isNull || col("_sy") < col("_m"))
+      .drop("_b", "_m")
+    val globalW = Window.orderBy(col("_sx"), col("_sy"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = local
+      .withColumn("_m", min(col("_sy")).over(globalW))
+      .where(col("_m").isNull || col("_sy") < col("_m"))
+      .drop("_m")
+    df.join(sky, sx === col("_sx") && sy === col("_sy"), "left_semi")
+  }
+
   /** U1: UNION ALL (multiset) — copies per key across two selections. */
   val u1UnionAll: Q = (s, d) => {
     val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
@@ -150,6 +194,7 @@ object SortsSets {
     "o3_topk_global" -> o3TopkGlobal,
     "o4_sample" -> o4Sample,
     "o5_stratified_sample" -> o5StratifiedSample,
+    "o6_skyline" -> o6Skyline,
     "u1_union_all" -> u1UnionAll,
     "u1b_union_distinct" -> u1bUnionDistinct,
     "u2_intersect" -> u2Intersect,
@@ -180,6 +225,12 @@ object SortsSets {
          ORDER BY rev DESC, l_orderkey LIMIT 10""",
     "o4_sample" ->
       "SELECT true AS sample_ok",
+    "o6_skyline" ->
+      """SELECT * FROM part a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part b
+           WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+             AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""",
     "o5_stratified_sample" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,

@@ -82,6 +82,10 @@ final class Runner(
   /** The session this runner executes on (e.g. for listener installation). */
   def session: SparkSession = spark
 
+  /** Registered transform names — the engine's operator vocabulary, the
+    * typed analogue of listing which algorithm impressions exist. */
+  def transformNames: Set[String] = registry.names
+
   // registered sources are first-class transforms: a spec step
   // `{"transform": "ingested", "params": {"name": "mydata"}}` reads the
   // registered external dataset (pin `"rev": <source impression>` in params

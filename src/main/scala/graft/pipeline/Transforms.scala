@@ -204,6 +204,13 @@ object Transforms {
     r.register("dsir") { (_, in, _) =>
       graft.ops.TextOps.dsirFrames(in("source"), in("target"))
     }
+    // 2-D skyline (Pareto front) over any step: c1/c2 name the dims,
+    // dir1/dir2 are min|max (declared o6 pins price min, size max)
+    r.register("skyline") { (_, in, p) =>
+      graft.ops.SortsSets.skyline2dFrames(in("rows"),
+        p("c1"), p.params.getOrElse("dir1", "min") == "min",
+        p("c2"), p.params.getOrElse("dir2", "min") == "min")
+    }
     // ordered k-step funnel: steps is a comma-separated ordered type
     // list (declared e13 pins signup,view,purchase)
     r.register("funnel_steps") { (_, in, p) =>

@@ -258,6 +258,18 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GET /transforms lists the registered operator vocabulary") {
+    val wh = Files.createTempDirectory("graft_api_tr").toString
+    val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()
+    try {
+      val (code, body) = get(s"http://localhost:${api.boundPort}/transforms")
+      assert(code == 200, body)
+      for (t <- Seq("source", "sql", "query", "skyline", "funnel_steps",
+          "entropy", "dsir", "ingested"))
+        assert(body.contains(s""""$t""""), s"missing $t in $body")
+    } finally api.stop()
+  }
+
   test("ping / run / status / collect / purge round-trip") {
     val wh = Files.createTempDirectory("graft_api_wh").toString
     val api = new HttpApi(new Runner(spark, Transforms.standard(), wh)).start()

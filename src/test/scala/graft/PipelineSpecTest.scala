@@ -603,6 +603,17 @@ class PipelineSpecTest extends SparkSpec {
     // the ordering constraint binds: each step's ts is >= the previous
     assert(three.where(col("s2_us") < col("s1_us") ||
       col("s3_us") < col("s2_us")).count() == 0)
+    // skyline: direction knobs flip the front (min/max vs min/min)
+    val partStep = StepSpec("part", "source", params = Map("dir" -> sfDir, "table" -> "part"))
+    def sky(dir2: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(partStep, StepSpec("sk", "skyline",
+          Map("rows" -> "part"),
+          Map("c1" -> "p_retailprice", "c2" -> "p_size", "dir2" -> dir2)))),
+        Seq("sk"))("sk")}")
+    val maxFront = sky("max").select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val minFront = sky("min").select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    assert(maxFront.nonEmpty && minFront.nonEmpty && maxFront != minFront,
+      s"max=$maxFront min=$minFront")
     // source_kl: KL >= 0 (Gibbs), one row per source
     val kl = spark.read.parquet(s"$wh/${runner.execute(
         PipelineSpec(Seq(docsStep, StepSpec("k", "source_kl", Map("docs" -> "docs")))),

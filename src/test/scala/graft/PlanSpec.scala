@@ -369,6 +369,17 @@ class PlanSpec extends SparkSpec {
     assert(bad.size <= 1, s"unkeyed join beyond the 1-row total cross in KL plan:\n$plan")
   }
 
+  test("o6 skyline: running-min windows + one semi-join back — never the O(n²) dominance self-join") {
+    val plan = executed(graft.SparkEntry.queries("o6_skyline")(spark, sfDir))
+    val all = collectAll(plan)
+    val bad = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in skyline plan:\n$plan")
+    assert(all.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) >= 2,
+      s"expected the local + global running-min windows:\n$plan")
+  }
+
   test("l43 zipf: the rank window runs over the aggregated vocab, after the count shuffle") {
     val plan = executed(graft.SparkEntry.queries("l43_zipf_slope")(spark, sfDir))
     val all = collectAll(plan)

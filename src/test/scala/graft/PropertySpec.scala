@@ -193,6 +193,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("2-D skyline equals brute-force dominance on duplicates and tied dims") {
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // small value grid → many exact ties and duplicate points; both
+      // directions exercised (minimize x, maximize y)
+      val rows = (0 until 60).map { i =>
+        (i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(8).toLong)
+      }
+      val want = rows.filter { a =>
+        !rows.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+          (b._2 < a._2 || b._3 > a._3))
+      }.toSet
+      val got = graft.ops.SortsSets.skyline2dFrames(
+          rows.toDF("id", "x", "y"), "x", minimize1 = true, "y", minimize2 = false)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed: spark-only=${(got -- want).take(3)} " +
+        s"brute-only=${(want -- got).take(3)}")
+    }
+  }
+
   test("ordered funnel equals brute force on tied and out-of-order step times") {
     import s.implicits._
     val steps = Seq("a", "b", "c")
