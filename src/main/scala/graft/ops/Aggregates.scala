@@ -200,6 +200,39 @@ object Aggregates {
     per.union(global)
   }
 
+  /** G14: sketch SET ALGEBRA — distinct-user overlap between every pair
+    * of event types by inclusion-exclusion over mergeable HLL sketches:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). The audience-overlap question
+    * ("how many purchase users also hit errors?") answered from the
+    * 5-row per-type sketch table alone — any of the K·(K−1)/2 pair
+    * intersections costs two estimates and one sketch union, with NO
+    * re-scan of raw events (the g11 precompute-once posture extended
+    * from rollups to set operations).
+    *
+    * Intersection error compounds to ~3 σ of a single estimate, so the
+    * declared bound is ±10% (vs g11's ±5% for plain estimates) — pinned
+    * with the exact in-plan twin in property form like g11/g11b. */
+  val g14HllIntersect: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sk = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val pairs = sk.select(col("event_type").as("ta"), col("sk").as("ska"))
+      .crossJoin(sk.select(col("event_type").as("tb"), col("sk").as("skb")))
+      .where(col("ta") < col("tb")) // K sketch rows — the cross is K², tiny
+      .select(col("ta"), col("tb"),
+        (expr("hll_sketch_estimate(ska)") + expr("hll_sketch_estimate(skb)") -
+          expr("hll_sketch_estimate(hll_union(ska, skb))")).as("est"))
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val exact = ut.as("x").join(ut.as("y"), Seq("user_id"))
+      .where(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count_distinct(col("user_id")).as("nd_exact"))
+    exact.join(pairs, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("nd_exact"),
+        (abs(col("est") - col("nd_exact")) <=
+          greatest(col("nd_exact") * 0.1, lit(5.0))).as("within_bound"))
+  }
+
   /** G11b: the precompute-once pattern END-TO-END — what makes 100 TB
     * reporting cheap in practice: per-(type, day) HLL sketches are built
     * in one scan and PERSISTED as parquet bytes (the nightly job); the
@@ -285,6 +318,7 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
     "g11b_hll_persist" -> g11bHllPersist,
+    "g14_hll_intersect" -> g14HllIntersect,
     "g13_freq_sketch" -> g13FreqSketch,
     "g10_two_phase_agg" -> g10TwoPhaseAgg,
     "g11_hll_merge" -> g11HllMerge,
@@ -304,6 +338,14 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g14_hll_intersect" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT x.event_type AS ta, y.event_type AS tb,
+                CAST(count(DISTINCT x.user_id) AS BIGINT) AS nd_exact,
+                TRUE AS within_bound
+         FROM ut x JOIN ut y ON x.user_id = y.user_id
+                            AND x.event_type < y.event_type
+         GROUP BY 1, 2""",
     "g11b_hll_persist" ->
       """SELECT event_type, count(DISTINCT user_id) AS nd_exact,
                 TRUE AS within_bound

@@ -642,6 +642,47 @@ object Relational {
       .withColumn("passed", col("n_violations") === 0)
   }
 
+  /** P10: freshness / completeness report (data observability) — the
+    * per-stream health row an ingest pipeline monitors continuously:
+    * event count, first/last arrival, hour-bucket span, distinct ACTIVE
+    * hours, completeness (active/span — silent-gap detector) and
+    * staleness vs the newest arrival anywhere in the table. Catches the
+    * two failure modes row counts miss: a stream that stopped (staleness
+    * grows) and a stream with silent holes (completeness < 1).
+    *
+    * Plan: one keyed aggregation for the per-stream stats + one
+    * distinct-(key, hour) aggregation for active hours (hour buckets, so
+    * the distinct state is span-bounded, not event-bounded) + a 1-row
+    * corpus-max broadcast cross. All integer µs/hour arithmetic; the one
+    * ratio rounds to 6. */
+  val p10Freshness: Q = (s, d) =>
+    freshnessFrames(Tables.events(s, d), "event_type", "ts")
+
+  /** p10 core over ANY typed stream — registry name `freshness`. */
+  private[graft] def freshnessFrames(ev: DataFrame, key: String,
+      ts: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val base = ev.select(col(key), unix_micros(col(ts)).as("u"))
+      .withColumn("h", floor(col("u") / hourUs))
+    val stats = base.groupBy(col(key)).agg(
+      count(lit(1)).as("n_events"),
+      min(col("u")).as("first_us"),
+      max(col("u")).as("last_us"),
+      min(col("h")).as("h0"),
+      max(col("h")).as("h1"))
+    val active = base.select(col(key), col("h")).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as("active_hours"))
+    val corpus = base.agg(max(col("h")).as("corpus_h"))
+    stats.join(active, Seq(key))
+      .crossJoin(broadcast(corpus))
+      .select(col(key), col("n_events"), col("first_us"), col("last_us"),
+        (col("h1") - col("h0") + 1).as("span_hours"),
+        col("active_hours"),
+        round(col("active_hours").cast("double") / (col("h1") - col("h0") + 1), 6)
+          .as("completeness"),
+        (col("corpus_h") - col("h1")).as("staleness_hours"))
+  }
+
   /** Snapshot-diff core over ANY two frames sharing key + compare columns:
     * FULL OUTER on the keys, presence markers decide added/removed, a
     * null-safe inequality OR over the compare set decides changed;
@@ -825,6 +866,7 @@ object Relational {
     "s17_incremental_agg" -> s17IncrementalAgg,
     "p7_profile" -> p7Profile,
     "p9_expectations" -> p9Expectations,
+    "p10_freshness" -> p10Freshness,
     "p8_skew_report" -> p8SkewReport
   )
 
@@ -845,6 +887,22 @@ object Relational {
                   UNION ALL SELECT 'accepted:o_orderstatus', CAST(bad_status AS BIGINT) FROM a
                   UNION ALL SELECT 'fk:o_custkey->customer', CAST(n_orphan AS BIGINT) FROM fk)
          SELECT check_name, n_violations, n_violations = 0 AS passed FROM v""",
+    "p10_freshness" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) AS u,
+                           epoch_us(ts) // 3600000000 AS h FROM events),
+            st AS (SELECT event_type, count(*) AS n_events, min(u) AS first_us,
+                          max(u) AS last_us, min(h) AS h0, max(h) AS h1
+                   FROM b GROUP BY 1),
+            act AS (SELECT event_type, count(*) AS active_hours
+                    FROM (SELECT DISTINCT event_type, h FROM b) GROUP BY 1),
+            corp AS (SELECT max(h) AS corpus_h FROM b)
+         SELECT st.event_type, CAST(n_events AS BIGINT) AS n_events,
+                first_us, last_us,
+                CAST(h1 - h0 + 1 AS BIGINT) AS span_hours,
+                CAST(active_hours AS BIGINT) AS active_hours,
+                round(active_hours * 1.0 / (h1 - h0 + 1), 6) AS completeness,
+                CAST(corpus_h - h1 AS BIGINT) AS staleness_hours
+         FROM st JOIN act USING (event_type) CROSS JOIN corp""",
     // oracle is the FULL recompute — the refresh must land exactly where
     // a from-scratch aggregation lands, whatever the history/delta split
     "s17_incremental_agg" ->

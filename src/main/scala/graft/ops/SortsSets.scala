@@ -93,6 +93,37 @@ object SortsSets {
       .where(col("rk") <= k)
   }
 
+  /** O7: deterministic WEIGHTED sampling (Efraimidis–Spirakis A-Res order
+    * sampling, IPL 2006): each row draws a reproducible uniform u from
+    * its identity hash and ranks by the exponential key −ln(u)/w; the
+    * global top-k under that key is a weighted-without-replacement sample
+    * (inclusion probability ∝ w) — "sample 50 docs, longer docs
+    * proportionally more likely", the importance-sampling primitive
+    * corpus inspection and eval carving use when uniform sampling
+    * (o4/l16/o5) under-represents the heavy tail.
+    *
+    * Plan: pure per-row arithmetic (the u derives from md5 of row
+    * identity — order- and partitioning-independent, l16's rule) + a
+    * global top-k, which compiles to TakeOrderedAndProject (per-partition
+    * heads, k-row driver merge — never a full sort). The ranking key
+    * rounds to 6 decimals with the id as tie-break, so both engines cut
+    * the same k rows. */
+  val o7WeightedSample: Q = (s, d) =>
+    weightedSampleFrames(
+      Tables.documents(s, d).withColumn("w", col("n_chars")), "doc_id", "w", 50)
+
+  /** o7 core over ANY frame with an id and a positive weight column —
+    * registry name `weighted_sample`. */
+  private[graft] def weightedSampleFrames(df: org.apache.spark.sql.DataFrame,
+      id: String, w: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), col(id))), 1, 6), 16, 10)
+      .cast("double") + 1.0) / 16777217.0 // (0, 1]: 24-bit hash + 1
+    df.withColumn("score", round(-log(u) / col(w), 6))
+      .orderBy(col("score"), col(id))
+      .limit(k)
+      .select(col(id), col(w).cast("long").as("weight"), col("score"))
+  }
+
   /** O6: 2-D skyline (Pareto front) — the preference query "parts no
     * other part beats on BOTH price (lower better) and size (higher
     * better)": a point survives iff no other point is ≤/≥ in both
@@ -195,6 +226,7 @@ object SortsSets {
     "o4_sample" -> o4Sample,
     "o5_stratified_sample" -> o5StratifiedSample,
     "o6_skyline" -> o6Skyline,
+    "o7_weighted_sample" -> o7WeightedSample,
     "u1_union_all" -> u1UnionAll,
     "u1b_union_distinct" -> u1bUnionDistinct,
     "u2_intersect" -> u2Intersect,
@@ -225,6 +257,13 @@ object SortsSets {
          ORDER BY rev DESC, l_orderkey LIMIT 10""",
     "o4_sample" ->
       "SELECT true AS sample_ok",
+    "o7_weighted_sample" ->
+      """SELECT doc_id, weight, score FROM (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  round(-ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1.0)
+                            / 16777217.0) / n_chars, 6) AS score
+           FROM documents)
+         ORDER BY score, doc_id LIMIT 50""",
     "o6_skyline" ->
       """SELECT * FROM part a
          WHERE NOT EXISTS (

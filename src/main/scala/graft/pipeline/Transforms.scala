@@ -204,6 +204,21 @@ object Transforms {
     r.register("dsir") { (_, in, _) =>
       graft.ops.TextOps.dsirFrames(in("source"), in("target"))
     }
+    // freshness / completeness observability report over any typed
+    // stream (declared p10 pins events by event_type)
+    r.register("freshness") { (_, in, p) =>
+      graft.ops.Relational.freshnessFrames(in("events"),
+        p.params.getOrElse("key", "event_type"),
+        p.params.getOrElse("ts", "ts"))
+    }
+    // deterministic weighted sampling (A-Res): id/weight columns and the
+    // sample size k (declared o7 pins doc_id / n_chars / 50)
+    r.register("weighted_sample") { (_, in, p) =>
+      graft.ops.SortsSets.weightedSampleFrames(in("rows"),
+        p.params.getOrElse("id", "doc_id"),
+        p("w"),
+        p.params.getOrElse("k", "50").toInt)
+    }
     // 2-D skyline (Pareto front) over any step: c1/c2 name the dims,
     // dir1/dir2 are min|max (declared o6 pins price min, size max)
     r.register("skyline") { (_, in, p) =>

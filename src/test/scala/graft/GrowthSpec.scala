@@ -104,7 +104,13 @@ class GrowthSpec extends SparkSpec {
       // corpus marginals from a second corpus-scale scan instead of
       // reaggregating the vocab table
       "e13_funnel_steps" -> EventOps.queries("e13_funnel_steps"),
-      "l44_source_kl" -> TextOps.queries("l44_source_kl"))) {
+      "l44_source_kl" -> TextOps.queries("l44_source_kl"),
+      // p10's risk is distinct state growing with events instead of hour
+      // buckets; o7's is a global sort replacing TakeOrdered; o6's is the
+      // O(n²) dominance self-join the window formulation avoids
+      "p10_freshness" -> graft.ops.Relational.queries("p10_freshness"),
+      "o7_weighted_sample" -> graft.ops.SortsSets.queries("o7_weighted_sample"),
+      "o6_skyline" -> graft.ops.SortsSets.queries("o6_skyline"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

@@ -624,6 +624,31 @@ class PipelineSpecTest extends SparkSpec {
     assert(kl.where(col("kl") < -1e-9).count() == 0)
   }
 
+  test("freshness and weighted_sample: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8e").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    val docsStep = StepSpec("docs", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    // freshness: key knob switches the report's grain; invariants hold
+    def fresh(key: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(evStep, StepSpec("fr", "freshness",
+          Map("events" -> "ev"), Map("key" -> key)))),
+        Seq("fr"))("fr")}")
+    val byType = fresh("event_type")
+    assert(byType.count() == 5)
+    assert(byType.where(col("active_hours") > col("span_hours") ||
+      col("completeness") > 1.0 || col("staleness_hours") < 0).count() == 0)
+    assert(fresh("user_id").count() ==
+      graft.core.Tables.events(spark, sfDir).select(col("user_id")).distinct().count())
+    // weighted_sample: k knob pins the sample size; weights must be the
+    // chosen column
+    def ws(k: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(docsStep, StepSpec("ws", "weighted_sample",
+          Map("rows" -> "docs"), Map("w" -> "n_chars", "k" -> k)))),
+        Seq("ws"))("ws")}")
+    assert(ws("10").count() == 10 && ws("100").count() == 100)
+  }
+
   test("stale persisted 'running' status demotes to raw and re-executes") {
     val wh = Files.createTempDirectory("graft_wh8").toString
     val spec = PipelineSpec(Seq(
