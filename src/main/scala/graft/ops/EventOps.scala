@@ -423,7 +423,50 @@ object EventOps {
     full.withColumn("depth", depth)
   }
 
+  /** e14 core over ANY keyed typed event stream: MATCH_RECOGNIZE-style
+    * sequence-pattern counting. Each key's events, totally ordered by
+    * `order`, become a character sequence (each type contributes its
+    * FIRST letter — distinct across the fixture's five types; a
+    * production wiring passes an explicit alphabet map), and `pattern` —
+    * a regex over that alphabet — is counted non-overlapping leftmost
+    * per key. One key-partitioned window (the e1/e4/e10 exchange) is the
+    * only shuffle; the per-key string is bounded by that key's event
+    * count, the same per-key state every MATCH_RECOGNIZE engine holds.
+    *
+    * Determinism: partition order never reaches the string — events sort
+    * by (order…, type char) structs inside `array_sort`, the same
+    * µs+id total order the other event ops pin. Patterns must be written
+    * in the Java∩RE2 common syntax (the l18 rule) and such that
+    * leftmost-FIRST (Java) and leftmost-first RE2 agree — character-class
+    * runs like `v[vc]*p` are safe: the class excludes the terminator, so
+    * greedy and lazy expansion reach the identical match set. */
+  private[graft] def patternMatchFrames(ev: org.apache.spark.sql.DataFrame,
+      by: String, order: Seq[String], typeCol: String,
+      pattern: String): org.apache.spark.sql.DataFrame = {
+    val seqs = ev
+      .select(col(by), struct((order.map(col) :+
+        substring(col(typeCol), 1, 1).as("ch")): _*).as("st"))
+      .groupBy(col(by))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("st"))), x => x.getField("ch")),
+        "").as("sq"))
+    seqs.select(col(by), regexp_count(col("sq"), lit(pattern)).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
+  /** E14: event-sequence pattern matching (the MATCH_RECOGNIZE / funnel-
+    * regex primitive): count each user's browse-to-buy runs — a view,
+    * any run of views/clicks, ending in a purchase (`v[vc]*p`). e2/e13
+    * ask "did the user ever convert"; e14 counts EVERY completed run and
+    * is the general form (any regex over the event alphabet). */
+  val e14PatternMatch: Q = (s, d) =>
+    patternMatchFrames(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      by = "user_id", order = Seq("ts_us", "event_id"),
+      typeCol = "event_type", pattern = "v[vc]*p")
+
   val queries: Map[String, Q] = Map(
+    "e14_pattern_match" -> e14PatternMatch,
     "e1_sessionize" -> e1Sessionize,
     "e12_attribution" -> e12Attribution,
     "e13_funnel_steps" -> e13FunnelSteps,
@@ -440,6 +483,14 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e14_pattern_match" ->
+      """WITH sq AS (SELECT user_id,
+                            string_agg(substr(event_type, 1, 1), ''
+                                       ORDER BY epoch_us(ts), event_id) AS sq
+                     FROM events GROUP BY 1)
+         SELECT user_id,
+                CAST(len(regexp_extract_all(sq, 'v[vc]*p')) AS BIGINT) AS n_matches
+         FROM sq WHERE len(regexp_extract_all(sq, 'v[vc]*p')) > 0""",
     "e13_funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS s1_us
                      FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -362,6 +362,21 @@ class ApproxOpsSpec extends SparkSpec {
       s"byte-pair buckets ($pairMax) should be far smaller than byte buckets ($byteMax)")
   }
 
+  test("l45 prefix-filtered join is row-identical to the exact inverted-index join") {
+    // l45's whole claim is EXACTNESS: prefix filtering must be lossless
+    // (pigeonhole over the global (df, hash) order), so every row — ids
+    // AND the jaccard value — must equal l5's. Both paths compute the
+    // same integer intersection / union ratio, so doubles compare ==.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = rows(TextOps.l5JaccardPairs(spark, sfDir))
+    val pref = rows(TextOps.l45PrefixJoin(spark, sfDir))
+    assert(exact.nonEmpty, "fixture produced no exact pairs at all")
+    assert(pref == exact,
+      s"prefix-join diverged: missing=${(exact -- pref).take(5)} " +
+        s"extra=${(pref -- exact).take(5)}")
+  }
+
   test("l5d native minhash aggregate produces l5b's exact signatures and pairs") {
     // the TypedImperativeAggregate must be bit-identical to the array-expr
     // path: same xxhash64(i, h) mixing, so same signatures -> same output

@@ -247,4 +247,34 @@ class PropertySpec extends SparkSpec {
         s"brute-only=${(want -- got).take(3)}")
     }
   }
+
+  test("e14 pattern match equals java-regex brute force on ties and overlaps") {
+    import s.implicits._
+    // adversarial sequences: µs ties broken by event_id, back-to-back
+    // runs (vvpvp), and users with zero matches (must be filtered out)
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val pattern = "v[vc]*p"
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = (0 until 80).map { i =>
+        (i.toLong, rnd.nextInt(5).toLong,
+          rnd.nextInt(6).toLong * 1000000L, // heavy µs ties
+          types(rnd.nextInt(types.size)))
+      }
+      val want = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val sq = es.sortBy(e => (e._3, e._1)).map(_._4.head).mkString
+        val m = java.util.regex.Pattern.compile(pattern).matcher(sq)
+        var n = 0
+        while (m.find()) n += 1
+        if (n > 0) Some((u, n)) else None
+      }.toSet
+      val got = graft.ops.EventOps.patternMatchFrames(
+          rows.toDF("event_id", "user_id", "ts_us", "event_type"),
+          by = "user_id", order = Seq("ts_us", "event_id"),
+          typeCol = "event_type", pattern = pattern)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want, s"seed=$seed: spark-only=${(got -- want).take(3)} " +
+        s"brute-only=${(want -- got).take(3)}")
+    }
+  }
 }
