@@ -316,7 +316,44 @@ object Aggregates {
           .as("all_heavy_in_sketch"))
   }
 
+  /** G15: Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    * mergeable point-frequency estimator that complements g13's Misra-
+    * Gries: MG answers "which items are heavy", CM answers "how often is
+    * THIS item seen" for any item, in fixed memory per group, with
+    * partial-aggregate merges that are plain counter additions (same
+    * seed ⇒ merged sketch ≡ single-pass sketch, pinned in ScalaTest).
+    * Built with Spark's native partial-aggregating `count_min_sketch`
+    * (ε = 0.001 ⇒ width 2000 counters, δ = 0.001 ⇒ 10 rows — ~160 KB per
+    * source regardless of corpus size).
+    *
+    * Property form (the g11/g13 rule — the sketch has no DuckDB twin):
+    * probe words are the corpus top-10 by exact (count desc, word asc) —
+    * a deterministic set both engines derive — and each (source, probe)
+    * row carries the EXACT in-plan count plus the two CM guarantees as
+    * booleans the oracle recomputes/asserts: est ≥ exact (CM never
+    * undercounts) and est ≤ exact + ⌈ε·N⌉ (the width bound; deterministic
+    * here — fixed seed, fixed data). */
+  val g15CmSketch: Q = (s, d) => {
+    val eps = 0.001
+    val words = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val probes = words.groupBy(col("w")).agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("w")).limit(10).select(col("w"))
+    val sk = words.groupBy(col("source"))
+      .agg(count_min_sketch(col("w"), lit(eps), lit(0.999), lit(42)).as("sk"),
+        count(lit(1)).as("n_tokens"))
+    val exact = words.join(broadcast(probes), Seq("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("exact"))
+    exact.join(sk, Seq("source"))
+      .withColumn("est", graft.functions.CmSketch.estimate(col("sk"), col("w")))
+      .select(col("source"), col("w"), col("exact"),
+        (col("est") >= col("exact")).as("ge_ok"),
+        (col("est") <= col("exact") + ceil(lit(eps) * col("n_tokens")))
+          .as("bound_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g15_cm_sketch" -> g15CmSketch,
     "g11b_hll_persist" -> g11bHllPersist,
     "g14_hll_intersect" -> g14HllIntersect,
     "g13_freq_sketch" -> g13FreqSketch,
@@ -338,6 +375,15 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g15_cm_sketch" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+            probes AS (SELECT w FROM (SELECT w, count(*) AS cn FROM tok
+                                      GROUP BY 1 ORDER BY cn DESC, w LIMIT 10))
+         SELECT source, tok.w AS w, CAST(count(*) AS BIGINT) AS exact,
+                TRUE AS ge_ok, TRUE AS bound_ok
+         FROM tok JOIN probes ON tok.w = probes.w
+         GROUP BY 1, 2""",
     "g14_hll_intersect" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT x.event_type AS ta, y.event_type AS tb,

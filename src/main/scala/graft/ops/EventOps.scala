@@ -465,7 +465,29 @@ object EventOps {
       by = "user_id", order = Seq("ts_us", "event_id"),
       typeCol = "event_type", pattern = "v[vc]*p")
 
+  /** E15: exponentially-weighted trailing spend (EWMA) per user-hour —
+    * the smoothed baseline behind alerting/forecast dashboards, where
+    * e9's equal-weight 3σ window over-reacts to old history. α = 1/2
+    * with an 8-hour horizon makes every weight a power of two, so the
+    * whole series is ALL-INTEGER: ewma256 = Σ_{j=0..7} 2^(7−j)·cents(t−j)
+    * ≡ 256·EWMA (truncated tail < 1 cent of weight) — no float ever
+    * crosses engines (the e9 rule). Runs over the e5 gap-filled dense
+    * spine, so "8 rows back" IS "8 hours back" even across silent hours;
+    * the only exchange is the same user-keyed window every event op
+    * shuffles on, and the 8 lags fold into ONE window pass. */
+  val e15Ewma: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_us"))
+    val series = gapFillFrames(Tables.events(s, d), key = "user_id",
+      tsCol = "ts", valueCol = "value", bucketUs = 3600L * 1000000)
+      .withColumnRenamed("bucket_us", "hour_us")
+    val ewma = (0 to 7)
+      .map(j => lag(col("value_cents"), j, 0L).over(w) * lit(1L << (7 - j)))
+      .reduce(_ + _)
+    series.select(col("user_id"), col("hour_us"), ewma.as("ewma256"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e15_ewma" -> e15Ewma,
     "e14_pattern_match" -> e14PatternMatch,
     "e1_sessionize" -> e1Sessionize,
     "e12_attribution" -> e12Attribution,
@@ -483,6 +505,33 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e15_ewma" ->
+      """WITH ev AS (SELECT user_id,
+                            epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                            value
+                     FROM events),
+            b AS (SELECT user_id, min(hour_us) AS h0, max(hour_us) AS h1
+                  FROM ev GROUP BY 1),
+            spine AS (SELECT user_id,
+                             unnest(range(h0, h1 + 1, 3600000000)) AS hour_us
+                      FROM b),
+            c AS (SELECT user_id, hour_us,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                  FROM ev GROUP BY 1, 2),
+            g AS (SELECT spine.user_id, spine.hour_us,
+                         coalesce(c.cents, 0) AS cents
+                  FROM spine LEFT JOIN c
+                    ON spine.user_id = c.user_id AND spine.hour_us = c.hour_us)
+         SELECT user_id, hour_us,
+                CAST(128 * cents
+                   + 64 * coalesce(lag(cents, 1) OVER win, 0)
+                   + 32 * coalesce(lag(cents, 2) OVER win, 0)
+                   + 16 * coalesce(lag(cents, 3) OVER win, 0)
+                   +  8 * coalesce(lag(cents, 4) OVER win, 0)
+                   +  4 * coalesce(lag(cents, 5) OVER win, 0)
+                   +  2 * coalesce(lag(cents, 6) OVER win, 0)
+                   +  1 * coalesce(lag(cents, 7) OVER win, 0) AS BIGINT) AS ewma256
+         FROM g WINDOW win AS (PARTITION BY user_id ORDER BY hour_us)""",
     "e14_pattern_match" ->
       """WITH sq AS (SELECT user_id,
                             string_agg(substr(event_type, 1, 1), ''

@@ -305,12 +305,75 @@ object Graphs {
     labelPropagation(edges, rounds = 3)
   }
 
+  /** Bounded-round k-core peel over ANY undirected simple edge list
+    * (Seidman 1983 degeneracy peeling; the Batagelj–Zaveršnik shape run
+    * synchronously): each round recomputes degrees over the CURRENT
+    * induced graph and removes every node with degree < k, all at once.
+    * Fixed `rounds` (not run-to-fixpoint) keeps the result a pure
+    * SQL-unrollable function of the graph — the l26/l40 determinism rule
+    * — and is also how a 100 TB run bounds the iteration budget; each
+    * round is one degree aggregation + two semi-joins on the edge key,
+    * integer degrees on the wire, checkpoint per round (the CC posture).
+    * Returns survivors with their residual degree. */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var bi = edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("u"))
+      bi = bi.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = true)
+    }
+    bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
+
+  /** L46: k-core decomposition (3 peel rounds, k = 3) over the l35/l40
+    * part co-occurrence graph — the dense-substructure filter that
+    * complements l35's triangle DENSITY number and l40's communities:
+    * k-core survivors are the "well-embedded" nodes (a quality prior for
+    * link-graph corpora, and the standard pre-filter before expensive
+    * community/centrality passes since peeling is edge-linear). */
+  val l46Kcore: graft.ops.Relational.Q = (s, d) => {
+    val pl = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
+      .where(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    kcorePeel(edges, k = 3, rounds = 3)
+  }
+
   val queries: Map[String, graft.ops.Relational.Q] = Map(
     "l26_pagerank" -> l26PageRank,
     "l35_triangles" -> l35Triangles,
+    "l46_kcore" -> l46Kcore,
     "l40_label_prop" -> l40LabelProp)
 
   val oracle: Map[String, String] = Map(
+    // 3 synchronous peel rounds, unrolled (the l26/l40 pattern): each
+    // round drops all nodes with current degree < 3 simultaneously
+    "l46_kcore" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb
+                   FROM pl a JOIN pl b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            bi0 AS (SELECT sa AS u, sb AS v FROM e0
+                    UNION ALL SELECT sb AS u, sa AS v FROM e0),
+            k1 AS (SELECT u FROM bi0 GROUP BY u HAVING count(*) >= 3),
+            bi1 AS (SELECT b.u, b.v FROM bi0 b
+                    JOIN k1 a ON b.u = a.u JOIN k1 c ON b.v = c.u),
+            k2 AS (SELECT u FROM bi1 GROUP BY u HAVING count(*) >= 3),
+            bi2 AS (SELECT b.u, b.v FROM bi1 b
+                    JOIN k2 a ON b.u = a.u JOIN k2 c ON b.v = c.u),
+            k3 AS (SELECT u FROM bi2 GROUP BY u HAVING count(*) >= 3),
+            bi3 AS (SELECT b.u, b.v FROM bi2 b
+                    JOIN k3 a ON b.u = a.u JOIN k3 c ON b.v = c.u)
+         SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM bi3 GROUP BY u""",
     // same 3 synchronous rounds, unrolled (the l26 pattern); count-desc /
     // label-asc tie-break makes every round engine-independent
     "l40_label_prop" ->

@@ -248,6 +248,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kcore peel equals brute-force synchronous peeling on random graphs") {
+    import s.implicits._
+    val k = 3
+    val rounds = 3
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(200 + seed)
+      val edges = (0 until 120).map { _ =>
+        val a = rnd.nextInt(25).toLong; val b = rnd.nextInt(25).toLong; (a, b)
+      }.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      // brute force: same synchronous semantics — drop ALL deg<k nodes at
+      // once, recompute, `rounds` times; survivors keep residual degree
+      var bi = edges.flatMap(e => Seq(e, e.swap))
+      for (_ <- 1 to rounds) {
+        val deg = bi.groupBy(_._1).map { case (n, es) => n -> es.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        bi = bi.filter(e => keep(e._1) && keep(e._2))
+      }
+      val want = bi.groupBy(_._1).map { case (n, es) => (n, es.size.toLong) }.toSet
+      val got = graft.ops.Graphs.kcorePeel(
+          edges.toDF("sa", "sb"), k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed: spark-only=${(got -- want).take(3)} " +
+        s"brute-only=${(want -- got).take(3)}")
+    }
+  }
+
   test("e14 pattern match equals java-regex brute force on ties and overlaps") {
     import s.implicits._
     // adversarial sequences: µs ties broken by event_id, back-to-back
