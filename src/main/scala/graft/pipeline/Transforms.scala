@@ -272,6 +272,26 @@ object Transforms {
         p.params.getOrElse("id", "doc_id"),
         p.params.getOrElse("k", "5").toInt)
     }
+    // MATCH_RECOGNIZE-style sequence-pattern counting over any keyed
+    // typed stream: regex over the first letters of the type alphabet
+    // (declared e14 pins v[vc]*p — browse-to-buy runs)
+    r.register("pattern_match") { (_, in, p) =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      graft.ops.EventOps.patternMatchFrames(
+        in("events").withColumn("ts_us",
+          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        p.params.getOrElse("by", "user_id"),
+        p.params.getOrElse("order", "ts_us,event_id")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("type", "event_type"),
+        p("pattern"))
+    }
+    // bounded-round k-core peel over any (sa, sb) undirected edge list
+    r.register("kcore") { (_, in, p) =>
+      graft.ops.Graphs.kcorePeel(in("edges"),
+        p.params.getOrElse("k", "3").toInt,
+        p.params.getOrElse("rounds", "3").toInt)
+    }
     // conversion-lag histogram between two event types over any typed
     // event stream (declared e11 pins view→purchase, 48h cap)
     r.register("conversion_lag") { (_, in, p) =>

@@ -110,7 +110,22 @@ class GrowthSpec extends SparkSpec {
       // O(n²) dominance self-join the window formulation avoids
       "p10_freshness" -> graft.ops.Relational.queries("p10_freshness"),
       "o7_weighted_sample" -> graft.ops.SortsSets.queries("o7_weighted_sample"),
-      "o6_skyline" -> graft.ops.SortsSets.queries("o6_skyline"))) {
+      "o6_skyline" -> graft.ops.SortsSets.queries("o6_skyline"),
+      // l45's quadratic risk is EXACTLY what prefix filtering bounds: a
+      // regression that indexes the full shingle set (or drops the length
+      // filter) re-inflates the candidate join toward l5's df² volume;
+      // l46's is recomputing degrees over the ORIGINAL graph each round
+      // (never shrinking) or a join keyed on degree instead of the edge;
+      // e14/e15 are single-user-keyed-window shaped — linear, guarded
+      // for their scale claims (e15's risk is the spine cross join e5
+      // guards against; e14's a collect of unbounded whole-type structs)
+      "l45_prefix_join" -> TextOps.queries("l45_prefix_join"),
+      "l46_kcore" -> graft.ops.Graphs.queries("l46_kcore"),
+      "e14_pattern_match" -> EventOps.queries("e14_pattern_match"),
+      "e15_ewma" -> EventOps.queries("e15_ewma"),
+      // g15 is two token-keyed aggs + a broadcast probe join; its risk is
+      // the probe join shuffling the corpus instead of broadcasting
+      "g15_cm_sketch" -> graft.ops.Aggregates.queries("g15_cm_sketch"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

@@ -806,4 +806,33 @@ class PipelineSpecTest extends SparkSpec {
     assert(runner.statusOf(spec, "load") == StepStatus.Finished)
     assert(!Files.exists(lease), "the lease must not outlive the run")
   }
+
+  test("pattern_match and kcore: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8e").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    // pattern_match: a single-letter pattern counts plain occurrences, so
+    // its user set must be a superset of the stricter v[vc]*p users
+    def pm(pattern: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(evStep, StepSpec("m", "pattern_match",
+          Map("events" -> "ev"), Map("pattern" -> pattern)))),
+        Seq("m"))("m")}")
+    val runs = pm("v[vc]*p").select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val anyP = pm("p").select(col("user_id")).collect().map(_.getLong(0)).toSet
+    assert(runs.nonEmpty && runs.subsetOf(anyP),
+      s"browse-to-buy users must all have a purchase: ${(runs -- anyP).take(3)}")
+    // kcore: a higher k can only shrink the surviving node set
+    val liStep = StepSpec("li", "source", params = Map("dir" -> sfDir, "table" -> "lineitem"))
+    val edgeStep = StepSpec("ed", "sql", Map("rows" -> "li"), Map("sql" ->
+      ("SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb " +
+        "FROM rows a JOIN rows b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey")))
+    def core(k: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(liStep, edgeStep, StepSpec("c", "kcore",
+          Map("edges" -> "ed"), Map("k" -> k)))),
+        Seq("c"))("c")}")
+    val k2 = core("2").select(col("node")).collect().map(_.getLong(0)).toSet
+    val k4 = core("4").select(col("node")).collect().map(_.getLong(0)).toSet
+    assert(k4.subsetOf(k2) && k2.nonEmpty, s"k=4 core must nest in k=2 core")
+  }
 }

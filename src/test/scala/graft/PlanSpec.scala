@@ -388,4 +388,44 @@ class PlanSpec extends SparkSpec {
     val joins = all.filter(p => p.nodeName.toLowerCase.contains("join"))
     assert(joins.isEmpty, s"zipf fit should be agg→window→agg:\n$plan")
   }
+
+  test("l45 prefix join: keyed equi-joins only — the candidate and verify joins never go nested-loop") {
+    val plan = executed(graft.SparkEntry.queries("l45_prefix_join")(spark, sfDir))
+    val all = collectAll(plan)
+    val bad = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in prefix-join plan:\n$plan")
+    // the prefix rank must be a doc-partitioned window (no global sort)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"expected the per-doc prefix-rank window:\n$plan")
+  }
+
+  test("e14/e15: one user-keyed exchange each — no join in pattern match, none in EWMA") {
+    for (name <- Seq("e14_pattern_match", "e15_ewma")) {
+      val plan = executed(graft.SparkEntry.queries(name)(spark, sfDir))
+      val all = collectAll(plan)
+      val joins = all.filter(p => p.nodeName.toLowerCase.contains("join"))
+      // e15's spine⋈counts join is keyed on (user, hour) — allow equi-joins
+      // there but never a nested loop; e14 must have NO join at all
+      val bad = all.filter(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bad.isEmpty, s"unkeyed join in $name plan:\n$plan")
+      if (name == "e14_pattern_match")
+        assert(joins.isEmpty, s"pattern match should be window/agg only:\n$plan")
+    }
+  }
+
+  test("g15 CM sketch: the probe join broadcasts the 10 probe words — the corpus side never reshuffles for it") {
+    val plan = executed(graft.SparkEntry.queries("g15_cm_sketch")(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"expected a broadcast probe join:\n$plan")
+    val bad = all.filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"unkeyed join in CM plan:\n$plan")
+  }
 }
