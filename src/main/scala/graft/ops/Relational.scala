@@ -683,6 +683,51 @@ object Relational {
         (col("corpus_h") - col("h1")).as("staleness_hours"))
   }
 
+  /** P11: population-stability drift report (PSI — the credit-scoring /
+    * feature-monitoring standard for "did this feature's distribution
+    * move between two windows"), here between the corpus's earlier and
+    * later halves per event_type over fixed-width value bins.
+    *
+    * PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b); > 0.25 is the conventional
+    * "significant drift" alarm. Fixed bins (width 50, last open) keep the
+    * bin key a pure row function; the time split is the µs midpoint of
+    * the corpus span — a 1-row broadcast (the p10 corpus-stats shape), so
+    * the whole report is two keyed aggregations over (type, bin, half)
+    * counts — bin-cardinality rows after the first shuffle, never
+    * event-scale again. Bins empty on either side are excluded from the
+    * sum (the standard smoothing-free convention) but reported in
+    * n_bins_skipped so silence is visible. Integer counts cross engines;
+    * only the final round(·,6) PSI is float (the l21/l41 sum-parity
+    * rule). Registry transform `psi_drift` takes key/value/bin width. */
+  private[graft] def psiDriftFrames(ev: DataFrame, key: String,
+      ts: String, valueCol: String, binWidth: Double): DataFrame = {
+    val base = ev.select(col(key), unix_micros(col(ts)).as("u"),
+      col(valueCol).cast("double").as("v"))
+    val mid = base.agg(((min(col("u")) + max(col("u"))) / 2).as("mid_us"))
+    val binned = base.crossJoin(broadcast(mid))
+      .select(col(key),
+        least(floor(col("v") / binWidth), lit(9L)).as("bin"),
+        when(col("u") <= col("mid_us"), 1L).otherwise(0L).as("early"))
+    val counts = binned.groupBy(col(key), col("bin")).agg(
+      sum(col("early")).as("ca"),
+      sum(lit(1L) - col("early")).as("cb"))
+    val totals = counts.groupBy(col(key)).agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.join(totals, Seq(key))
+      .withColumn("pa", col("ca").cast("double") / col("na"))
+      .withColumn("pb", col("cb").cast("double") / col("nb"))
+      .groupBy(col(key)).agg(
+        count(lit(1)).as("n_bins"),
+        sum(when(col("ca") === 0 || col("cb") === 0, 1L).otherwise(0L))
+          .as("n_bins_skipped"),
+        round(sum(when(col("ca") > 0 && col("cb") > 0,
+          (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .otherwise(lit(0.0))), 6).as("psi"))
+  }
+
+  val p11PsiDrift: Q = (s, d) =>
+    psiDriftFrames(Tables.events(s, d), "event_type", "ts", "value", 50.0)
+
   /** Snapshot-diff core over ANY two frames sharing key + compare columns:
     * FULL OUTER on the keys, presence markers decide added/removed, a
     * null-safe inequality OR over the compare set decides changed;
@@ -867,10 +912,37 @@ object Relational {
     "p7_profile" -> p7Profile,
     "p9_expectations" -> p9Expectations,
     "p10_freshness" -> p10Freshness,
+    "p11_psi_drift" -> p11PsiDrift,
     "p8_skew_report" -> p8SkewReport
   )
 
   val oracle: Map[String, String] = Map(
+    "p11_psi_drift" ->
+      """WITH base AS (SELECT event_type, epoch_us(ts) AS u, value AS v
+                       FROM events),
+            mid AS (SELECT (min(u) + max(u)) // 2 AS mid_us FROM base),
+            binned AS (SELECT event_type,
+                              least(CAST(floor(v / 50.0) AS BIGINT), 9) AS bin,
+                              CASE WHEN u <= mid_us THEN 1 ELSE 0 END AS early
+                       FROM base CROSS JOIN mid),
+            counts AS (SELECT event_type, bin,
+                              CAST(sum(early) AS BIGINT) AS ca,
+                              CAST(sum(1 - early) AS BIGINT) AS cb
+                       FROM binned GROUP BY 1, 2),
+            totals AS (SELECT event_type,
+                              CAST(sum(ca) AS BIGINT) AS na,
+                              CAST(sum(cb) AS BIGINT) AS nb
+                       FROM counts GROUP BY 1)
+         SELECT c.event_type,
+                CAST(count(*) AS BIGINT) AS n_bins,
+                CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_bins_skipped,
+                round(sum(CASE WHEN ca > 0 AND cb > 0
+                          THEN (ca * 1.0 / na - cb * 1.0 / nb)
+                               * ln((ca * 1.0 / na) / (cb * 1.0 / nb))
+                          ELSE 0.0 END), 6) AS psi
+         FROM counts c JOIN totals t ON c.event_type = t.event_type
+         GROUP BY 1""",
     "p9_expectations" ->
       """WITH a AS (SELECT count(*) AS n,
                            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_key,

@@ -196,6 +196,37 @@ object TextOps {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** l47 core over ANY (doc_id, text) frame: exact phrase search via a
+    * POSITIONAL inverted index — the "find this exact quote" primitive
+    * (decontamination forensics, attribution audits) that a LIKE scan
+    * answers by reading every byte of the corpus. The token stream is
+    * filtered to the phrase's words BEFORE anything shuffles, so the
+    * per-word position lists are the only rows in flight (at 100 TB the
+    * (word, doc_id, pos) index is the persisted artifact — l27's
+    * index-once posture — and these filters become index lookups);
+    * adjacency is equi-joins on (doc_id, pos−offset), never a string
+    * rescan. Occurrences can overlap ("a a a" has two "a a") — counted,
+    * like the SQL twin's position arithmetic. */
+  private[graft] def phraseSearchFrames(docs: DataFrame,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val posT = docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
+    val first = posT.where(col("w") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, off)) =>
+      acc.join(
+        posT.where(col("w") === word)
+          .select(col("doc_id"), (col("pos") - off).as("pos")),
+        Seq("doc_id", "pos"))
+    }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** L47: exact phrase search ("slow hash batch") over the positional
+    * index — emits each matching doc with its occurrence count. */
+  val l47PhraseSearch: Q = (s, d) =>
+    phraseSearchFrames(Tables.documents(s, d), Seq("slow", "hash", "batch"))
+
   /** L5b: MinHash + LSH banding — the sub-quadratic scale path for near-dup.
     * 32 xxhash64 permutations → 16 bands × 2 rows → band-bucket join yields
     * candidates, which are then exact-verified at τ = 0.3 — so the output
@@ -1461,6 +1492,7 @@ object TextOps {
     "l4_exact_dedup" -> l4ExactDedup,
     "l5_jaccard_pairs" -> l5JaccardPairs,
     "l45_prefix_join" -> l45PrefixJoin,
+    "l47_phrase_search" -> l47PhraseSearch,
     "l5b_minhash_lsh" -> l5bMinhashLsh,
     "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
@@ -1938,6 +1970,15 @@ object TextOps {
     // l45 is EXACT by construction (prefix filtering is lossless — see the
     // pigeonhole argument at the definition), so it shares l5's oracle.
     "l45_prefix_join" -> l5PairsOracleSql,
+    "l47_phrase_search" ->
+      """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM pos
+         WHERE i + 3 <= len(t)
+           AND t[i+1] = 'slow' AND t[i+2] = 'hash' AND t[i+3] = 'batch'
+         GROUP BY 1""",
     // l5b/l5d SHARE the exact-pair oracle (VERDICT r6 #1): both paths
     // exact-verify their LSH candidates at τ = 0.3 over the same hashed
     // shingle sets, and 16 bands × 2 rows has full recall at this τ on

@@ -112,7 +112,27 @@ object Windows {
         sum(cents(col("value"))).over(w).as("cents_1h"))
   }
 
+  /** W5b: top-k per group WITHOUT the per-group sort — w5's scale path.
+    * The window form sorts every group in full to keep 3 rows; the native
+    * [[graft.functions.TopKSketch]] aggregate holds ≤ k (value, id) pairs
+    * per group at EVERY stage (map-side partials included), so only
+    * k·groups pairs cross the shuffle regardless of fact-table size.
+    * Output rows are exactly w5's (same order key, same id tiebreak), so
+    * the two share an oracle — the l45/l5 pattern: the scale variant is
+    * hash-checked through its exact twin. */
+  val w5bTopkAgg: Q = (s, d) => {
+    graft.functions.TopKSketch.register(s)
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("topk_sketch(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+        col("t.value").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w5b_topk_agg" -> w5bTopkAgg,
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3RunningSum,
@@ -123,6 +143,14 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // w5b reproduces w5's rows exactly (same rank order, same tiebreak) —
+    // the bounded-state aggregate is hash-checked through the exact twin
+    "w5b_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3""",
     "w1_rank" ->
       """SELECT c_nationkey, c_custkey,
                 row_number() OVER w AS rn, rank() OVER w AS rk,

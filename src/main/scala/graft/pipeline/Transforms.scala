@@ -286,6 +286,20 @@ object Transforms {
         p.params.getOrElse("type", "event_type"),
         p("pattern"))
     }
+    // exact phrase search over any (doc_id, text) step via the
+    // positional inverted index (space-separated phrase param)
+    r.register("phrase_search") { (_, in, p) =>
+      graft.ops.TextOps.phraseSearchFrames(in("docs"),
+        p("phrase").split(" ").toSeq.filter(_.nonEmpty))
+    }
+    // PSI distribution-drift report over any keyed timestamped value
+    r.register("psi_drift") { (_, in, p) =>
+      graft.ops.Relational.psiDriftFrames(in("rows"),
+        p.params.getOrElse("key", "event_type"),
+        p.params.getOrElse("ts", "ts"),
+        p.params.getOrElse("value", "value"),
+        p.params.getOrElse("bin_width", "50").toDouble)
+    }
     // bounded-round k-core peel over any (sa, sb) undirected edge list
     r.register("kcore") { (_, in, p) =>
       graft.ops.Graphs.kcorePeel(in("edges"),

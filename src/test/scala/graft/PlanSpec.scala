@@ -417,6 +417,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w5b topk aggregate: no sort, no window — bounded state replaces the per-group sort") {
+    val plan = executed(graft.SparkEntry.queries("w5b_topk_agg")(spark, sfDir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"w5b must not fall back to a window:\n$plan")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"w5b must not sort the fact table:\n$plan")
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a partial
+    // stage — that partial is what bounds shuffle volume at k per key
+    assert(all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]) >= 2,
+      s"expected partial + final object hash aggregates:\n$plan")
+  }
+
   test("g15 CM sketch: the probe join broadcasts the 10 probe words — the corpus side never reshuffles for it") {
     val plan = executed(graft.SparkEntry.queries("g15_cm_sketch")(spark, sfDir))
     val all = collectAll(plan)

@@ -248,6 +248,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phrase search counts overlapping occurrences like sliding-window brute force") {
+    import s.implicits._
+    // "a a a" contains TWO occurrences of "a a" — the overlap case a
+    // naive split-on-phrase undercounts; plus phrase-at-end boundaries
+    val docs = Seq(
+      (1L, "a a a a b"),            // "a a" x3
+      (2L, "x a a y a a"),          // x2
+      (3L, "a b a b a"),            // 0
+      (4L, "a a"),                  // 1, exactly the doc
+      (5L, "b c d")                 // 0 (no partial emission)
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.phraseSearchFrames(docs, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Seq(1L -> 3L, 2L -> 2L, 4L -> 1L).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("topk_sketch equals brute-force top-k under any partitioning, with ties") {
+    import s.implicits._
+    graft.functions.TopKSketch.register(s)
+    for (seed <- 1 to 3; parts <- Seq(1, 7)) {
+      val rnd = new scala.util.Random(300 + seed)
+      // heavy value ties force the id tiebreak through update AND merge
+      val rows = (0 until 200).map { i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(5) * 1.5, i.toLong)
+      }
+      val want = rows.groupBy(_._1).flatMap { case (g, es) =>
+        es.map(e => (e._2, e._3)).sortBy(e => (-e._1, e._2)).take(3)
+          .zipWithIndex.map { case ((v, id), pos) => (g, id, v, pos + 1) }
+      }.toSet
+      val got = rows.toDF("g", "v", "id").repartition(parts)
+        .groupBy(col("g")).agg(expr("topk_sketch(v, id, 3)").as("top"))
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("g"), col("t.id"), col("t.value"), (col("pos") + 1).cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      assert(got == want, s"seed=$seed parts=$parts: " +
+        s"spark-only=${(got -- want).take(3)} brute-only=${(want -- got).take(3)}")
+    }
+  }
+
   test("kcore peel equals brute-force synchronous peeling on random graphs") {
     import s.implicits._
     val k = 3
