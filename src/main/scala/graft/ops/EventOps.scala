@@ -486,7 +486,36 @@ object EventOps {
     series.select(col("user_id"), col("hour_us"), ewma.as("ewma256"))
   }
 
+  /** E16: behavioral-cadence profile (the bot-detection / abuse-triage
+    * primitive): per-user inter-event-gap statistics — gap count, exact
+    * median and p90 gap, and the burst fraction (gaps ≤ 1 s) as an
+    * all-integer per-mille. Scripted traffic shows up as tiny medians
+    * and high burst shares; humans as heavy-tailed gaps. One user-keyed
+    * window (the shared event exchange) computes gaps, one aggregation
+    * profiles them; users with a single event carry no gap and drop out.
+    * Exact `percentile` over integer µs gaps lands on .0/.5 doubles both
+    * engines reproduce (the l15/l32 parity rule); the burst share stays
+    * integer via floor-division per-mille. 100 TB swap: approx_percentile,
+    * same plan (the l15b argument). */
+  val e16Cadence: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", us(col("ts")))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5D)").as("med_gap_us"),
+        expr("percentile(gap, 0.9D)").as("p90_gap_us"),
+        sum(when(col("gap") <= 1000000L, 1L).otherwise(0L)).as("n_burst"))
+      .select(col("user_id"), col("n_gaps"), col("med_gap_us"),
+        col("p90_gap_us"),
+        floor(col("n_burst") * 1000 / col("n_gaps")).as("burst_permille"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e16_cadence" -> e16Cadence,
     "e15_ewma" -> e15Ewma,
     "e14_pattern_match" -> e14PatternMatch,
     "e1_sessionize" -> e1Sessionize,
@@ -505,6 +534,18 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e16_cadence" ->
+      """WITH g AS (SELECT user_id,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS gap
+                    FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(quantile_cont(gap, 0.5) AS DOUBLE) AS med_gap_us,
+                CAST(quantile_cont(gap, 0.9) AS DOUBLE) AS p90_gap_us,
+                CAST(sum(CASE WHEN gap <= 1000000 THEN 1 ELSE 0 END) * 1000
+                     // count(*) AS BIGINT) AS burst_permille
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     "e15_ewma" ->
       """WITH ev AS (SELECT user_id,
                             epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
