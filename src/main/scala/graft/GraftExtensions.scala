@@ -81,6 +81,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the minhash aggregate (l5b/l5d's signature builder) — both arities,
     // matching MinHashSketch.register's own SQL path (ADVICE r6: the
     // no-code-changes install must resolve every graft function)
+    // the bounded top-k-per-group aggregate (w5b)
+    inject("topk_sketch", {
+      case Seq(v, id, k) =>
+        functions.TopKSketch(v, id,
+          k = intLiteral("topk_sketch", "k", k)).toAggregateExpression()
+      case exprs => throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_TEMP_1332",
+        Map("errorMessage" ->
+          s"topk_sketch expects (value, id, k), got ${exprs.length} args"))
+    })
     inject("minhash_sketch", {
       case Seq(child) =>
         functions.MinHashSketch(child).toAggregateExpression()

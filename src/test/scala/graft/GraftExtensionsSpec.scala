@@ -62,6 +62,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sig8.length == 8 && sig8 == sig.take(8))
   }
 
+  test("topk_sketch resolves from SQL via the extensions install") {
+    import spark.implicits._
+    Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 7.0, 9L), (1L, 3.0, 12L))
+      .toDF("g", "v", "id").createOrReplaceTempView("tk")
+    val top = spark.sql(
+      "SELECT topk_sketch(v, id, 2) AS t FROM tk GROUP BY g")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    // rank: (7.0, 9), (7.0, 11) — value desc, id asc tiebreak, k=2 cut
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((7.0, 9L), (7.0, 11L)))
+  }
+
   test("small-int literal args: BIGINT literals widen, non-literals get a typed error (ADVICE r6)") {
     // SQL writers produce BIGINT literals freely — must widen, not NPE
     val r = spark.sql("SELECT pq_adc_score(array(0.5D, 0.25D), 1L, CAST(1 AS BIGINT)) AS adc")
