@@ -506,7 +506,30 @@ object StreamingOps {
           greatest(col("n_exact").cast("double") * 0.05, lit(2.0))).as("approx_ok"))
   }
 
+  /** T15: streaming top-k with BOUNDED state — the live "top 3 highest-
+    * value events per type" leaderboard. Exact streaming top-k via sort
+    * is unsupported (no sorting on unbounded streams) and collect_list
+    * state grows with the stream; the native [[graft.functions.TopKSketch]]
+    * aggregate holds exactly ≤ k (value, id) pairs per key in the state
+    * store — a custom TypedImperativeAggregate living inside streaming
+    * state, merged per micro-batch like any partial. Complete-mode memory
+    * sink, availableNow; final state equals the batch QUALIFY twin (the
+    * B10 batch-equivalence rule), which DuckDB checks. */
+  private[graft] def t15TopkOver(ev: DataFrame, sink: String): DataFrame = {
+    graft.functions.TopKSketch.register(ev.sparkSession)
+    val agg = ev
+      .groupBy(col("event_type"))
+      .agg(expr("topk_sketch(value, event_id, 3)").as("top"))
+    runToMemory(agg, sink, "complete")
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), col("t.id").as("event_id"),
+        col("t.value").as("value"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  val t15StreamTopk: Q = (s, d) => t15TopkOver(eventsStream(s, d), "t15_sink")
+
   val queries: Map[String, Q] = Map(
+    "t15_stream_topk" -> t15StreamTopk,
     "t14_stream_approx_users" -> t14StreamApproxUsers,
     "t11_doc_ingest" -> t11DocIngest,
     "t12_stream_upsert" -> t12StreamUpsert,
@@ -524,6 +547,12 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // final streaming state must equal the batch top-3 per type exactly
+    "t15_stream_topk" ->
+      """SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS rn
+         FROM events QUALIFY rn <= 3""",
     "t14_stream_approx_users" ->
       """SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS win_start,
                 event_type,

@@ -159,6 +159,37 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("t15 streaming topk over a FORCED 2-batch split equals the batch top-3") {
+    // the sketch buffer must survive state-store serialize between
+    // micro-batches and merge the second batch into the first's state —
+    // the contract that makes bounded streaming top-k correct at all
+    val stage = graft.core.TempDirs.scratch("t15_split")
+    val ev = Tables.events(spark, sfDir)
+    ev.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/even")
+    ev.where(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/odd")
+    import scala.jdk.CollectionConverters._
+    val files = Seq(s"$stage/even", s"$stage/odd").flatMap { dir =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
+    val stageDir = graft.core.TempDirs.scratch("t15_stream")
+    files.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        stageDir.resolve(f"b$i%03d.parquet"), p.toAbsolutePath)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+    val got = StreamingOps.t15TopkOver(stream, "t15_split_sink")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val want = ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("event_type"), col("event_id"), col("value"), col("rn"))
+    assertSameRows(got, want)
+  }
+
   test("t13 quarantine gate over a FORCED 2-batch split equals the one-pass routing") {
     val stage = graft.core.TempDirs.scratch("t13_split")
     val o = Tables.orders(spark, sfDir)
