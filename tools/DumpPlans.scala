@@ -67,7 +67,14 @@ object DumpPlans {
       "l39_token_entropy" -> "Per-doc token entropy: explode -> (doc_id, word) count -> doc_id rollup — two keyed aggregations, no window, no join; every float input is an exact integer count.",
       "l43_zipf_slope" -> "Per-source Zipf slope: the rank window and the OLS rollup run over the AGGREGATED vocabulary (one corpus-scale shuffle total); integer row_number ranks make the fit bit-deterministic across engines.",
       "e13_funnel_steps" -> "Ordered k-step funnel: one filtered min-agg per step, all co-partitioned on user_id; each step's filter lands before its aggregation so frames shrink monotonically — no window over the whole stream, no inequality self-join.",
-      "l44_source_kl" -> "Per-source KL from the corpus unigram distribution: one (source, word) count shuffle; the corpus marginals REAGGREGATE the vocab table (no second corpus scan) and join back on the word key; the 1-row total broadcasts.")
+      "l44_source_kl" -> "Per-source KL from the corpus unigram distribution: one (source, word) count shuffle; the corpus marginals REAGGREGATE the vocab table (no second corpus scan) and join back on the word key; the 1-row total broadcasts.",
+      "l45_prefix_join" -> "Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin): only each doc's n-ceil(tau*n)+1 rarest shingles (global (df, hash) order) enter the inverted index — lossless by pigeonhole; the length filter kills cross-size candidates before the distinct; survivors exact-verify on the materialized hashed-shingle arrays.",
+      "w5b_topk_agg" -> "Bounded top-k per group: the topk_sketch TypedImperativeAggregate runs as ObjectHashAggregate partial+final — <= k (value, id) pairs per group cross the shuffle, NO sort and NO window anywhere in the plan.",
+      "l46_kcore" -> "Bounded-round k-core peel: per round one degree aggregation + two semi-joins against the node-scale keep list (broadcast under AQE); the composed 3-round plan runs off one materialized bidirected edge base with exchange reuse.",
+      "g15_cm_sketch" -> "Count-Min sketch: corpus-scale work is the native partial-aggregating count_min_sketch; the 10 probe words broadcast into the exact-count join; estimates read the serialized sketch on metadata-scale rows only.",
+      "l47_phrase_search" -> "Positional-index phrase search: the token stream filters to the phrase's words BEFORE any shuffle; adjacency is (doc_id, pos-offset) equi-joins; no LIKE scan, no string rescans.",
+      "e14_pattern_match" -> "Sequence-pattern matching: one user-keyed exchange builds order-independent char sequences (sorted structs), regexp_count scores them — no join in the plan.",
+      "p11_psi_drift" -> "PSI drift report: the microsecond-midpoint split is a 1-row broadcast cross; after the (key, bin) count shuffle everything is bin-cardinality rows.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
