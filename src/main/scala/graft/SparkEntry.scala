@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       SortsSets.queries ++ Functions.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultiModal.queries ++ StreamingOps.queries ++
-      EventOps.queries ++ Layout.queries ++ Graphs.queries
+      EventOps.queries ++ Layout.queries ++ Graphs.queries ++ TpcH.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       SortsSets.oracle ++ Functions.oracle ++ TextOps.oracle ++
       VectorOps.oracle ++ MultiModal.oracle ++ StreamingOps.oracle ++
-      EventOps.oracle ++ Layout.oracle ++ Graphs.oracle
+      EventOps.oracle ++ Layout.oracle ++ Graphs.oracle ++ TpcH.oracle
 }

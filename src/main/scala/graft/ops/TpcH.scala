@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Classic TPC-H queries over the fixture's TPC-H-shaped tables — the
+  * recognizable industry-standard analytics a user expects any engine to
+  * run (Q1 pricing summary, Q3 shipping priority, Q6 revenue change),
+  * adapted to the fixture's columns (no shipmode/commitdate family).
+  *
+  * Float-parity discipline: the spec's `extendedprice·(1−discount)`
+  * product chains are float-summation-order traps cross-engine, so every
+  * money expression runs in the cents-long channel (the t1/e9 rule):
+  * prices as cents, discounts/taxes as integer percent points, products
+  * as exact BIGINTs in 1e-4 / 1e-6 units. Sums are then exact integers —
+  * bit-identical on any partitioning, any engine — and averages divide
+  * two exact integers. This is also the right 100 TB posture: integer
+  * sums are associative, so map-side partial aggregation is lossless.
+  */
+object TpcH {
+  import Relational.Q
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .withColumn("ext_cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc_pct", round(col("l_discount") * 100).cast("long"))
+      .withColumn("tax_pct", round(col("l_tax") * 100).cast("long"))
+
+  /** TQ1 (TPC-H Q1): pricing summary report — per (returnflag, status):
+    * quantity/price sums, discounted and charged totals, averages, count.
+    * disc_price in 1e-4 units: cents·(100−pct); charge in 1e-6 units:
+    * cents·(100−disc)·(100+tax). */
+  val tq1PricingSummary: Q = (s, d) =>
+    li(s, d)
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("ext_cents")).as("sum_base_cents"),
+        sum(col("ext_cents") * (lit(100L) - col("disc_pct"))).as("sum_disc_e4"),
+        sum(col("ext_cents") * (lit(100L) - col("disc_pct"))
+          * (lit(100L) + col("tax_pct"))).as("sum_charge_e6"),
+        (sum(col("l_quantity").cast("long"))
+          / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("ext_cents")) / count(lit(1)).cast("double")).as("avg_cents"),
+        (sum(col("disc_pct")) / count(lit(1)).cast("double")).as("avg_disc_pct"),
+        count(lit(1)).as("n"))
+
+  /** TQ3 (TPC-H Q3): shipping priority — top-10 unshipped BUILDING-segment
+    * orders by discounted revenue as of 1998-03-15. The star join
+    * broadcasts the filtered customer dim; revenue ranks as an exact
+    * BIGINT so the top-10 cut is deterministic (orderkey tiebreak). */
+  val tq3ShippingPriority: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val lines = li(s, d)
+      .where(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+    lines
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TQ6 (TPC-H Q6): forecasting revenue change — one-table scan-and-sum
+    * with tight filters (1996 shipments, 5-7% discount, qty < 24); the
+    * filters land in PushedFilters, the sum is one exact BIGINT. */
+  val tq6RevenueChange: Q = (s, d) =>
+    li(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("disc_pct").between(5L, 7L) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("ext_cents") * col("disc_pct")).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+
+  val queries: Map[String, Q] = Map(
+    "tq1_pricing_summary" -> tq1PricingSummary,
+    "tq3_shipping_priority" -> tq3ShippingPriority,
+    "tq6_revenue_change" -> tq6RevenueChange)
+
+  val oracle: Map[String, String] = Map(
+    "tq1_pricing_summary" ->
+      """WITH l AS (SELECT *,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+                           CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                           CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+                    FROM lineitem)
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(ext_cents) AS BIGINT) AS sum_base_cents,
+                CAST(sum(ext_cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_e4,
+                CAST(sum(ext_cents * (100 - disc_pct) * (100 + tax_pct))
+                     AS BIGINT) AS sum_charge_e6,
+                sum(CAST(l_quantity AS BIGINT)) * 1.0 / count(*) AS avg_qty,
+                sum(ext_cents) * 1.0 / count(*) AS avg_cents,
+                sum(disc_pct) * 1.0 / count(*) AS avg_disc_pct,
+                CAST(count(*) AS BIGINT) AS n
+         FROM l WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2""",
+    "tq3_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-03-15'
+           AND l.l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY 1, 2
+         ORDER BY revenue_e4 DESC, l.l_orderkey
+         LIMIT 10""",
+    "tq6_revenue_change" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_e4,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""")
+}
