@@ -222,10 +222,10 @@ object TextOps {
     }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
-  /** L47: exact phrase search ("slow hash batch") over the positional
+  /** L47: exact phrase search ("join part filter") over the positional
     * index — emits each matching doc with its occurrence count. */
   val l47PhraseSearch: Q = (s, d) =>
-    phraseSearchFrames(Tables.documents(s, d), Seq("slow", "hash", "batch"))
+    phraseSearchFrames(Tables.documents(s, d), Seq("join", "part", "filter"))
 
   /** L5b: MinHash + LSH banding — the sub-quadratic scale path for near-dup.
     * 32 xxhash64 permutations → 16 bands × 2 rows → band-bucket join yields
@@ -1977,7 +1977,7 @@ object TextOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
          FROM pos
          WHERE i + 3 <= len(t)
-           AND t[i+1] = 'slow' AND t[i+2] = 'hash' AND t[i+3] = 'batch'
+           AND t[i+1] = 'join' AND t[i+2] = 'part' AND t[i+3] = 'filter'
          GROUP BY 1""",
     // l5b/l5d SHARE the exact-pair oracle (VERDICT r6 #1): both paths
     // exact-verify their LSH candidates at τ = 0.3 over the same hashed
