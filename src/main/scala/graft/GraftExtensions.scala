@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
 
+    // Optimizer rule: `row_number() <= k` window top-k rewrites to the
+    // bounded topk_sketch aggregate (no per-group sort) — see
+    // [[graft.plans.TopKRewrite]]. Disable per session with
+    // spark.graft.topkRewrite.enabled=false.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+
     inject("vec_dot", es => functions.VecDot(es(0), es(1)))
     inject("rolling_hash", es => functions.RollingHash(es(0)))
     inject("z_interleave", es => functions.ZInterleave(es(0), es(1)))

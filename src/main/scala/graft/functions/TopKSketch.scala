@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil}
 import org.apache.spark.sql.types._
 
 /** Bounded top-k-per-group as a native MERGEABLE aggregate (w5b) — the
@@ -21,12 +21,18 @@ import org.apache.spark.sql.types._
   * aggregate keeps at most k (value, id) pairs per group at every stage:
   * partial aggregation bounds map-side state at k per key AND means only
   * k pairs per (key, partition) ever cross the shuffle; merges are
-  * k-way list merges. Order: (value DESC, id ASC) — the id tiebreak makes
-  * the result a pure function of the data (the w5/w6 determinism rule).
+  * k-way list merges.
+  *
+  * Ordering is EXACTLY the window's `value DESC NULLS LAST, id ASC NULLS
+  * FIRST` total order: doubles compare with Spark's own sort semantics
+  * (SQLOrderingUtil: NaN greatest, -0.0 == 0.0), null values rank after
+  * every non-null value, null ids rank before every non-null id among
+  * value ties. That bit-identical equivalence is what lets the w5b
+  * declared query share w5's oracle and what the TopKRewrite optimizer
+  * rule relies on when it swaps this aggregate in for the window.
   *
   * Output: array<struct<value double, id bigint>> in rank order, ready to
-  * `posexplode` back into (id, value, rn) rows — which is how the w5b
-  * declared query reproduces w5's rows exactly and shares its oracle.
+  * `posexplode` back into (id, value, rn) rows.
   */
 case class TopKSketch(
     valueExpr: Expression,
@@ -34,7 +40,8 @@ case class TopKSketch(
     k: Int = 3,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[TopKSketch.Entry]] {
+  import TopKSketch.{Entry, beats}
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
@@ -45,42 +52,38 @@ case class TopKSketch(
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("value", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))),
+      StructField("value", DoubleType, nullable = valueExpr.nullable),
+      StructField("id", LongType, nullable = idExpr.nullable))),
     containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_sketch"
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
 
-  // rank order: value desc, id asc
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Entry] =
     mutable.ArrayBuffer.empty
 
-  override def update(buf: mutable.ArrayBuffer[(Double, Long)],
-      input: InternalRow): mutable.ArrayBuffer[(Double, Long)] = {
+  override def update(buf: mutable.ArrayBuffer[Entry],
+      input: InternalRow): mutable.ArrayBuffer[Entry] = {
     val v = valueExpr.eval(input)
     val id = idExpr.eval(input)
-    if (v != null && id != null) {
-      val e = (v.asInstanceOf[Double], id.asInstanceOf[Long])
-      if (buf.size < k || beats(e, buf.last)) {
-        // insertion into a ≤k sorted buffer: O(k) per row, k tiny
-        var i = buf.size
-        buf += e
-        while (i > 0 && beats(e, buf(i - 1))) { buf(i) = buf(i - 1); i -= 1 }
-        buf(i) = e
-        if (buf.size > k) buf.remove(buf.size - 1)
-      }
+    val e = Entry(
+      v == null, if (v == null) 0.0 else v.asInstanceOf[Double],
+      id == null, if (id == null) 0L else id.asInstanceOf[Long])
+    if (buf.size < k || beats(e, buf.last)) {
+      // insertion into a ≤k rank-sorted buffer: O(k) per row, k tiny
+      var i = buf.size
+      buf += e
+      while (i > 0 && beats(e, buf(i - 1))) { buf(i) = buf(i - 1); i -= 1 }
+      buf(i) = e
+      if (buf.size > k) buf.remove(buf.size - 1)
     }
     buf
   }
 
-  override def merge(a: mutable.ArrayBuffer[(Double, Long)],
-      b: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] = {
+  override def merge(a: mutable.ArrayBuffer[Entry],
+      b: mutable.ArrayBuffer[Entry]): mutable.ArrayBuffer[Entry] = {
     // merge two rank-sorted ≤k lists, keep the best k
-    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    val out = mutable.ArrayBuffer.empty[Entry]
     var i = 0; var j = 0
     while (out.size < k && (i < a.size || j < b.size)) {
       if (j >= b.size || (i < a.size && beats(a(i), b(j)))) { out += a(i); i += 1 }
@@ -89,23 +92,32 @@ case class TopKSketch(
     out
   }
 
-  override def eval(buf: mutable.ArrayBuffer[(Double, Long)]): Any =
+  override def eval(buf: mutable.ArrayBuffer[Entry]): Any =
     new GenericArrayData(buf.map(e =>
-      new GenericInternalRow(Array[Any](e._1, e._2)): Any).toArray)
+      new GenericInternalRow(Array[Any](
+        if (e.vNull) null else e.v,
+        if (e.idNull) null else e.id)): Any).toArray)
 
-  override def serialize(buf: mutable.ArrayBuffer[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+  override def serialize(buf: mutable.ArrayBuffer[Entry]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 17)
     bb.putInt(buf.size)
-    buf.foreach { case (v, id) => bb.putDouble(v); bb.putLong(id) }
+    buf.foreach { e =>
+      bb.put((((if (e.vNull) 1 else 0)) | (if (e.idNull) 2 else 0)).toByte)
+      bb.putDouble(e.v); bb.putLong(e.id)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Entry] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    val out = mutable.ArrayBuffer.empty[Entry]
     var i = 0
-    while (i < n) { out += ((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < n) {
+      val f = bb.get()
+      out += Entry((f & 1) != 0, bb.getDouble, (f & 2) != 0, bb.getLong)
+      i += 1
+    }
     out
   }
 
@@ -119,6 +131,21 @@ case class TopKSketch(
 }
 
 object TopKSketch {
+  /** One ranked row; null flags carry the window's null ordering. */
+  final case class Entry(vNull: Boolean, v: Double, idNull: Boolean, id: Long)
+
+  /** `value DESC NULLS LAST, id ASC NULLS FIRST` — a beats b iff a ranks
+    * strictly before b under exactly that window order. */
+  def beats(a: Entry, b: Entry): Boolean = {
+    if (a.vNull != b.vNull) return !a.vNull // non-null value ranks first
+    if (!a.vNull) {
+      val c = SQLOrderingUtil.compareDoubles(a.v, b.v)
+      if (c != 0) return c > 0
+    }
+    if (a.idNull != b.idNull) return a.idNull // null id ranks first in ASC
+    !a.idNull && a.id < b.id
+  }
+
   /** Register `topk_sketch(value, id, k)` for expr() use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
