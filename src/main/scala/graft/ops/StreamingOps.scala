@@ -528,7 +528,56 @@ object StreamingOps {
 
   val t15StreamTopk: Q = (s, d) => t15TopkOver(eventsStream(s, d), "t15_sink")
 
+  case class PmRow(user_id: Long, ts_us: Long, event_id: Long, ch: String)
+  case class PmState(dfa: Int, hits: Long)
+  case class PmOut(user_id: Long, n_matches: Long)
+
+  /** T16: streaming sequence-pattern matching with BOUNDED state — e14's
+    * CEP twin. A regex over a user's whole history needs the history;
+    * compiling the fixed pattern (`v[vc]*p`) to its 2-state DFA needs
+    * exactly ONE int of state per user, carried in `GroupState` across
+    * micro-batches with the cumulative match count. Within a batch the
+    * group's rows sort by (ts, id) — the same total order e14 pins; the
+    * one CEP assumption (batch boundaries respect event time, i.e.
+    * watermarked in-order replay) is pinned by the forced TIME-split test
+    * in StreamingSpec, where the automaton must resume mid-run across
+    * the boundary. DFA ≡ leftmost non-overlapping regex matching because
+    * the character class excludes the terminator (the e14 agreement
+    * class): a run is viable iff the automaton is in state 1. */
+  private[graft] def t16PatternOver(ev: DataFrame, sink: String): DataFrame = {
+    val typed = ev.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+      .as(Encoders.product[PmRow])
+    val fn = (user: Long, rows: Iterator[PmRow], state: GroupState[PmState]) => {
+      val st0 = state.getOption.getOrElse(PmState(0, 0L))
+      val st = rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foldLeft(st0) {
+        (acc, r) =>
+          acc.dfa match {
+            case 0 => PmState(if (r.ch == "v") 1 else 0, acc.hits)
+            case _ => r.ch match {
+              case "p" => PmState(0, acc.hits + 1)
+              case "v" | "c" => PmState(1, acc.hits)
+              case _ => PmState(0, acc.hits)
+            }
+          }
+      }
+      state.update(st)
+      Iterator(PmOut(user, st.hits))
+    }
+    val updated = typed.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)(
+        Encoders.product[PmState], Encoders.product[PmOut])
+    // update mode emits once per user per batch; hits are monotone, so
+    // the final state is the max — the t6 posture
+    runToMemory(updated.toDF(), sink, "update")
+      .groupBy(col("user_id")).agg(max(col("n_matches")).as("n_matches"))
+      .where(col("n_matches") > 0)
+  }
+
+  val t16StreamPattern: Q = (s, d) => t16PatternOver(eventsStream(s, d), "t16_sink")
+
   val queries: Map[String, Q] = Map(
+    "t16_stream_pattern" -> t16StreamPattern,
     "t15_stream_topk" -> t15StreamTopk,
     "t14_stream_approx_users" -> t14StreamApproxUsers,
     "t11_doc_ingest" -> t11DocIngest,
@@ -547,6 +596,15 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the DFA's final counts must equal e14's batch regex counts exactly
+    "t16_stream_pattern" ->
+      """WITH sq AS (SELECT user_id,
+                            string_agg(substr(event_type, 1, 1), ''
+                                       ORDER BY epoch_us(ts), event_id) AS sq
+                     FROM events GROUP BY 1)
+         SELECT user_id,
+                CAST(len(regexp_extract_all(sq, 'v[vc]*p')) AS BIGINT) AS n_matches
+         FROM sq WHERE len(regexp_extract_all(sq, 'v[vc]*p')) > 0""",
     // final streaming state must equal the batch top-3 per type exactly
     "t15_stream_topk" ->
       """SELECT event_type, event_id, value,

@@ -190,6 +190,38 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("t16 streaming pattern DFA resumes mid-run across a TIME-split batch boundary") {
+    // split BY EVENT TIME (the CEP in-order-replay assumption): a user
+    // whose v[vc]*p run straddles the boundary exercises exactly the
+    // state the DFA must carry — batch 1 ends inside a run (dfa=1),
+    // batch 2 must complete it from GroupState, not from scratch
+    val stage = graft.core.TempDirs.scratch("t16_split")
+    val ev = Tables.events(spark, sfDir)
+    val mid = ev.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / 2)
+        .cast("long")).head().getLong(0)
+    ev.where(unix_micros(col("ts")) <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/early")
+    ev.where(unix_micros(col("ts")) > mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/late")
+    import scala.jdk.CollectionConverters._
+    val files = Seq(s"$stage/early", s"$stage/late").flatMap { dir =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    }
+    val stageDir = graft.core.TempDirs.scratch("t16_stream")
+    files.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        stageDir.resolve(f"b$i%03d.parquet"), p.toAbsolutePath)
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+    val got = StreamingOps.t16PatternOver(stream, "t16_split_sink")
+    val want = graft.ops.EventOps.queries("e14_pattern_match")(spark, sfDir)
+      .select(col("user_id"), col("n_matches").cast("long"))
+    assertSameRows(got, want)
+  }
+
   test("t13 quarantine gate over a FORCED 2-batch split equals the one-pass routing") {
     val stage = graft.core.TempDirs.scratch("t13_split")
     val o = Tables.orders(spark, sfDir)
