@@ -29,16 +29,23 @@ object EventOps {
     * Exposed for the ScalaCheck law that pits it against a driver-side
     * brute-force sessionizer on adversarial inputs (exact-gap boundaries,
     * timestamp ties) the fixture may not contain. */
-  private[graft] def sessionize(ev: org.apache.spark.sql.DataFrame,
+  /** The flagging half of [[sessionize]]: every input row tagged with its
+    * session_no (lag-gap flag → running sum over the same user window) —
+    * all input columns flow through, so session-scoped analytics (e17)
+    * can aggregate whatever they carry. */
+  private[graft] def sessionFlags(ev: org.apache.spark.sql.DataFrame,
       gapUs: Long): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val flagged = ev
-      .withColumn("new_sess",
+    ev.withColumn("new_sess",
         when(lag(col("ts_us"), 1).over(w).isNull ||
           col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
       .withColumn("session_no",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy(col("user_id"), col("session_no"))
+  }
+
+  private[graft] def sessionize(ev: org.apache.spark.sql.DataFrame,
+      gapUs: Long): org.apache.spark.sql.DataFrame = {
+    sessionFlags(ev, gapUs).groupBy(col("user_id"), col("session_no"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("sess_start_us"),
@@ -514,7 +521,31 @@ object EventOps {
         floor(col("n_burst") * 1000 / col("n_gaps")).as("burst_permille"))
   }
 
+  /** E17: within-session funnel — did the VISIT convert? e2 asks "did the
+    * user ever convert"; e17 scopes conversion to the session (the visit-
+    * level conversion rate every product dashboard leads with): a session
+    * converts iff it contains a view AND a purchase at-or-after the first
+    * view. Rides e1's session flags (same user-keyed window — the one
+    * exchange), then one (user, session) rollup with filtered min/max —
+    * conversion needs no second pass and no join. */
+  val e17SessionFunnel: Q = (s, d) => {
+    val flagged = sessionFlags(
+      Tables.events(s, d).withColumn("ts_us", us(col("ts"))),
+      gapUs = 1800L * 1000000)
+    flagged.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts_us"))).as("first_view_us"),
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase_us"))
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("first_view_us"),
+        coalesce(col("first_view_us").isNotNull &&
+          col("last_purchase_us") >= col("first_view_us"), lit(false))
+          .as("converted"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e17_session_funnel" -> e17SessionFunnel,
     "e16_cadence" -> e16Cadence,
     "e15_ewma" -> e15Ewma,
     "e14_pattern_match" -> e14PatternMatch,
@@ -534,6 +565,25 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e17_session_funnel" ->
+      """WITH o AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM o)
+         SELECT user_id, session_no, count(*) AS n_events,
+                min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us,
+                coalesce(min(CASE WHEN event_type = 'view' THEN ts_us END) IS NOT NULL
+                         AND max(CASE WHEN event_type = 'purchase' THEN ts_us END)
+                             >= min(CASE WHEN event_type = 'view' THEN ts_us END),
+                         false) AS converted
+         FROM s GROUP BY 1, 2""",
     "e16_cadence" ->
       """WITH g AS (SELECT user_id,
                            epoch_us(ts) - lag(epoch_us(ts)) OVER
