@@ -227,6 +227,31 @@ object TextOps {
   val l47PhraseSearch: Q = (s, d) =>
     phraseSearchFrames(Tables.documents(s, d), Seq("join", "part", "filter"))
 
+  /** L48: out-of-vocabulary rate per document — the tokenizer-coverage
+    * diagnostic run before committing to a vocabulary (a doc whose tokens
+    * fall outside the top-K corpus vocab will fragment into subwords /
+    * UNKs at training time; high-OOV docs are candidates for exclusion
+    * or vocab expansion). Vocabulary = corpus top-`vocabSize` words by
+    * (count desc, word asc) — deterministic, derived in-plan (production
+    * passes a frozen vocab table through the registry transform). The
+    * vocab is vocabulary-scale → broadcast left-semi-ish join via a
+    * membership flag; per-doc rollup is the one doc_id exchange. The OOV
+    * share stays integer as floor-division per-mille (the e16 rule). */
+  private[graft] def oovRateFrames(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val tok = docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), explode(col("t")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("w")).limit(vocabSize).select(col("w"))
+    tok.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(col("n_oov") * 1000 / col("n_tokens")).as("oov_permille"))
+  }
+
+  val l48OovRate: Q = (s, d) => oovRateFrames(Tables.documents(s, d), 20)
+
   /** L5b: MinHash + LSH banding — the sub-quadratic scale path for near-dup.
     * 32 xxhash64 permutations → 16 bands × 2 rows → band-bucket join yields
     * candidates, which are then exact-verified at τ = 0.3 — so the output
@@ -1493,6 +1518,7 @@ object TextOps {
     "l5_jaccard_pairs" -> l5JaccardPairs,
     "l45_prefix_join" -> l45PrefixJoin,
     "l47_phrase_search" -> l47PhraseSearch,
+    "l48_oov_rate" -> l48OovRate,
     "l5b_minhash_lsh" -> l5bMinhashLsh,
     "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
@@ -1970,6 +1996,18 @@ object TextOps {
     // l45 is EXACT by construction (prefix filtering is lossless — see the
     // pigeonhole argument at the definition), so it shares l5's oracle.
     "l45_prefix_join" -> l5PairsOracleSql,
+    "l48_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+            vocab AS (SELECT w FROM (SELECT w, count(*) AS cn FROM tok
+                                     GROUP BY 1 ORDER BY cn DESC, w LIMIT 20))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov,
+                CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) * 1000
+                     // count(*) AS BIGINT) AS oov_permille
+         FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+         GROUP BY 1""",
     "l47_phrase_search" ->
       """WITH pos AS (SELECT doc_id, t, unnest(range(len(t))) AS i
                       FROM (SELECT doc_id, string_split(text, ' ') AS t

@@ -286,6 +286,26 @@ object Transforms {
         p.params.getOrElse("type", "event_type"),
         p("pattern"))
     }
+    // per-doc out-of-vocabulary rate vs a frozen vocab step (one `w`
+    // column) or, absent one, the corpus top-`vocab_size` words
+    r.register("oov_rate") { (_, in, p) =>
+      in.get("vocab") match {
+        case Some(v) =>
+          import org.apache.spark.sql.functions.{broadcast, col, count, explode, floor, lit, split, sum, when}
+          val tok = in("docs")
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          tok.join(broadcast(v.select(col("w")).withColumn("in_vocab", lit(1L))),
+              Seq("w"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_tokens"),
+              sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+            .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+              floor(col("n_oov") * 1000 / col("n_tokens")).as("oov_permille"))
+        case None =>
+          graft.ops.TextOps.oovRateFrames(in("docs"),
+            p.params.getOrElse("vocab_size", "20").toInt)
+      }
+    }
     // exact phrase search over any (doc_id, text) step via the
     // positional inverted index (space-separated phrase param)
     r.register("phrase_search") { (_, in, p) =>
