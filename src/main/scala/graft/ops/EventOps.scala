@@ -544,7 +544,50 @@ object EventOps {
           .as("converted"))
   }
 
+  /** E18: LINEAR multi-touch attribution — e12's last-touch twin for the
+    * other standard credit model: every click/view in the 24 h lookback
+    * shares the purchase's value equally ('direct' when no touch). The
+    * purchases×touches pairing is the classic inequality-join trap; the
+    * j10 banding restores an equi key — both sides bucket time by the
+    * lookback width, each purchase probes its 2 spanned buckets, the
+    * exact µs predicate runs inside (user, bucket) hash-join buckets.
+    * Credit splits in exact integer micro-cents via floor division (the
+    * flooring loses < n_touches µ¢ per purchase and is engine-identical);
+    * the per-purchase touch count is a purchase-keyed window over the
+    * pair rows, never a second events pass. */
+  val e18LinearAttribution: Q = (s, d) => {
+    val band = 86400L * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_us").as("pts"), Relational.cents(col("value")).as("cents"))
+    val t = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_us").as("tts"))
+      .withColumn("bucket", floor(col("tts") / band))
+    val pb = p.withColumn("b0", floor(col("pts") / band))
+      .select(col("user_id"), col("pid"), col("pts"), col("cents"),
+        explode(array(col("b0") - 1, col("b0"))).as("bucket"))
+    val pairs = pb.join(t, Seq("user_id", "bucket"))
+      .where(col("tts") > col("pts") - band && col("tts") <= col("pts"))
+      .select(col("pid"), col("cents"), col("channel"))
+    val wP = Window.partitionBy(col("pid"))
+    val credits = pairs
+      .withColumn("n_touch", count(lit(1)).over(wP))
+      .select(col("channel"),
+        floor(col("cents") * 1000000L / col("n_touch")).as("credit_ucents"))
+    val direct = p
+      .join(pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("channel"),
+        (col("cents") * 1000000L).as("credit_ucents"))
+    credits.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_ucents")).as("credit_ucents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e18_linear_attribution" -> e18LinearAttribution,
     "e17_session_funnel" -> e17SessionFunnel,
     "e16_cadence" -> e16Cadence,
     "e15_ewma" -> e15Ewma,
@@ -565,6 +608,28 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e18_linear_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+                            epoch_us(ts) AS ts_us, value FROM events),
+            p AS (SELECT user_id, event_id AS pid, ts_us AS pts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM ev WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel, ts_us AS tts
+                  FROM ev WHERE event_type IN ('click', 'view')),
+            pairs AS (SELECT p.pid, p.cents, t.channel
+                      FROM p JOIN t ON p.user_id = t.user_id
+                      WHERE t.tts > p.pts - 86400000000 AND t.tts <= p.pts),
+            credits AS (
+              SELECT channel,
+                     cents * 1000000 // count(*) OVER (PARTITION BY pid)
+                       AS credit_ucents
+              FROM pairs
+              UNION ALL
+              SELECT 'direct' AS channel, cents * 1000000 AS credit_ucents
+              FROM p WHERE pid NOT IN (SELECT pid FROM pairs))
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+                CAST(sum(credit_ucents) AS BIGINT) AS credit_ucents
+         FROM credits GROUP BY 1""",
     "e17_session_funnel" ->
       """WITH o AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

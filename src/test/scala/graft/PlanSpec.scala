@@ -431,6 +431,14 @@ class PlanSpec extends SparkSpec {
       s"expected partial + final object hash aggregates:\n$plan")
   }
 
+  test("e18 linear attribution: the banded lookback join never goes nested-loop") {
+    val plan = executed(graft.SparkEntry.queries("e18_linear_attribution")(spark, sfDir))
+    val bad = collectAll(plan).filter(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bad.isEmpty, s"inequality join escaped the banding:\n$plan")
+  }
+
   test("g15 CM sketch: the probe join broadcasts the 10 probe words — the corpus side never reshuffles for it") {
     val plan = executed(graft.SparkEntry.queries("g15_cm_sketch")(spark, sfDir))
     val all = collectAll(plan)
