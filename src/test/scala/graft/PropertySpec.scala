@@ -248,6 +248,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t16's DFA counts exactly like leftmost non-overlapping v[vc]*p regex matching") {
+    // the streaming matcher's correctness rests on DFA ≡ regex; fuzz it
+    // over random strings far nastier than the fixture (long runs, p
+    // floods, run-into-run boundaries)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "vcpse"
+    val pat = java.util.regex.Pattern.compile("v[vc]*p")
+    for (_ <- 1 to 2000) {
+      val sq = (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(5))).mkString
+      val m = pat.matcher(sq)
+      var want = 0
+      while (m.find()) want += 1
+      // the t16 automaton, verbatim semantics
+      var dfa = 0; var got = 0
+      sq.foreach { c =>
+        if (dfa == 0) dfa = if (c == 'v') 1 else 0
+        else c match {
+          case 'p' => got += 1; dfa = 0
+          case 'v' | 'c' => dfa = 1
+          case _ => dfa = 0
+        }
+      }
+      assert(got == want, s"seq='$sq': dfa=$got regex=$want")
+    }
+  }
+
   test("phrase search counts overlapping occurrences like sliding-window brute force") {
     import s.implicits._
     // "a a a" contains TWO occurrences of "a a" — the overlap case a
