@@ -555,13 +555,16 @@ object EventOps {
     * flooring loses < n_touches µ¢ per purchase and is engine-identical);
     * the per-purchase touch count is a purchase-keyed window over the
     * pair rows, never a second events pass. */
-  val e18LinearAttribution: Q = (s, d) => {
-    val band = 86400L * 1000000
-    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
-    val p = ev.where(col("event_type") === "purchase")
+  /** e18 core over ANY typed event stream — registry `linear_attribution`. */
+  private[graft] def linearAttributionFrames(ev0: org.apache.spark.sql.DataFrame,
+      tsCol: String, touches: Seq[String], target: String,
+      band: Long): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.microTs(ev0, tsCol)
+      .withColumn("ts_us", us(col(tsCol)))
+    val p = ev.where(col("event_type") === target)
       .select(col("user_id"), col("event_id").as("pid"),
         col("ts_us").as("pts"), Relational.cents(col("value")).as("cents"))
-    val t = ev.where(col("event_type").isin("click", "view"))
+    val t = ev.where(col("event_type").isin(touches: _*))
       .select(col("user_id"), col("event_type").as("channel"),
         col("ts_us").as("tts"))
       .withColumn("bucket", floor(col("tts") / band))
@@ -585,6 +588,11 @@ object EventOps {
       .agg(count(lit(1)).as("n_credits"),
         sum(col("credit_ucents")).as("credit_ucents"))
   }
+
+  val e18LinearAttribution: Q = (s, d) =>
+    linearAttributionFrames(Tables.events(s, d), tsCol = "ts",
+      touches = Seq("click", "view"), target = "purchase",
+      band = 86400L * 1000000)
 
   val queries: Map[String, Q] = Map(
     "e18_linear_attribution" -> e18LinearAttribution,

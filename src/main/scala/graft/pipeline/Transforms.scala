@@ -320,6 +320,32 @@ object Transforms {
         p.params.getOrElse("value", "value"),
         p.params.getOrElse("bin_width", "50").toDouble)
     }
+    // bounded top-k rows per group over any frame: group/value/id column
+    // names + k; value must be double-typed, id long-typed (the
+    // topk_sketch contract)
+    r.register("topk") { (s, in, p) =>
+      import org.apache.spark.sql.functions.{col, expr, posexplode}
+      graft.functions.TopKSketch.register(s)
+      val (g, v, id) = (p.params.getOrElse("by", "o_custkey"),
+        p("value"), p("id"))
+      val k = p.params.getOrElse("k", "3").toInt
+      in("rows").groupBy(col(g))
+        .agg(expr(s"topk_sketch(CAST($v AS DOUBLE), CAST($id AS BIGINT), $k)")
+          .as("top"))
+        .select(col(g), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col(g), col("t.id").as(id), col("t.value").as(v),
+          (col("pos") + 1).cast("int").as("rn"))
+    }
+    // linear multi-touch attribution over any typed event stream
+    // (lookback seconds, touch types, target type — e18's knobs)
+    r.register("linear_attribution") { (_, in, p) =>
+      graft.ops.EventOps.linearAttributionFrames(in("events"),
+        p.params.getOrElse("ts", "ts"),
+        p.params.getOrElse("touches", "click,view")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        p.params.getOrElse("target", "purchase"),
+        p.params.getOrElse("lookback", "86400").toLong * 1000000)
+    }
     // bounded-round k-core peel over any (sa, sb) undirected edge list
     r.register("kcore") { (_, in, p) =>
       graft.ops.Graphs.kcorePeel(in("edges"),

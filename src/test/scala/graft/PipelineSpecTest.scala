@@ -835,4 +835,45 @@ class PipelineSpecTest extends SparkSpec {
     val k4 = core("4").select(col("node")).collect().map(_.getLong(0)).toSet
     assert(k4.subsetOf(k2) && k2.nonEmpty, s"k=4 core must nest in k=2 core")
   }
+
+  test("topk, linear_attribution and oov_rate: knobs live through the registry") {
+    val wh = Files.createTempDirectory("graft_wh_r8f").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    // topk: k rows per group, k=1 set nests in k=3 set
+    val ordStep = StepSpec("o", "source", params = Map("dir" -> sfDir, "table" -> "orders"))
+    def top(k: String) = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(ordStep, StepSpec("t", "topk", Map("rows" -> "o"),
+          Map("by" -> "o_custkey", "value" -> "o_totalprice",
+            "id" -> "o_orderkey", "k" -> k)))),
+        Seq("t"))("t")}")
+    val t1 = top("1").select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val t3 = top("3").select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(t1.nonEmpty && t1.subsetOf(t3), "k=1 winners must be within k=3 winners")
+    assert(top("3").groupBy(col("o_custkey")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0) <= 3)
+    // linear_attribution: widening the lookback can only move credit OUT
+    // of 'direct'
+    val evStep = StepSpec("ev", "source", params = Map("dir" -> sfDir, "table" -> "events"))
+    def direct(lookback: String): Long = {
+      val df = spark.read.parquet(s"$wh/${runner.execute(
+          PipelineSpec(Seq(evStep, StepSpec("a", "linear_attribution",
+            Map("events" -> "ev"), Map("lookback" -> lookback)))),
+          Seq("a"))("a")}")
+      df.where(col("channel") === "direct").select(col("n_credits"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    }
+    assert(direct("60") >= direct("86400"),
+      "a wider lookback must not create new direct conversions")
+    // oov_rate: a frozen 1-word vocab makes almost everything OOV
+    val docsStep = StepSpec("d", "source", params = Map("dir" -> sfDir, "table" -> "documents"))
+    val vocabStep = StepSpec("v", "sql", Map("rows" -> "d"),
+      Map("sql" -> "SELECT 'the' AS w"))
+    val oov = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(docsStep, vocabStep, StepSpec("r", "oov_rate",
+          Map("docs" -> "d", "vocab" -> "v"), Map.empty))),
+        Seq("r"))("r")}")
+    val bad = oov.where(col("n_oov") > col("n_tokens")).count()
+    assert(bad == 0 && oov.agg(org.apache.spark.sql.functions.min(col("oov_permille"))).head().getLong(0) >= 500,
+      "a 1-word vocab must leave most tokens OOV")
+  }
 }
