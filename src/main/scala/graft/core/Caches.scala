@@ -25,7 +25,16 @@ import org.apache.spark.sql.SparkSession
   * asynchronously), relying on ContextCleaner GC instead.
   */
 object Caches {
+  // Cross-query DataFrame memos (Graphs.coOccurrenceEdges) hold
+  // checkpoint-backed frames whose blocks the RDD sweep below destroys;
+  // a memo serving such a frame afterwards hands out an unrecomputable
+  // plan ("checkpoint block not found"). Owners register their clear()
+  // here so release keeps the two layers consistent.
+  private val memos = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]
+  def registerMemo(clear: () => Unit): Unit = memos.add(clear)
+
   def releaseAll(s: SparkSession): Unit = {
+    memos.forEach(_.apply())
     // Dataset.persist entries (strongly held by the CacheManager)
     s.catalog.clearCache()
     // RDD-level blocks: localCheckpoints and raw RDD persists. Blocking:

@@ -42,6 +42,38 @@ object Graphs {
 
   private val CheckpointEvery = 3
 
+  /** The part co-occurrence SIMPLE graph (distinct sa < sb pairs sharing
+    * an order) every graph operator here declares over — MEMOIZED per
+    * (Spark application, fixture dir) as an eager localCheckpoint.
+    *
+    * Production posture, not bench sugar: a link/co-occurrence graph is a
+    * derived TABLE built once and queried many times (triangles,
+    * communities, cores, centrality all read the same edges — exactly the
+    * l27 index-once / VectorOps trained-centroid pattern). Rebuilding the
+    * self-join per operator re-pays the largest single cost in the graph
+    * family; the memo pays it once per corpus. Keyed by applicationId so
+    * a new context never sees another's RDDs, and registered with
+    * [[graft.core.Caches]] so the harnesses' quiescent-point releaseAll
+    * (which destroys the checkpoint blocks) also drops the memo — a memo
+    * surviving the block sweep would serve unrecomputable plans. The
+    * cross-operator reuse therefore accrues to the long-lived
+    * server/pipeline path, which never calls releaseAll. */
+  private val edgeMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+  graft.core.Caches.registerMemo(() => edgeMemo.clear())
+  private[graft] def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    edgeMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val pl = graft.core.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+        .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
+          Seq("l_orderkey"))
+        .where(col("sa") < col("sb"))
+        .select(col("sa"), col("sb")).distinct()
+        .localCheckpoint(eager = true)
+    })
+
   /** @param ids   one column `id` — the full vertex universe (singletons
     *              keep their own id as component)
     * @param pairs two columns `da`, `db` — undirected edges
@@ -243,13 +275,7 @@ object Graphs {
     * sf0.1 — sparse, unlike the near-complete co-supplier graph). Emits
     * ONE row (n_nodes, n_edges, n_triangles), all BIGINT. */
   val l35Triangles: graft.ops.Relational.Q = (s, d) => {
-    val pl = graft.core.Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
-      .where(col("sa") < col("sb"))
-      .select(col("sa"), col("sb"))
-    val (deg, ed, tri) = triangleCount(edges)
+    val (deg, ed, tri) = triangleCount(coOccurrenceEdges(s, d))
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
@@ -295,15 +321,8 @@ object Graphs {
     * 100 TB each round is edge-linear with 8-byte (node, label) pairs on
     * the wire, and the loop would checkpoint per round (the
     * [[connectedComponents]] posture). */
-  val l40LabelProp: graft.ops.Relational.Q = (s, d) => {
-    val pl = graft.core.Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
-      .where(col("sa") < col("sb"))
-      .select(col("sa"), col("sb")).distinct()
-    labelPropagation(edges, rounds = 3)
-  }
+  val l40LabelProp: graft.ops.Relational.Q = (s, d) =>
+    labelPropagation(coOccurrenceEdges(s, d), rounds = 3)
 
   /** Bounded-round k-core peel over ANY undirected simple edge list
     * (Seidman 1983 degeneracy peeling; the Batagelj–Zaveršnik shape run
@@ -346,15 +365,8 @@ object Graphs {
     * k-core survivors are the "well-embedded" nodes (a quality prior for
     * link-graph corpora, and the standard pre-filter before expensive
     * community/centrality passes since peeling is edge-linear). */
-  val l46Kcore: graft.ops.Relational.Q = (s, d) => {
-    val pl = graft.core.Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-      .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")), Seq("l_orderkey"))
-      .where(col("sa") < col("sb"))
-      .select(col("sa"), col("sb")).distinct()
-    kcorePeel(edges, k = 3, rounds = 3)
-  }
+  val l46Kcore: graft.ops.Relational.Q = (s, d) =>
+    kcorePeel(coOccurrenceEdges(s, d), k = 3, rounds = 3)
 
   val queries: Map[String, graft.ops.Relational.Q] = Map(
     "l26_pagerank" -> l26PageRank,
