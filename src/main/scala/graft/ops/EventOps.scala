@@ -594,7 +594,50 @@ object EventOps {
       touches = Seq("click", "view"), target = "purchase",
       band = 86400L * 1000000)
 
+  /** E19: position-based (U-shaped) attribution — the third standard
+    * credit model after last-touch (e12) and linear (e18): the FIRST and
+    * LAST touch in the lookback each take 40%, the middles share the
+    * remaining 20% (single touch takes all; a pair splits 50/50). Same
+    * banded pair generation as e18 (never a nested loop); position comes
+    * from ONE purchase-keyed window over the pair rows — (tts, tid)
+    * total order, the µs+id rule — and shares are integer parts-per-
+    * million, so credits are exact BIGINTs cross-engine. */
+  val e19PositionAttribution: Q = (s, d) => {
+    val band = 86400L * 1000000
+    val ev = Tables.events(s, d).withColumn("ts_us", us(col("ts")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_us").as("pts"), Relational.cents(col("value")).as("cents"))
+    val t = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_us").as("tts"), col("event_id").as("tid"))
+      .withColumn("bucket", floor(col("tts") / band))
+    val pb = p.withColumn("b0", floor(col("pts") / band))
+      .select(col("user_id"), col("pid"), col("pts"), col("cents"),
+        explode(array(col("b0") - 1, col("b0"))).as("bucket"))
+    val pairs = pb.join(t, Seq("user_id", "bucket"))
+      .where(col("tts") > col("pts") - band && col("tts") <= col("pts"))
+      .select(col("pid"), col("cents"), col("channel"), col("tts"), col("tid"))
+    val wP = Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))
+    val wN = Window.partitionBy(col("pid"))
+    val share = when(col("n_touch") === 1, lit(1000000L))
+      .when(col("n_touch") === 2, lit(500000L))
+      .when(col("rn") === 1 || col("rn") === col("n_touch"), lit(400000L))
+      .otherwise(floor(lit(200000L) / (col("n_touch") - 2)))
+    val credits = pairs
+      .withColumn("rn", row_number().over(wP))
+      .withColumn("n_touch", count(lit(1)).over(wN))
+      .select(col("channel"), (col("cents") * share).as("credit"))
+    val direct = p
+      .join(pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("direct").as("channel"), (col("cents") * 1000000L).as("credit"))
+    credits.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e19_position_attribution" -> e19PositionAttribution,
     "e18_linear_attribution" -> e18LinearAttribution,
     "e17_session_funnel" -> e17SessionFunnel,
     "e16_cadence" -> e16Cadence,
@@ -616,6 +659,36 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "e19_position_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+                            epoch_us(ts) AS ts_us, value FROM events),
+            p AS (SELECT user_id, event_id AS pid, ts_us AS pts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM ev WHERE event_type = 'purchase'),
+            t AS (SELECT user_id, event_type AS channel, ts_us AS tts,
+                         event_id AS tid
+                  FROM ev WHERE event_type IN ('click', 'view')),
+            pairs AS (SELECT p.pid, p.cents, t.channel, t.tts, t.tid
+                      FROM p JOIN t ON p.user_id = t.user_id
+                      WHERE t.tts > p.pts - 86400000000 AND t.tts <= p.pts),
+            pos AS (SELECT pid, cents, channel,
+                           row_number() OVER (PARTITION BY pid
+                                              ORDER BY tts, tid) AS rn,
+                           count(*) OVER (PARTITION BY pid) AS n_touch
+                    FROM pairs),
+            credits AS (
+              SELECT channel,
+                     cents * CASE WHEN n_touch = 1 THEN 1000000
+                                  WHEN n_touch = 2 THEN 500000
+                                  WHEN rn = 1 OR rn = n_touch THEN 400000
+                                  ELSE 200000 // (n_touch - 2) END AS credit
+              FROM pos
+              UNION ALL
+              SELECT 'direct' AS channel, cents * 1000000 AS credit
+              FROM p WHERE pid NOT IN (SELECT pid FROM pairs))
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+                CAST(sum(credit) AS BIGINT) AS credit_ppm
+         FROM credits GROUP BY 1""",
     "e18_linear_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
                             epoch_us(ts) AS ts_us, value FROM events),
