@@ -503,7 +503,12 @@ object StreamingOps {
     streamed.join(exact, Seq("win_start", "event_type"))
       .select(col("win_start"), col("event_type"), col("n_exact"),
         (abs(col("approx_users") - col("n_exact")) <=
-          greatest(col("n_exact").cast("double") * 0.05, lit(2.0))).as("approx_ok"))
+          // 3-sigma band for rsd=0.05 plus a small-n absolute floor: the
+          // hour windows here hold ~20-40 users, where a 2-user absolute
+          // cap is BELOW one HLL sigma — sf0.1 showed honest estimates
+          // missing it by up to 4 users (round-8 fix; max observed rel
+          // error 0.167, p99.9 0.133)
+          greatest(col("n_exact").cast("double") * 0.15, lit(5.0))).as("approx_ok"))
   }
 
   /** T15: streaming top-k with BOUNDED state — the live "top 3 highest-

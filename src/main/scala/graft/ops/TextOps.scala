@@ -1370,6 +1370,25 @@ object TextOps {
       .select(col("doc_id"), col("component"), col("group_size"))
   }
 
+  /** L49: dedup SURVIVORSHIP policy — l5f keeps the min-id doc per
+    * near-dup group (a tie-break, not a preference); production dedup
+    * keeps the BEST representative. Here: longest first (the standard
+    * web-dedup "keep the most complete copy" rule), doc_id as tie-break —
+    * integer sort keys, so the winner is bit-deterministic cross-engine.
+    * One component-partitioned window over the CC output (near-dup groups
+    * are small, so partitions are tiny at any corpus size); emits every
+    * doc with its group and the keep verdict, ready for the l5f-style
+    * anti-join apply. */
+  val l49DedupKeepBest: Q = (s, d) => {
+    val groups = l5eDedupGroups(s, d).select(col("doc_id"), col("component"))
+    val len = tokenized(s, d).select(col("doc_id"), size(col("t")).as("n_tokens"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    groups.join(len, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("n_tokens"), col("keep"))
+  }
+
   /** L23: TF-IDF keyword extraction — the top-3 RAREST terms per document
     * with their tf-idf scores (the classic topical-signature signal for
     * corpus exploration and near-dup triage). Ranking is by integer
@@ -1519,6 +1538,7 @@ object TextOps {
     "l45_prefix_join" -> l45PrefixJoin,
     "l47_phrase_search" -> l47PhraseSearch,
     "l48_oov_rate" -> l48OovRate,
+    "l49_dedup_keep_best" -> l49DedupKeepBest,
     "l5b_minhash_lsh" -> l5bMinhashLsh,
     "l5d_minhash_agg" -> l5dMinhashAgg,
     "l5c_simhash" -> l5cSimhash,
@@ -1635,6 +1655,24 @@ object TextOps {
          SELECT a AS doc_id, min(b) AS component,
                 a = min(b) AS is_canonical
          FROM reach GROUP BY a"""
+
+  /** l49's twin: the l5e closure + a longest-doc survivorship window. */
+  private val l49OracleSql = {
+    val tail =
+      """SELECT a AS doc_id, min(b) AS component,
+                a = min(b) AS is_canonical
+         FROM reach GROUP BY a"""
+    require(l5eOracleSql.endsWith(tail)) // keep the splice honest
+    l5eOracleSql.stripSuffix(tail) +
+      """, cmp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+            ln AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                   FROM documents)
+         SELECT c.doc_id, c.component,
+                CAST(ln.n_tokens AS BIGINT) AS n_tokens,
+                row_number() OVER (PARTITION BY c.component
+                                   ORDER BY ln.n_tokens DESC, c.doc_id) = 1 AS keep
+         FROM cmp c JOIN ln ON c.doc_id = ln.doc_id"""
+  }
 
   val oracle: Map[String, String] = Map(
     "l30_pmi_cooccur" ->
@@ -1996,6 +2034,7 @@ object TextOps {
     // l45 is EXACT by construction (prefix filtering is lossless — see the
     // pigeonhole argument at the definition), so it shares l5's oracle.
     "l45_prefix_join" -> l5PairsOracleSql,
+    "l49_dedup_keep_best" -> l49OracleSql,
     "l48_oov_rate" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),
