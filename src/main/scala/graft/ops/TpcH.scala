@@ -81,12 +81,105 @@ object TpcH {
       .agg(sum(col("ext_cents") * col("disc_pct")).as("revenue_e4"),
         count(lit(1)).as("n_lines"))
 
+  /** TQ5 (TPC-H Q5): local supplier volume — revenue per nation from
+    * orders where the customer and the line's supplier share the nation,
+    * restricted to one region and a one-year order window. The classic
+    * snowflake: region→nation→{customer, supplier} dims all broadcast;
+    * the only big exchange is the orders⋈lineitem fact join; the
+    * c_nationkey = s_nationkey "local" constraint lands as an equi-filter
+    * AFTER both broadcasts, never as a join-order problem. */
+  val tq5LocalSupplier: Q = (s, d) => {
+    val nat = Tables.nation(s, d)
+      .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  /** TQ10 (TPC-H Q10): returned-item reporting — the top-20 customers by
+    * revenue lost to returns in a quarter. Fact join + broadcast dims;
+    * integer revenue makes the top-20 cut deterministic (custkey
+    * tiebreak). */
+  val tq10ReturnedItems: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = li(s, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("rev_e4")).as("revenue_e4"))
+    rev
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "tq1_pricing_summary" -> tq1PricingSummary,
     "tq3_shipping_priority" -> tq3ShippingPriority,
-    "tq6_revenue_change" -> tq6RevenueChange)
+    "tq5_local_supplier" -> tq5LocalSupplier,
+    "tq6_revenue_change" -> tq6RevenueChange,
+    "tq10_returned_items" -> tq10ReturnedItems)
 
   val oracle: Map[String, String] = Map(
+    "tq5_local_supplier" ->
+      """SELECT n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "tq10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_e4 DESC, c.c_custkey
+         LIMIT 20""",
     "tq1_pricing_summary" ->
       """WITH l AS (SELECT *,
                            CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
