@@ -398,6 +398,31 @@ object Relational {
       key = "o_custkey", ts = "o_orderdate", tie = "o_orderkey",
       attr = "priority")
 
+  /** J11: point-in-time (as-of) join against the SCD2 dimension — the
+    * canonical consumer of s16's history: each fact row joins the
+    * dimension VERSION that was valid at its event time (valid_from ≤ ts
+    * < valid_to, open current row), i.e. "revenue by the priority the
+    * customer had WHEN they ordered", not the priority they have now.
+    *
+    * Plan: a plain custkey-keyed equi-join (dimension history is a few
+    * versions per key — bounded multiplicity at any scale) with the
+    * interval predicate as a post-join filter; never an unkeyed range
+    * join. Interval semantics are unambiguous even under same-timestamp
+    * version churn: a superseded same-instant version is zero-width
+    * (valid_from = valid_to) and matches nothing, so every fact row
+    * matches exactly one version. */
+  val j11PitJoin: Q = (s, d) => {
+    val hist = s16Scd2History(s, d)
+    val facts = Tables.orders(s, d).select(col("o_custkey"),
+      unix_timestamp(col("o_orderdate")).as("ts_s"),
+      cents(col("o_totalprice")).as("cents_v"))
+    facts.join(hist, Seq("o_custkey"))
+      .where(col("valid_from") <= col("ts_s") &&
+        (col("valid_to").isNull || col("ts_s") < col("valid_to")))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents_v")).as("cents"))
+  }
+
   /** S12: SCHEMA-EVOLUTION read — a long-lived warehouse table whose
     * writer gained a column mid-stream: batch 1 lands (key, segment),
     * batch 2 lands (key, acctbal). `mergeSchema` reconciles the parquet
@@ -903,6 +928,7 @@ object Relational {
     "j7_asof_join" -> j7AsOf,
     "j9_bloom_join" -> j9BloomJoin,
     "j10_time_band_join" -> j10TimeBandJoin,
+    "j11_pit_join" -> j11PitJoin,
     "s16_scd2_history" -> s16Scd2History,
     "s12_schema_evolution" -> s12SchemaEvolution,
     "s13_merge_upsert" -> s13MergeUpsert,
@@ -991,6 +1017,31 @@ object Relational {
                     AND epoch_us(e.ts) < epoch_us(p.ts)), 0) AS BIGINT)
                   AS n_errors_60s
          FROM events p WHERE p.event_type = 'purchase'""",
+    "j11_pit_join" ->
+      """WITH seq AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  o_orderpriority AS priority,
+                  lag(o_orderpriority) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    AS prev
+           FROM orders),
+         chg AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, priority FROM seq
+           WHERE prev IS NULL OR prev <> priority),
+         hist AS (
+           SELECT o_custkey, priority,
+                  CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+                  CAST(epoch(lead(o_orderdate) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+                    AS BIGINT) AS valid_to
+           FROM chg)
+         SELECT h.priority, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders o JOIN hist h ON o.o_custkey = h.o_custkey
+         WHERE h.valid_from <= epoch(o.o_orderdate)
+           AND (h.valid_to IS NULL OR epoch(o.o_orderdate) < h.valid_to)
+         GROUP BY 1""",
     "s16_scd2_history" ->
       """WITH seq AS (
            SELECT o_custkey, o_orderkey, o_orderdate,

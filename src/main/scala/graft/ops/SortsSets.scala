@@ -124,6 +124,28 @@ object SortsSets {
       .select(col(id), col(w).cast("long").as("weight"), col("score"))
   }
 
+  /** O8: per-STRATUM weighted sampling — o7's A-Res rule inside a
+    * stratum-partitioned window (exactly k weighted winners per source):
+    * the eval-set carve when both representation (per-stratum quotas, o5)
+    * and importance (weight ∝ length, o7) matter at once. Same
+    * hash-derived exponential keys — a pure function of row identity, so
+    * the winner set is reproducible on any partitioning — but the top-k
+    * cut is row_number inside the stratum window, not a global
+    * TakeOrdered: only k rows per stratum leave the window stage. */
+  val o8StratifiedWeighted: Q = (s, d) => {
+    val k = 10
+    val df = Tables.documents(s, d)
+    val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("double") + 1.0) / 16777217.0
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col("doc_id"))
+    df.withColumn("score", round(-log(u) / col("n_chars"), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("weight"), col("score"), col("rk"))
+  }
+
   /** O6: 2-D skyline (Pareto front) — the preference query "parts no
     * other part beats on BOTH price (lower better) and size (higher
     * better)": a point survives iff no other point is ≤/≥ in both
@@ -227,6 +249,7 @@ object SortsSets {
     "o5_stratified_sample" -> o5StratifiedSample,
     "o6_skyline" -> o6Skyline,
     "o7_weighted_sample" -> o7WeightedSample,
+    "o8_stratified_weighted" -> o8StratifiedWeighted,
     "u1_union_all" -> u1UnionAll,
     "u1b_union_distinct" -> u1bUnionDistinct,
     "u2_intersect" -> u2Intersect,
@@ -257,6 +280,17 @@ object SortsSets {
          ORDER BY rev DESC, l_orderkey LIMIT 10""",
     "o4_sample" ->
       "SELECT true AS sample_ok",
+    "o8_stratified_weighted" ->
+      """SELECT source, doc_id, weight, score, rk FROM (
+           SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  round(-ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1.0)
+                            / 16777217.0) / n_chars, 6) AS score,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY round(-ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1.0)
+                                                        / 16777217.0) / n_chars, 6),
+                                              doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 10""",
     "o7_weighted_sample" ->
       """SELECT doc_id, weight, score FROM (
            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
