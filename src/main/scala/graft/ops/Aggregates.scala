@@ -352,7 +352,26 @@ object Aggregates {
           .as("bound_ok"))
   }
 
+  /** G16: deterministic MODE per key — "each user's most frequent event
+    * type", the categorical favorite/segment primitive. Spark's and
+    * DuckDB's built-in `mode()` both break frequency ties arbitrarily
+    * (engine- and partitioning-dependent); the argmax-struct trick
+    * (max over (count, reversed tie-break)) pins ties by (count desc,
+    * value asc) as a pure HASH aggregation — two keyed aggs, no window,
+    * no sort, map-side partials all the way (the l40 label-vote shape). */
+  val g16Mode: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      // lexicographic struct MIN over (−count, type) = (count desc,
+      // type asc) — a plain hash aggregation, no per-key sort
+      .agg(min(struct((-col("c")).as("negc"), col("event_type"))).as("m"))
+      .select(col("user_id"), (-col("m.negc")).as("n_events"),
+        col("m.event_type").as("mode_type"))
+
   val queries: Map[String, Q] = Map(
+    "g16_mode" -> g16Mode,
     "g15_cm_sketch" -> g15CmSketch,
     "g11b_hll_persist" -> g11bHllPersist,
     "g14_hll_intersect" -> g14HllIntersect,
@@ -375,6 +394,16 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "g16_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, c,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY c DESC, event_type) AS rk
+                  FROM c)
+         SELECT user_id, CAST(c AS BIGINT) AS n_events,
+                event_type AS mode_type
+         FROM r WHERE rk = 1""",
     "g15_cm_sketch" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
                       FROM documents),

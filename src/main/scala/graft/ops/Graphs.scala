@@ -368,13 +368,62 @@ object Graphs {
   val l46Kcore: graft.ops.Relational.Q = (s, d) =>
     kcorePeel(coOccurrenceEdges(s, d), k = 3, rounds = 3)
 
+  /** L51: market-basket association (support + lift per co-purchased part
+    * pair — the classic Apriori-style "frequently bought together"
+    * table, and the association-rule sibling of l35/l40/l46's structural
+    * views of the same co-purchase graph). Support pruning (n_ab ≥ 3) is
+    * the scale lever: the pair aggregation happens FIRST, on the basket
+    * equi-join, and the threshold bounds everything downstream — item
+    * marginals join pair-keyed, the basket total is a 1-row broadcast.
+    * Lift divides exact integer counts, one round(·,6) at the end (the
+    * l21 rule). */
+  val l51BasketLift: graft.ops.Relational.Q = (s, d) => {
+    val pl = graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nB = pl.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val item = pl.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = pl.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(pl.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 3)
+    pairCnt
+      .join(item.select(col("l_partkey").as("pa"), col("n_item").as("n_a")), Seq("pa"))
+      .join(item.select(col("l_partkey").as("pb"), col("n_item").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(nB))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") * col("n_baskets") / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+  }
+
   val queries: Map[String, graft.ops.Relational.Q] = Map(
+    "l51_basket_lift" -> l51BasketLift,
     "l26_pagerank" -> l26PageRank,
     "l35_triangles" -> l35Triangles,
     "l46_kcore" -> l46Kcore,
     "l40_label_prop" -> l40LabelProp)
 
   val oracle: Map[String, String] = Map(
+    "l51_basket_lift" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM pl),
+            it AS (SELECT l_partkey, count(*) AS n_item FROM pl GROUP BY 1),
+            pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                          count(*) AS n_ab
+                   FROM pl a JOIN pl b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT pc.pa, pc.pb, CAST(pc.n_ab AS BIGINT) AS n_ab,
+                CAST(ia.n_item AS BIGINT) AS n_a,
+                CAST(ib.n_item AS BIGINT) AS n_b,
+                round(pc.n_ab * nb.n_baskets * 1.0 / (ia.n_item * ib.n_item), 6)
+                  AS lift
+         FROM pc
+         JOIN it ia ON pc.pa = ia.l_partkey
+         JOIN it ib ON pc.pb = ib.l_partkey
+         CROSS JOIN nb""",
     // 3 synchronous peel rounds, unrolled (the l26/l40 pattern): each
     // round drops all nodes with current degree < 3 simultaneously
     "l46_kcore" ->
