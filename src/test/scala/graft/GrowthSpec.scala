@@ -125,7 +125,23 @@ class GrowthSpec extends SparkSpec {
       "e15_ewma" -> EventOps.queries("e15_ewma"),
       // g15 is two token-keyed aggs + a broadcast probe join; its risk is
       // the probe join shuffling the corpus instead of broadcasting
-      "g15_cm_sketch" -> graft.ops.Aggregates.queries("g15_cm_sketch"))) {
+      "g15_cm_sketch" -> graft.ops.Aggregates.queries("g15_cm_sketch"),
+      // e18/e19's quadratic risk is the purchases×touches inequality join
+      // the banding replaces; l51's is the basket self-join exploding on a
+      // hot basket (baskets here are order-sized, but a regression that
+      // drops the distinct or aggregates after the marginal joins squares);
+      // l47's is a LIKE rescan instead of the filtered positional join;
+      // l48's is the vocab join shuffling the corpus instead of
+      // broadcasting; l49/e17 ride the CC/session exchanges they reuse;
+      // j11's is the interval filter degenerating to an unkeyed range join
+      "e18_linear_attribution" -> EventOps.queries("e18_linear_attribution"),
+      "e19_position_attribution" -> EventOps.queries("e19_position_attribution"),
+      "e17_session_funnel" -> EventOps.queries("e17_session_funnel"),
+      "l51_basket_lift" -> graft.ops.Graphs.queries("l51_basket_lift"),
+      "l47_phrase_search" -> TextOps.queries("l47_phrase_search"),
+      "l48_oov_rate" -> TextOps.queries("l48_oov_rate"),
+      "l49_dedup_keep_best" -> TextOps.queries("l49_dedup_keep_best"),
+      "j11_pit_join" -> graft.ops.Relational.queries("j11_pit_join"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

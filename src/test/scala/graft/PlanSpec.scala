@@ -431,12 +431,27 @@ class PlanSpec extends SparkSpec {
       s"expected partial + final object hash aggregates:\n$plan")
   }
 
-  test("e18 linear attribution: the banded lookback join never goes nested-loop") {
-    val plan = executed(graft.SparkEntry.queries("e18_linear_attribution")(spark, sfDir))
-    val bad = collectAll(plan).filter(p =>
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
-    assert(bad.isEmpty, s"inequality join escaped the banding:\n$plan")
+  test("e18/e19 attribution: the banded lookback joins never go nested-loop") {
+    for (name <- Seq("e18_linear_attribution", "e19_position_attribution")) {
+      val plan = executed(graft.SparkEntry.queries(name)(spark, sfDir))
+      val bad = collectAll(plan).filter(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bad.isEmpty, s"inequality join escaped the banding in $name:\n$plan")
+    }
+  }
+
+  test("tq5 snowflake: dims broadcast — at most one shuffle-side join for the fact") {
+    val plan = executed(graft.SparkEntry.queries("tq5_local_supplier")(spark, sfDir))
+    val all = collectAll(plan)
+    val bcast = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bcast >= 3, s"expected customer/supplier/nation broadcasts:\n$plan")
+    val smj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    val shj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
   }
 
   test("g15 CM sketch: the probe join broadcasts the 10 probe words — the corpus side never reshuffles for it") {
