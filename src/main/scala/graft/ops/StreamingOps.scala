@@ -581,7 +581,48 @@ object StreamingOps {
 
   val t16StreamPattern: Q = (s, d) => t16PatternOver(eventsStream(s, d), "t16_sink")
 
+  /** T17: streaming freshness/completeness monitor — p10's live twin,
+    * the "did a stream silently stop?" alarm run ON ARRIVAL instead of
+    * by a batch sweep. Per event_type the state is four scalars (count,
+    * first/last arrival, active-hour approximation via the hour-distinct
+    * count) — a plain streaming aggregation in complete mode, state
+    * bounded by the type alphabet × hour span like the batch op. The
+    * staleness column compares against the corpus max arrival, which in
+    * the streaming shape is a second tiny aggregate joined after the
+    * sink (alphabet-sized rows, batch-side). */
+  val t17StreamFreshness: Q = (s, d) => {
+    val hourUs = 3600L * 1000000
+    val ev = eventsStream(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("u"))
+      .withColumn("h", floor(col("u") / hourUs))
+    val agg = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("u")).as("first_us"), max(col("u")).as("last_us"),
+        min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // exact DISTINCT aggregates are unsupported inside a streaming agg
+    // (the t14 lesson) and two chained streaming aggs are too — the
+    // hour-distinct side runs as its OWN query: streaming dropDuplicates
+    // on (type, hour) then count, state bounded by alphabet × hour span
+    // (exactly the batch op's state bound, so no watermark needed)
+    val hours = eventsStream(s, d)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / hourUs).as("h"))
+      .dropDuplicates("event_type", "h")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("active_hours"))
+    val streamed = runToMemory(agg, "t17_sink", "complete")
+      .join(runToMemory(hours, "t17_hours_sink", "complete"), Seq("event_type"))
+    val corpus = streamed.agg(max(col("h1")).as("corpus_h"))
+    streamed.crossJoin(broadcast(corpus))
+      .select(col("event_type"), col("n_events"), col("first_us"),
+        col("last_us"), (col("h1") - col("h0") + 1).as("span_hours"),
+        col("active_hours"),
+        round(col("active_hours").cast("double") / (col("h1") - col("h0") + 1), 6)
+          .as("completeness"),
+        (col("corpus_h") - col("h1")).as("staleness_hours"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_stream_freshness" -> t17StreamFreshness,
     "t16_stream_pattern" -> t16StreamPattern,
     "t15_stream_topk" -> t15StreamTopk,
     "t14_stream_approx_users" -> t14StreamApproxUsers,
@@ -601,6 +642,23 @@ object StreamingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // the live monitor's final state must equal p10's batch sweep exactly
+    "t17_stream_freshness" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) AS u,
+                           epoch_us(ts) // 3600000000 AS h FROM events),
+            st AS (SELECT event_type, count(*) AS n_events, min(u) AS first_us,
+                          max(u) AS last_us, min(h) AS h0, max(h) AS h1
+                   FROM b GROUP BY 1),
+            act AS (SELECT event_type, count(*) AS active_hours
+                    FROM (SELECT DISTINCT event_type, h FROM b) GROUP BY 1),
+            corp AS (SELECT max(h) AS corpus_h FROM b)
+         SELECT st.event_type, CAST(n_events AS BIGINT) AS n_events,
+                first_us, last_us,
+                CAST(h1 - h0 + 1 AS BIGINT) AS span_hours,
+                CAST(active_hours AS BIGINT) AS active_hours,
+                round(active_hours * 1.0 / (h1 - h0 + 1), 6) AS completeness,
+                CAST(corpus_h - h1 AS BIGINT) AS staleness_hours
+         FROM st JOIN act USING (event_type) CROSS JOIN corp""",
     // the DFA's final counts must equal e14's batch regex counts exactly
     "t16_stream_pattern" ->
       """WITH sq AS (SELECT user_id,
