@@ -74,7 +74,12 @@ object DumpPlans {
       "g15_cm_sketch" -> "Count-Min sketch: corpus-scale work is the native partial-aggregating count_min_sketch; the 10 probe words broadcast into the exact-count join; estimates read the serialized sketch on metadata-scale rows only.",
       "l47_phrase_search" -> "Positional-index phrase search: the token stream filters to the phrase's words BEFORE any shuffle; adjacency is (doc_id, pos-offset) equi-joins; no LIKE scan, no string rescans.",
       "e14_pattern_match" -> "Sequence-pattern matching: one user-keyed exchange builds order-independent char sequences (sorted structs), regexp_count scores them — no join in the plan.",
-      "p11_psi_drift" -> "PSI drift report: the microsecond-midpoint split is a 1-row broadcast cross; after the (key, bin) count shuffle everything is bin-cardinality rows.")
+      "p11_psi_drift" -> "PSI drift report: the microsecond-midpoint split is a 1-row broadcast cross; after the (key, bin) count shuffle everything is bin-cardinality rows.",
+      "e18_linear_attribution" -> "Linear multi-touch attribution: the purchases x touches inequality pairing runs through the j10 banding — (user, bucket) hash joins with the exact microsecond predicate inside, never a nested loop; credits split in exact integer micro-cents.",
+      "tq5_local_supplier" -> "TPC-H Q5 snowflake: region/nation/customer/supplier all broadcast; the only shuffled join is orders x lineitem; the local-supplier nationkey constraint is an equi-filter after the broadcasts.",
+      "l51_basket_lift" -> "Market-basket lift: pair aggregation first on the basket equi-join with the support threshold bounding everything downstream; item marginals join pair-keyed; the basket total is a 1-row broadcast.",
+      "j11_pit_join" -> "Point-in-time SCD2 join: custkey-keyed equi-join against the version history (bounded multiplicity per key) with the validity interval as a post-join filter — no unkeyed range join.",
+      "tq1_pricing_summary" -> "TPC-H Q1 in the integer money channel: one scan, one hash aggregation; every money product is an exact BIGINT so map-side partials are lossless.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
