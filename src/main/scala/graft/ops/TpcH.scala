@@ -5,8 +5,11 @@ import graft.core.Tables
 
 /** Classic TPC-H queries over the fixture's TPC-H-shaped tables — the
   * recognizable industry-standard analytics a user expects any engine to
-  * run (Q1 pricing summary, Q3 shipping priority, Q6 revenue change),
-  * adapted to the fixture's columns (no shipmode/commitdate family).
+  * run (Q1 pricing summary, Q3 shipping priority, Q4 order priority,
+  * Q5 local supplier, Q6 revenue change, Q10 returned items, Q14 promo
+  * effect, Q18 large-volume customers), adapted to the fixture's columns
+  * (no shipmode/commitdate family, no partsupp — Q4's lateness predicate
+  * becomes ship-lag vs the order date; Q2/Q11/Q16/Q20 are out of reach).
   *
   * Float-parity discipline: the spec's `extendedprice·(1−discount)`
   * product chains are float-summation-order traps cross-engine, so every
@@ -141,12 +144,89 @@ object TpcH {
       .limit(20)
   }
 
+  /** TQ4 (TPC-H Q4, adapted): order priority checking — orders in a
+    * quarter where at least one line shipped more than 60 days after the
+    * order date, counted per priority. The fixture has no
+    * commitdate/receiptdate, so the spec's lateness predicate
+    * (commit < receipt) is re-expressed as ship-lag vs the order date;
+    * the EXISTS shape is preserved exactly: a left-semi hash join on the
+    * order key with the lag inequality as the residual — each order
+    * counts once no matter how many late lines it has, and the fact
+    * table never expands the orders side. */
+  val tq4OrderPriority: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    ord
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TQ14 (TPC-H Q14): promotion effect — the share of one month's
+    * revenue that came from PROMO-type parts. The part dim broadcasts
+    * (the fact side never shuffles); promo and total revenue accumulate
+    * as exact 1e-4-unit BIGINTs in ONE aggregation pass (conditional
+    * sum, not two scans), and only the final percentage divides the two
+    * exact integers as doubles. */
+  val tq14PromoEffect: Q = (s, d) => {
+    val prt = Tables.part(s, d)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li(s, d)
+      .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_e4")).otherwise(0L))
+          .as("promo_rev_e4"),
+        sum(col("rev_e4")).as("total_rev_e4"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_rev_e4") / col("total_rev_e4"))
+  }
+
+  /** TQ18 (TPC-H Q18): large-volume customers — the top-100 orders whose
+    * total quantity exceeds 150 (the spec's 300 scaled to the fixture's
+    * line counts), with customer identity. The quantity rollup happens
+    * FIRST on the fact table alone (map-side partials on the natural
+    * l_orderkey clustering) and only the few surviving orders join out
+    * to orders + the broadcast customer dim; ranking by integer
+    * total-price cents with an orderkey tiebreak keeps the top-100 cut
+    * deterministic cross-engine. */
+  val tq18LargeVolume: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > 150L)
+    big
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "tq1_pricing_summary" -> tq1PricingSummary,
     "tq3_shipping_priority" -> tq3ShippingPriority,
+    "tq4_order_priority" -> tq4OrderPriority,
     "tq5_local_supplier" -> tq5LocalSupplier,
     "tq6_revenue_change" -> tq6RevenueChange,
-    "tq10_returned_items" -> tq10ReturnedItems)
+    "tq10_returned_items" -> tq10ReturnedItems,
+    "tq14_promo_effect" -> tq14PromoEffect,
+    "tq18_large_volume" -> tq18LargeVolume)
 
   val oracle: Map[String, String] = Map(
     "tq5_local_supplier" ->
@@ -212,6 +292,45 @@ object TpcH {
          GROUP BY 1, 2
          ORDER BY revenue_e4 DESC, l.l_orderkey
          LIMIT 10""",
+    "tq4_order_priority" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+           AND o.o_orderdate < TIMESTAMP '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "tq14_promo_effect" ->
+      """WITH r AS (SELECT l.l_partkey,
+                           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                             AS rev_e4,
+                           p.p_type = 'PROMO' AS is_promo
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+                      AND l.l_shipdate < TIMESTAMP '1996-10-01')
+         SELECT CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END) AS BIGINT)
+                  AS promo_rev_e4,
+                CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+                100.0 * CAST(sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+                             AS BIGINT)
+                      / CAST(sum(rev_e4) AS BIGINT) AS promo_pct
+         FROM r""",
+    "tq18_large_volume" ->
+      """WITH q AS (SELECT l_orderkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                             AS sum_qty
+                    FROM lineitem GROUP BY 1
+                    HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+                q.sum_qty
+         FROM q
+         JOIN orders o ON q.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY total_cents DESC, o.o_orderkey
+         LIMIT 100""",
     "tq6_revenue_change" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                         * CAST(round(l_discount * 100) AS BIGINT))
