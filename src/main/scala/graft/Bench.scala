@@ -151,17 +151,23 @@ object Bench {
     }
     // Run-health fields: a reader (or the judge) can tell a genuine
     // regression from an ambient-load artifact without rerunning. The
-    // noisy flag trips when (a) peak load during the run exceeded what
-    // this box can absorb without stretching wall times (~2 + cores/4 —
-    // r6 recorded load 5.3 on 32 cores with noisy:false and an 8× phantom
-    // regression), or (b) any query's two FASTEST samples still disagree
-    // 2× (persistent contamination min-of-N can't fix), or (c) the median
-    // raw spread is large across the board.
+    // noisy flag trips when (a) AMBIENT load before the bench started was
+    // high enough to stretch wall times (~2 + cores/16: ambient 5.3 on 32
+    // cores produced an 8× phantom regression in round 6, so the trip
+    // point sits below that), or (b) any query's two FASTEST samples
+    // still disagree 2× (persistent contamination min-of-N can't fix),
+    // or (c) the median raw spread is large across the board.
+    // Peak MID-RUN load is reported but deliberately NOT a trip
+    // condition: local[32] under a heavy shuffle legitimately drives the
+    // 1-minute loadavg past 13 all by itself, so a mid-run ceiling
+    // (tried at 2 + cores/4 first) flags every healthy run and trains
+    // readers to ignore the flag. External contamination that matters
+    // shows up in the per-query spreads, which ARE trip conditions.
     val spr = spreads(runs.toMap.view.mapValues(_.toSeq).toMap)
     val sprMedian = median(spr.values.toSeq)
     val cleanSpr = runs.toMap.view.mapValues(ts => cleanSpread(ts.toSeq)).toMap
     val cores = Runtime.getRuntime.availableProcessors()
-    val noisy = loadMax > 2.0 + cores / 4.0 ||
+    val noisy = loadStart > 2.0 + cores / 16.0 ||
       sprMedian > 2.0 || cleanSpr.values.exists(_ > 2.0)
     val health =
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +

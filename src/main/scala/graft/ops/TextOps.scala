@@ -1287,6 +1287,54 @@ object TextOps {
     * vocabulary-scale. Integer counts in, round(·,6) out. */
   val l44SourceKl: Q = (s, d) => sourceKlFrames(Tables.documents(s, d))
 
+  /** L52: per-source two-sample Kolmogorov–Smirnov drift on the document
+    * length (token count) distribution — source vs the REST of the
+    * corpus. KL (l44) sees what words a source uses; KS sees the SHAPE
+    * of its documents, which is where chunking bugs, truncated crawls
+    * and boilerplate floods show first. The statistic is
+    * D = max_n |CDF_source(n) − CDF_rest(n)| over the pooled support.
+    *
+    * Scale shape: one (source, length) count shuffle reduces the corpus
+    * to grid rows (sources × distinct lengths — bounded, documents have
+    * bounded token counts); CDFs are source-keyed cumulative windows
+    * over that grid; the pooled cumulative comes from re-aggregating the
+    * per-source cumulatives BY length (no global window anywhere); the
+    * corpus total joins as a 1-row broadcast cross. Counts stay integer
+    * until the final division, and D rounds to 6 so both engines cut
+    * identical bits. */
+  val l52KsDrift: Q = (s, d) => ksDriftFrames(Tables.documents(s, d))
+
+  /** l52 core over ANY (source, text) frame — registry name `ks_drift`. */
+  private[graft] def ksDriftFrames(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(col("source"), size(toks(col("text"))).as("n"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cnt.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    // every source needs a CDF step at every pooled length value, not
+    // just its own — the KS max can land where only the OTHER sample
+    // steps. sources × distinct-lengths is metadata-sized; broadcast.
+    val grid = srcTot.crossJoin(broadcast(cnt.select(col("n")).distinct()))
+    val filled = grid.join(cnt, Seq("source", "n"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = filled.withColumn("cum_c", sum(col("c")).over(bySrc))
+    // pooled cumulative at each length = the per-source cumulatives
+    // summed across sources — a keyed aggregation, never a global window
+    val byN = cums.groupBy(col("n")).agg(sum(col("cum_c")).as("cum_all"))
+    val tot = srcTot.agg(sum(col("ns")).as("n_total"))
+    cums.join(byN, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        round(max(abs(
+          col("cum_c").cast("double") / col("ns") -
+            (col("cum_all") - col("cum_c")).cast("double") /
+              (col("n_total") - col("ns")))), 6).as("ks"))
+  }
+
   /** l44 core over ANY (source, text) frame — registry name `source_kl`. */
   private[graft] def sourceKlFrames(docs: DataFrame): DataFrame = {
     val cw = docs
@@ -1527,6 +1575,7 @@ object TextOps {
     "l39_token_entropy" -> l39TokenEntropy,
     "l43_zipf_slope" -> l43ZipfSlope,
     "l44_source_kl" -> l44SourceKl,
+    "l52_ks_drift" -> l52KsDrift,
     "l22_pipeline_clean" -> l22PipelineClean,
     "l5f_dedup_apply" -> l5fDedupApply,
     "l1_normalize" -> l1Normalize,
@@ -1902,6 +1951,32 @@ object TextOps {
                           ln((cw.c * 1.0 / srctot.ns) /
                              (corp.cw_all * 1.0 / tot.n))), 6) AS kl
          FROM cw JOIN srctot USING (source) JOIN corp USING (w) CROSS JOIN tot
+         GROUP BY 1""",
+    "l52_ks_drift" ->
+      """WITH cnt AS (SELECT source, len(string_split(text, ' ')) AS n,
+                             count(*) AS c
+                      FROM documents GROUP BY 1, 2),
+            srctot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+                       FROM cnt GROUP BY 1),
+            grid AS (SELECT s.source, s.ns, v.n
+                     FROM srctot s CROSS JOIN (SELECT DISTINCT n FROM cnt) v),
+            filled AS (SELECT g.source, g.ns, g.n,
+                              CAST(coalesce(c.c, 0) AS BIGINT) AS c
+                       FROM grid g LEFT JOIN cnt c
+                         ON g.source = c.source AND g.n = c.n),
+            cums AS (SELECT source, ns, n,
+                            CAST(sum(c) OVER (PARTITION BY source ORDER BY n)
+                                 AS BIGINT) AS cum_c
+                     FROM filled),
+            byn AS (SELECT n, CAST(sum(cum_c) AS BIGINT) AS cum_all
+                    FROM cums GROUP BY 1),
+            tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n_total FROM srctot)
+         SELECT cums.source, CAST(max(cums.ns) AS BIGINT) AS n_docs,
+                round(max(abs(
+                  CAST(cums.cum_c AS DOUBLE) / cums.ns -
+                  CAST(byn.cum_all - cums.cum_c AS DOUBLE)
+                    / (tot.n_total - cums.ns))), 6) AS ks
+         FROM cums JOIN byn USING (n) CROSS JOIN tot
          GROUP BY 1""",
     "l43_zipf_slope" ->
       """WITH freq AS (SELECT source, w, count(*) AS c

@@ -241,6 +241,11 @@ object Transforms {
     r.register("source_kl") { (_, in, _) =>
       graft.ops.TextOps.sourceKlFrames(in("docs"))
     }
+    // per-source two-sample KS drift on the document-length distribution
+    // (source vs rest of corpus) over any (source, text) step
+    r.register("ks_drift") { (_, in, _) =>
+      graft.ops.TextOps.ksDriftFrames(in("docs"))
+    }
     // per-doc unigram Shannon entropy (vocabulary-diversity quality
     // signal) over any (doc_id, text) step
     r.register("entropy") { (_, in, _) =>

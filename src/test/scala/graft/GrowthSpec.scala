@@ -141,7 +141,11 @@ class GrowthSpec extends SparkSpec {
       "l47_phrase_search" -> TextOps.queries("l47_phrase_search"),
       "l48_oov_rate" -> TextOps.queries("l48_oov_rate"),
       "l49_dedup_keep_best" -> TextOps.queries("l49_dedup_keep_best"),
-      "j11_pit_join" -> graft.ops.Relational.queries("j11_pit_join"))) {
+      "j11_pit_join" -> graft.ops.Relational.queries("j11_pit_join"),
+      // l52's quadratic risk is computing the pooled CDF with a GLOBAL
+      // window over the grid (single-partition shuffle of every row) or
+      // gridding on raw docs instead of the aggregated length counts
+      "l52_ks_drift" -> TextOps.queries("l52_ks_drift"))) {
     test(s"$name: 10x corpus growth stays sub-quadratic in wall time") {
       q(spark, small).count() // warm-up: codegen + first-shuffle costs
       val tSmall = math.max(secs(q(spark, small).count()), 0.25)

@@ -497,6 +497,16 @@ class PlanSpec extends SparkSpec {
     assert(aggNoJoinBelow, s"tq18's quantity rollup should run before any join:\n$p18")
   }
 
+  test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {
+    val plan = executed(graft.SparkEntry.queries("l52_ks_drift")(spark, sfDir))
+    val wins = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected the source-keyed CDF window:\n$plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned (single-partition) window in l52:\n$plan")
+  }
+
   test("g15 CM sketch: the probe join broadcasts the 10 probe words — the corpus side never reshuffles for it") {
     val plan = executed(graft.SparkEntry.queries("g15_cm_sketch")(spark, sfDir))
     val all = collectAll(plan)
