@@ -151,28 +151,38 @@ object Bench {
     }
     // Run-health fields: a reader (or the judge) can tell a genuine
     // regression from an ambient-load artifact without rerunning. The
-    // noisy flag trips when (a) AMBIENT load before the bench started was
-    // high enough to stretch wall times (~2 + cores/16: ambient 5.3 on 32
-    // cores produced an 8× phantom regression in round 6, so the trip
-    // point sits below that), or (b) any query's two FASTEST samples
-    // still disagree 2× (persistent contamination min-of-N can't fix),
-    // or (c) the median raw spread is large across the board.
-    // Peak MID-RUN load is reported but deliberately NOT a trip
-    // condition: local[32] under a heavy shuffle legitimately drives the
-    // 1-minute loadavg past 13 all by itself, so a mid-run ceiling
-    // (tried at 2 + cores/4 first) flags every healthy run and trains
-    // readers to ignore the flag. External contamination that matters
-    // shows up in the per-query spreads, which ARE trip conditions.
+    // GLOBAL noisy flag trips only on run-wide contamination: (a) AMBIENT
+    // load before the bench started was high enough to stretch wall
+    // times (~2 + cores/16: ambient 5.3 on 32 cores produced an 8×
+    // phantom regression in round 6, so the trip point sits below that),
+    // (b) the median raw spread is large across the board, or (c) three
+    // or more queries' two FASTEST samples still disagree 2×
+    // (persistent contamination min-of-N can't fix).
+    // Deliberately NOT trip conditions:
+    // - Peak MID-RUN load: local[32] under a heavy shuffle legitimately
+    //   drives the 1-minute loadavg past 13 all by itself, so a mid-run
+    //   ceiling (tried at 2 + cores/4 first) flags every healthy run and
+    //   trains readers to ignore the flag. Reported for context only.
+    // - A SINGLE clean-pair disagreement out of 200+ queries: that's one
+    //   bimodal query (trigger timing, first-write memoization), not a
+    //   contaminated box — condemning the whole artifact for it makes
+    //   the flag permanently true. Instead `suspect` NAMES the queries
+    //   whose own min is untrustworthy, so a reader discounts exactly
+    //   those and trusts the rest.
     val spr = spreads(runs.toMap.view.mapValues(_.toSeq).toMap)
     val sprMedian = median(spr.values.toSeq)
     val cleanSpr = runs.toMap.view.mapValues(ts => cleanSpread(ts.toSeq)).toMap
+    val suspects = cleanSpr.filter(_._2 > 2.0).keys.toSeq.sorted
     val cores = Runtime.getRuntime.availableProcessors()
     val noisy = loadStart > 2.0 + cores / 16.0 ||
-      sprMedian > 2.0 || cleanSpr.values.exists(_ > 2.0)
+      sprMedian > 2.0 || suspects.size >= 3
+    val suspectJson = suspects.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val health =
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
       s""","load_avg_max":${fmt(loadMax)},"cpus":$cores""" +
-      s""","spread_median":${fmt(sprMedian)},"noisy":$noisy"""
+      s""","spread_median":${fmt(sprMedian)},"suspect":$suspectJson""" +
+      s""","noisy":$noisy"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sprJson = spr.toSeq.sortBy(_._1)
