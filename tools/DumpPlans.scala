@@ -79,7 +79,10 @@ object DumpPlans {
       "tq5_local_supplier" -> "TPC-H Q5 snowflake: region/nation/customer/supplier all broadcast; the only shuffled join is orders x lineitem; the local-supplier nationkey constraint is an equi-filter after the broadcasts.",
       "l51_basket_lift" -> "Market-basket lift: pair aggregation first on the basket equi-join with the support threshold bounding everything downstream; item marginals join pair-keyed; the basket total is a 1-row broadcast.",
       "j11_pit_join" -> "Point-in-time SCD2 join: custkey-keyed equi-join against the version history (bounded multiplicity per key) with the validity interval as a post-join filter — no unkeyed range join.",
-      "tq1_pricing_summary" -> "TPC-H Q1 in the integer money channel: one scan, one hash aggregation; every money product is an exact BIGINT so map-side partials are lossless.")
+      "tq1_pricing_summary" -> "TPC-H Q1 in the integer money channel: one scan, one hash aggregation; every money product is an exact BIGINT so map-side partials are lossless.",
+      "tq4_order_priority" -> "TPC-H Q4 (adapted): the EXISTS lateness check is a left-semi hash join on the order key with the ship-lag inequality as the residual — orders never expand per late line.",
+      "tq18_large_volume" -> "TPC-H Q18: the quantity rollup runs on the fact table BEFORE any join (map-side partials on the natural l_orderkey clustering); only surviving orders join out to orders + the broadcast customer dim.",
+      "l52_ks_drift" -> "Two-sample KS length drift: one (source, length) count shuffle reduces the corpus to grid rows; CDFs are source-keyed cumulative windows; the pooled cumulative REAGGREGATES per-source cumulatives by length — no global window anywhere.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
     // plans worth documenting are the ANN operators themselves
