@@ -371,4 +371,36 @@ class PropertySpec extends SparkSpec {
         s"brute-only=${(want -- got).take(3)}")
     }
   }
+
+  test("KS drift equals brute-force ECDF max over the pooled support") {
+    import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(500 + seed)
+      // heavy length ties on purpose: the KS max often lands at a step
+      // where only the OTHER sample moves, which is exactly what the
+      // pooled-support grid has to get right
+      val rows = (0 until 40).map { _ =>
+        val src = "s" + rnd.nextInt(3)
+        val n = 1 + rnd.nextInt(8)
+        (src, Seq.fill(n)("w").mkString(" "))
+      }
+      val lens = rows.map { case (src, text) => (src, text.split(" ").length) }
+      val support = lens.map(_._2).distinct.sorted
+      val want = lens.groupBy(_._1).map { case (src, ls) =>
+        val mine = ls.map(_._2)
+        val rest = lens.filterNot(_._1 == src).map(_._2)
+        val d = support.map { n =>
+          math.abs(mine.count(_ <= n).toDouble / mine.size -
+            rest.count(_ <= n).toDouble / rest.size)
+        }.max
+        src -> d
+      }
+      val got = graft.ops.TextOps.ksDriftFrames(rows.toDF("source", "text"))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet, s"seed=$seed sources: $got vs $want")
+      for ((src, w) <- want)
+        assert(math.abs(got(src) - w) < 2e-6,
+          s"seed=$seed $src: spark=${got(src)} brute=$w")
+    }
+  }
 }
