@@ -622,6 +622,12 @@ class PipelineSpecTest extends SparkSpec {
       .select(col("source")).distinct().count()
     assert(kl.count() == nSrc2)
     assert(kl.where(col("kl") < -1e-9).count() == 0)
+    // ks_drift: one row per source, 0 ≤ D ≤ 1 (it's a sup of ECDF gaps)
+    val ks = spark.read.parquet(s"$wh/${runner.execute(
+        PipelineSpec(Seq(docsStep, StepSpec("ks", "ks_drift", Map("docs" -> "docs")))),
+        Seq("ks"))("ks")}")
+    assert(ks.count() == nSrc2)
+    assert(ks.where(col("ks") < -1e-9 || col("ks") > 1.0 + 1e-9).count() == 0)
   }
 
   test("freshness and weighted_sample: knobs live through the registry") {
