@@ -42,6 +42,41 @@ object Graphs {
 
   private val CheckpointEvery = 3
 
+  /** Lineage cut for iteration BASE tables (edge lists, vertex sets) and
+    * the kcore per-round truncation — the SAME dual posture as the CC
+    * loop's truncate: reliable `checkpoint` when a checkpoint dir is set
+    * (cluster mode: recomputation after executor loss bottoms out at
+    * files, never replays the unrolled multi-join lineage),
+    * `localCheckpoint` otherwise (local/test: blocks live outside the
+    * CacheManager and the ContextCleaner reclaims them on drop). */
+  private def cutBase(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Per-round reliable truncation for the UNROLLED iterative ops
+    * (pageRank, labelPropagation): in cluster posture, cut the lineage
+    * every [[CheckpointEvery]]-th round so a lost executor replays at most
+    * 2 rounds instead of the whole unroll; in local posture this is the
+    * identity — the composed-plan shape (today's measured-fast path) is
+    * preserved exactly. */
+  private def cutRound(df: DataFrame, round: Int): DataFrame =
+    if (round % CheckpointEvery == 0 &&
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df
+
+  /** Per-round truncation for the CONVERGENCE loops, which must
+    * materialize every round anyway (the stop predicate is an action):
+    * localCheckpoint each round, upgraded to a reliable checkpoint every
+    * [[CheckpointEvery]]-th round when a checkpoint dir is set — the CC
+    * loop's exact cadence. */
+  private def cutLoop(df: DataFrame, round: Int): DataFrame =
+    if (round % CheckpointEvery == 0 &&
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** The part co-occurrence SIMPLE graph (distinct sa < sb pairs sharing
     * an order) every graph operator here declares over — MEMOIZED per
     * (Spark application, fixture dir) as an eager localCheckpoint.
@@ -58,21 +93,51 @@ object Graphs {
     * surviving the block sweep would serve unrecomputable plans. The
     * cross-operator reuse therefore accrues to the long-lived
     * server/pipeline path, which never calls releaseAll. */
+  private val MaxEdgeMemo = 4
   private val edgeMemo =
     new scala.collection.concurrent.TrieMap[(String, String), DataFrame]
-  graft.core.Caches.registerMemo(() => edgeMemo.clear())
+  // insertion order for eviction: the memo is a leak bound on the
+  // long-lived server path (which never calls releaseAll) — past the cap
+  // the OLDEST corpus' edges are dropped; their checkpoint blocks are
+  // reclaimed by the ContextCleaner once the DataFrame is unreachable
+  // (reliable-checkpoint files via cleanCheckpoints, see Sessions.tune)
+  private val edgeMemoOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+  graft.core.Caches.registerMemo(() => { edgeMemo.clear(); edgeMemoOrder.clear() })
   private[graft] def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      d: String): DataFrame = {
+    val key = (s.sparkContext.applicationId, d)
+    edgeMemo.get(key).getOrElse {
       val pl = graft.core.Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-        .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
-          Seq("l_orderkey"))
-        .where(col("sa") < col("sb"))
-        .select(col("sa"), col("sb")).distinct()
-        .localCheckpoint(eager = true)
-    })
+      val built = cutBase(
+        pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+          .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
+            Seq("l_orderkey"))
+          .where(col("sa") < col("sb"))
+          .select(col("sa"), col("sb")).distinct())
+      // putIfAbsent, not getOrElseUpdate: under a concurrent first access
+      // exactly ONE build wins the map; the loser's eagerly-materialized
+      // frame is simply dropped (no map entry ever points at it, so the
+      // ContextCleaner reclaims its blocks) instead of being orphaned
+      // behind a winner nothing can release.
+      edgeMemo.putIfAbsent(key, built) match {
+        case Some(winner) => winner
+        case None =>
+          edgeMemoOrder.add(key)
+          var guard = edgeMemoOrder.size()
+          while (edgeMemo.size > MaxEdgeMemo && guard > 0) {
+            guard -= 1
+            val oldest = edgeMemoOrder.poll()
+            if (oldest != null) {
+              if (oldest == key) edgeMemoOrder.add(key) // never evict the newest
+              else edgeMemo.remove(oldest)
+            }
+          }
+          built
+      }
+    }
+  }
 
   /** @param ids   one column `id` — the full vertex universe (singletons
     *              keep their own id as component)
@@ -166,9 +231,10 @@ object Graphs {
     * Scale shape per iteration: ONE shuffle of the edge list on src (the
     * contribution join) and one on dst (the inflow aggregation); nodes,
     * out-weights and N are computed once and reused. The iteration count
-    * is a fixed plan unroll here (3 plans composed); a cluster deployment
-    * iterating to convergence would checkpoint each round exactly as
-    * [[connectedComponents]] does.
+    * is a fixed plan unroll here (3 plans composed in local posture); when
+    * a checkpoint dir is set, every [[CheckpointEvery]]-th round's rank
+    * vector is RELIABLY checkpointed, exactly like [[connectedComponents]]
+    * — an executor loss replays at most 2 rounds, never the whole unroll.
     *
     * @param edges columns `src`, `dst`, `w` (long weight)
     * @return columns `node`, `pr` (rounded to 8 decimals) */
@@ -177,24 +243,65 @@ object Graphs {
     // derive from it too — without a lineage cut the upstream edge
     // aggregation re-executes once per consumer (measured 3× on the
     // declared graph). Same posture as the CC engine's per-round truncate.
-    val edges = edges0.localCheckpoint(eager = true)
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+    val edges = cutBase(edges0)
+    val nodes = cutBase(edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct())
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     var pr = nodes.crossJoin(nN)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = edges.join(outw, Seq("src"))
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
-      pr = nodes.crossJoin(nN)
+      pr = cutRound(nodes.crossJoin(nN)
         .join(inflow, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(1.0 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr")), i)
+    }
+    pr.select(col("node"), round(col("pr"), 8).as("pr"))
+  }
+
+  /** Run-to-convergence PageRank — the production variant of [[pageRank]]:
+    * iterate until the L1 delta of the rank vector drops below `tol` or
+    * `maxRounds` is hit (the round cap bounds the iteration budget at
+    * 100 TB; the declared fixed-round l26 query stays untouched for the
+    * oracle). Each round materializes (the delta is an action anyway)
+    * under the dual posture: reliable checkpoint every
+    * [[CheckpointEvery]]-th round when a checkpoint dir is set. The
+    * stopped state is a true fixpoint within tol: running further rounds
+    * moves every rank by less than the contraction of tol (asserted in
+    * GraphsReliableSpec). */
+  def pageRankConverged(edges0: DataFrame, damping: Double,
+      maxRounds: Int, tol: Double): DataFrame = {
+    val edges = cutBase(edges0)
+    val nodes = cutBase(edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct())
+    val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    var pr = cutBase(nodes.crossJoin(nN)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr")))
+    var round0 = 0
+    var delta = Double.MaxValue
+    while (round0 < maxRounds && delta >= tol) {
+      round0 += 1
+      val inflow = edges.join(outw, Seq("src"))
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
+      val next = cutLoop(nodes.crossJoin(nN)
+        .join(inflow, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr")), round0)
+      // L1 delta over the node-keyed join of the two rank vectors — one
+      // node-scale exchange, no driver-side vectors
+      delta = next.join(pr.withColumnRenamed("pr", "prev"), Seq("node"))
+        .agg(coalesce(sum(abs(col("pr") - col("prev"))), lit(0.0)))
+        .head().getDouble(0)
+      pr = next
     }
     pr.select(col("node"), round(col("pr"), 8).as("pr"))
   }
@@ -291,22 +398,52 @@ object Graphs {
     * iteration, with label counts (not floats) on the wire. */
   private[graft] def labelPropagation(edges: org.apache.spark.sql.DataFrame,
       rounds: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bi = edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .localCheckpoint(eager = true)
+    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
     val nodes = bi.select(col("u").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // argmax by (count desc, label asc) as a HASH aggregation:
       // max(struct(c, -label)) picks the highest count, then the lowest
       // label — no per-node sort, and the partial agg combines map-side
-      labels = bi
-        .join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
-        .groupBy(col("u"), col("nlab")).agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("m"))
-        .select(col("u").as("node"), (-col("m.neg")).as("lab"))
+      labels = cutRound(lpaRound(bi, labels), r)
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
+  /** One synchronous LPA round: every node adopts the most frequent label
+    * among its neighbors (count desc, label asc tie-break). Shared by the
+    * fixed-round [[labelPropagation]] and [[labelPropagationConverged]]. */
+  private def lpaRound(bi: DataFrame, labels: DataFrame): DataFrame =
+    bi.join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
+      .groupBy(col("u"), col("nlab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("m"))
+      .select(col("u").as("node"), (-col("m.neg")).as("lab"))
+
+  /** Run-to-convergence LPA — synchronous rounds until NO label changes
+    * (a true fixpoint: one more round reproduces the same assignment,
+    * asserted in GraphsReliableSpec) or `maxRounds` is hit. Synchronous
+    * LPA can 2-cycle on bipartite-ish structure, so the round cap is the
+    * termination guarantee, not a tuning knob. The changed-count is one
+    * node-keyed join per round (node-scale, integer rows); per-round
+    * materialization runs under the CC loop's dual posture. */
+  private[graft] def labelPropagationConverged(
+      edges: org.apache.spark.sql.DataFrame,
+      maxRounds: Int): org.apache.spark.sql.DataFrame = {
+    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    val nodes = bi.select(col("u").as("node")).distinct()
+    var labels = cutBase(nodes.withColumn("lab", col("node")))
+    var round0 = 0
+    var changed = 1L
+    while (round0 < maxRounds && changed > 0) {
+      round0 += 1
+      val next = cutLoop(lpaRound(bi, labels), round0)
+      changed = next
+        .join(labels.withColumnRenamed("lab", "prev"), Seq("node"))
+        .where(col("lab") =!= col("prev")).count()
+      labels = next
     }
     labels.select(col("node"), col("lab").as("community"))
   }
@@ -335,15 +472,10 @@ object Graphs {
     * integer degrees on the wire, checkpoint per round (the CC posture).
     * Returns survivors with their residual degree. */
   private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var bi = edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .localCheckpoint(eager = true)
+    var bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
     for (r <- 1 to rounds) {
-      val keep = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select(col("u"))
-      bi = bi.join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
+      bi = peelOnce(bi, k)
       // Checkpoint every CheckpointEvery-th round, not every round (the
       // CC loop's posture): each eager checkpoint is a blocking
       // materialization of the whole edge list, and AQE's exchange reuse
@@ -352,8 +484,45 @@ object Graphs {
       // as ONE composed plan off the materialized bidirected base.
       // The keep-list joins broadcast under AQE (node-scale vs
       // edge-scale), so peeling adds one degree-agg exchange per round.
+      // cutBase upgrades the cut to a RELIABLE checkpoint when a
+      // checkpoint dir is set (the cluster posture).
       if (r % CheckpointEvery == 0 && r < rounds)
-        bi = bi.localCheckpoint(eager = true)
+        bi = cutBase(bi)
+    }
+    bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
+
+  /** One synchronous peel round over the bidirected edge list: drop every
+    * edge touching a node whose CURRENT degree is < k. */
+  private def peelOnce(bi: DataFrame, k: Int): DataFrame = {
+    val keep = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k).select(col("u"))
+    bi.join(keep, Seq("u"), "left_semi")
+      .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+  }
+
+  /** Run-to-convergence k-core — peel until NO edge is removed (the true
+    * Seidman k-core: every surviving node has induced degree ≥ k; one more
+    * peel round is the identity, asserted in GraphsReliableSpec) or
+    * `maxRounds` is hit. Peeling is monotone (the edge set only shrinks),
+    * so the edge COUNT is the free convergence signal — no edge-level
+    * diff join; per-round materialization runs under the CC loop's dual
+    * posture. */
+  private[graft] def kcorePeelConverged(edges: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    var bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    var nEdges = bi.count()
+    var round0 = 0
+    var shrunk = true
+    while (round0 < maxRounds && shrunk && nEdges > 0) {
+      round0 += 1
+      bi = cutLoop(peelOnce(bi, k), round0)
+      val n = bi.count()
+      shrunk = n < nEdges
+      nEdges = n
     }
     bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))

@@ -23,6 +23,18 @@ object Transforms {
   // execution runs outside it.
   private val sqlAnalysisLock = new Object
 
+  /** Normalize a caller-supplied ts column (TimestampType, NTZ, or a raw
+    * long epoch — the Tables.microTs contract) and attach the exact-µs
+    * `ts_us` long every event-time transform computes over. One shared
+    * path so `pattern_match`/`funnel_steps`/`attribution`/`conversion_lag`
+    * coerce inputs identically to `linear_attribution` (ADVICE r8: a long
+    * epoch ts failed analysis in pattern_match but worked in the sibling). */
+  private def withTsUs(df: org.apache.spark.sql.DataFrame,
+      tsCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    Tables.microTs(df, tsCol).withColumn("ts_us", unix_micros(col(tsCol)))
+  }
+
   def standard(): TransformRegistry = {
     val r = new TransformRegistry
     r.register("source") { (s, _, p) => Tables.load(s, p("dir"), p("table")) }
@@ -229,10 +241,8 @@ object Transforms {
     // ordered k-step funnel: steps is a comma-separated ordered type
     // list (declared e13 pins signup,view,purchase)
     r.register("funnel_steps") { (_, in, p) =>
-      import org.apache.spark.sql.functions.{col, unix_micros}
       graft.ops.EventOps.funnelStepsFrames(
-        in("events").withColumn("ts_us",
-          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        withTsUs(in("events"), p.params.getOrElse("ts", "ts")),
         p.params.getOrElse("steps", "signup,view,purchase")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
@@ -260,10 +270,8 @@ object Transforms {
     // touches is a comma-separated type list (declared e12 pins
     // click,view → purchase in a 24 h lookback)
     r.register("attribution") { (_, in, p) =>
-      import org.apache.spark.sql.functions.{col, unix_micros}
       graft.ops.EventOps.attributionFrames(
-        in("events").withColumn("ts_us",
-          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        withTsUs(in("events"), p.params.getOrElse("ts", "ts")),
         p.params.getOrElse("touches", "click,view")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         p.params.getOrElse("target", "purchase"),
@@ -281,10 +289,8 @@ object Transforms {
     // typed stream: regex over the first letters of the type alphabet
     // (declared e14 pins v[vc]*p — browse-to-buy runs)
     r.register("pattern_match") { (_, in, p) =>
-      import org.apache.spark.sql.functions.{col, unix_micros}
       graft.ops.EventOps.patternMatchFrames(
-        in("events").withColumn("ts_us",
-          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        withTsUs(in("events"), p.params.getOrElse("ts", "ts")),
         p.params.getOrElse("by", "user_id"),
         p.params.getOrElse("order", "ts_us,event_id")
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
@@ -351,19 +357,40 @@ object Transforms {
         p.params.getOrElse("target", "purchase"),
         p.params.getOrElse("lookback", "86400").toLong * 1000000)
     }
-    // bounded-round k-core peel over any (sa, sb) undirected edge list
+    // k-core peel over any (sa, sb) undirected edge list: fixed `rounds`
+    // by default (the deterministic-oracle mode); converge=true runs to
+    // the TRUE Seidman k-core fixpoint with `rounds` as the cap
     r.register("kcore") { (_, in, p) =>
-      graft.ops.Graphs.kcorePeel(in("edges"),
-        p.params.getOrElse("k", "3").toInt,
-        p.params.getOrElse("rounds", "3").toInt)
+      val k = p.params.getOrElse("k", "3").toInt
+      val rounds = p.params.getOrElse("rounds", "3").toInt
+      if (p.params.getOrElse("converge", "false").toBoolean)
+        graft.ops.Graphs.kcorePeelConverged(in("edges"), k, rounds)
+      else graft.ops.Graphs.kcorePeel(in("edges"), k, rounds)
+    }
+    // synchronous label propagation over any (sa, sb) undirected edge
+    // list: fixed rounds, or converge=true → fixpoint with round cap
+    r.register("label_prop") { (_, in, p) =>
+      val rounds = p.params.getOrElse("rounds", "3").toInt
+      if (p.params.getOrElse("converge", "false").toBoolean)
+        graft.ops.Graphs.labelPropagationConverged(in("edges"), rounds)
+      else graft.ops.Graphs.labelPropagation(in("edges"), rounds)
+    }
+    // damped PageRank over any weighted (src, dst, w) edge list: fixed
+    // iterations, or converge=true → iterate until the L1 delta of the
+    // rank vector drops below `tol`, capped at `rounds`
+    r.register("pagerank") { (_, in, p) =>
+      val damping = p.params.getOrElse("damping", "0.85").toDouble
+      val rounds = p.params.getOrElse("rounds", "3").toInt
+      if (p.params.getOrElse("converge", "false").toBoolean)
+        graft.ops.Graphs.pageRankConverged(in("edges"), damping, rounds,
+          p.params.getOrElse("tol", "1e-6").toDouble)
+      else graft.ops.Graphs.pageRank(in("edges"), damping, rounds)
     }
     // conversion-lag histogram between two event types over any typed
     // event stream (declared e11 pins view→purchase, 48h cap)
     r.register("conversion_lag") { (_, in, p) =>
-      import org.apache.spark.sql.functions.{col, unix_micros}
       graft.ops.EventOps.conversionLagFrames(
-        in("events").withColumn("ts_us",
-          unix_micros(col(p.params.getOrElse("ts", "ts")))),
+        withTsUs(in("events"), p.params.getOrElse("ts", "ts")),
         p.params.getOrElse("from", "view"),
         p.params.getOrElse("to", "purchase"),
         p.params.getOrElse("cap", "48").toInt)

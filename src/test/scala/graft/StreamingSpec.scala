@@ -213,6 +213,14 @@ class StreamingSpec extends SparkSpec {
     files.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.createSymbolicLink(
         stageDir.resolve(f"b$i%03d.parquet"), p.toAbsolutePath)
+      // FileStreamSource orders batches by modification time; the two
+      // staged writes land milliseconds apart, so an mtime TIE could
+      // replay b001 (late events) before b000 and break the mid-run DFA
+      // resume this test exists to exercise. Pin strictly increasing
+      // mtimes on the targets (setLastModifiedTime follows the symlink).
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000 + i * 10000L))
     }
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
