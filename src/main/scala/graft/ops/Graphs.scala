@@ -42,6 +42,17 @@ object Graphs {
 
   private val CheckpointEvery = 3
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Graphs")
+
+  /** A convergence loop that stops on its ROUND CAP did not reach the
+    * advertised fixpoint/tolerance — say so (ADVICE r9: a default
+    * converge run silently stopping far from the fixpoint had no signal
+    * to the caller). Warn-level: the result is still well-defined (the
+    * capped prefix of the iteration), just not the fixpoint. */
+  private def warnCapExit(op: String, rounds: Int, residual: String): Unit =
+    log.warn(s"$op stopped on the round cap ($rounds rounds), NOT on " +
+      s"convergence — $residual; raise max_rounds for the true fixpoint")
+
   /** Lineage cut for iteration BASE tables (edge lists, vertex sets) and
     * the kcore per-round truncation — the SAME dual posture as the CC
     * loop's truncate: reliable `checkpoint` when a checkpoint dir is set
@@ -59,9 +70,12 @@ object Graphs {
     * every [[CheckpointEvery]]-th round so a lost executor replays at most
     * 2 rounds instead of the whole unroll; in local posture this is the
     * identity — the composed-plan shape (today's measured-fast path) is
-    * preserved exactly. */
-  private def cutRound(df: DataFrame, round: Int): DataFrame =
-    if (round % CheckpointEvery == 0 &&
+    * preserved exactly. The FINAL round is never cut (`round < total`,
+    * the same guard as kcorePeel's `r < rounds`): checkpointing the last
+    * round is a blocking materialization the caller's own action pays
+    * again, with no replay-window win left to buy. */
+  private def cutRound(df: DataFrame, round: Int, total: Int): DataFrame =
+    if (round % CheckpointEvery == 0 && round < total &&
         df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df
@@ -103,7 +117,17 @@ object Graphs {
   // (reliable-checkpoint files via cleanCheckpoints, see Sessions.tune)
   private val edgeMemoOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
-  graft.core.Caches.registerMemo(() => { edgeMemo.clear(); edgeMemoOrder.clear() })
+  // insert+evict (and the harness clear) serialize on this lock: without
+  // it a concurrent builder's just-inserted entry could be polled and
+  // evicted by ANOTHER thread's eviction loop, and a releaseAll racing a
+  // builder could leave a map entry with no queue entry (unevictable
+  // until the next clear). The memo is low-traffic (one insert per
+  // (app, corpus)), so the lock costs nothing; the hot read path above
+  // stays lock-free.
+  private val edgeMemoLock = new Object
+  graft.core.Caches.registerMemo(() => edgeMemoLock.synchronized {
+    edgeMemo.clear(); edgeMemoOrder.clear()
+  })
   private[graft] def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val key = (s.sparkContext.applicationId, d)
@@ -121,20 +145,22 @@ object Graphs {
       // frame is simply dropped (no map entry ever points at it, so the
       // ContextCleaner reclaims its blocks) instead of being orphaned
       // behind a winner nothing can release.
-      edgeMemo.putIfAbsent(key, built) match {
-        case Some(winner) => winner
-        case None =>
-          edgeMemoOrder.add(key)
-          var guard = edgeMemoOrder.size()
-          while (edgeMemo.size > MaxEdgeMemo && guard > 0) {
-            guard -= 1
-            val oldest = edgeMemoOrder.poll()
-            if (oldest != null) {
-              if (oldest == key) edgeMemoOrder.add(key) // never evict the newest
-              else edgeMemo.remove(oldest)
+      edgeMemoLock.synchronized {
+        edgeMemo.putIfAbsent(key, built) match {
+          case Some(winner) => winner
+          case None =>
+            edgeMemoOrder.add(key)
+            var guard = edgeMemoOrder.size()
+            while (edgeMemo.size > MaxEdgeMemo && guard > 0) {
+              guard -= 1
+              val oldest = edgeMemoOrder.poll()
+              if (oldest != null) {
+                if (oldest == key) edgeMemoOrder.add(key) // never evict the newest
+                else edgeMemo.remove(oldest)
+              }
             }
-          }
-          built
+            built
+        }
       }
     }
   }
@@ -259,7 +285,7 @@ object Graphs {
         .join(inflow, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(1.0 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr")), i)
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr")), i, iters)
     }
     pr.select(col("node"), round(col("pr"), 8).as("pr"))
   }
@@ -271,9 +297,10 @@ object Graphs {
     * oracle). Each round materializes (the delta is an action anyway)
     * under the dual posture: reliable checkpoint every
     * [[CheckpointEvery]]-th round when a checkpoint dir is set. The
-    * stopped state is a true fixpoint within tol: running further rounds
-    * moves every rank by less than the contraction of tol (asserted in
-    * GraphsReliableSpec). */
+    * stopped state is a true fixpoint within tol: the L1 distance to the
+    * fixpoint is bounded by tol·d/(1−d), the geometric tail of the
+    * damping contraction (asserted in GraphsReliableSpec against the
+    * analytic fixpoint of a cyclic test graph). */
   def pageRankConverged(edges0: DataFrame, damping: Double,
       maxRounds: Int, tol: Double): DataFrame = {
     val edges = cutBase(edges0)
@@ -303,6 +330,8 @@ object Graphs {
         .head().getDouble(0)
       pr = next
     }
+    if (delta >= tol)
+      warnCapExit("pageRankConverged", maxRounds, s"L1 delta $delta >= tol $tol")
     pr.select(col("node"), round(col("pr"), 8).as("pr"))
   }
 
@@ -406,7 +435,7 @@ object Graphs {
       // argmax by (count desc, label asc) as a HASH aggregation:
       // max(struct(c, -label)) picks the highest count, then the lowest
       // label — no per-node sort, and the partial agg combines map-side
-      labels = cutRound(lpaRound(bi, labels), r)
+      labels = cutRound(lpaRound(bi, labels), r, rounds)
     }
     labels.select(col("node"), col("lab").as("community"))
   }
@@ -445,6 +474,9 @@ object Graphs {
         .where(col("lab") =!= col("prev")).count()
       labels = next
     }
+    if (changed > 0)
+      warnCapExit("labelPropagationConverged", maxRounds,
+        s"$changed labels still changing (synchronous LPA can 2-cycle)")
     labels.select(col("node"), col("lab").as("community"))
   }
 
@@ -524,6 +556,9 @@ object Graphs {
       shrunk = n < nEdges
       nEdges = n
     }
+    if (shrunk && nEdges > 0)
+      warnCapExit("kcorePeelConverged", maxRounds,
+        s"last round still removed edges ($nEdges directed edges remain)")
     bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
   }

@@ -357,34 +357,41 @@ object Transforms {
         p.params.getOrElse("target", "purchase"),
         p.params.getOrElse("lookback", "86400").toLong * 1000000)
     }
+    // Convergence cap for the converge=true graph modes: a SEPARATE knob
+    // from the fixed-round `rounds` (default 3) so a default converge run
+    // doesn't silently stop 3 rounds into a 20-round fixpoint (ADVICE r9).
+    // 50 rounds covers any realistic co-occurrence/link-graph diameter;
+    // the ops themselves warn-log if they still exit on the cap.
+    def maxRounds(p: ParamMap): Int =
+      p.params.get("max_rounds").map(_.toInt).getOrElse(50)
     // k-core peel over any (sa, sb) undirected edge list: fixed `rounds`
     // by default (the deterministic-oracle mode); converge=true runs to
-    // the TRUE Seidman k-core fixpoint with `rounds` as the cap
+    // the TRUE Seidman k-core fixpoint, capped at `max_rounds`
     r.register("kcore") { (_, in, p) =>
       val k = p.params.getOrElse("k", "3").toInt
-      val rounds = p.params.getOrElse("rounds", "3").toInt
       if (p.params.getOrElse("converge", "false").toBoolean)
-        graft.ops.Graphs.kcorePeelConverged(in("edges"), k, rounds)
-      else graft.ops.Graphs.kcorePeel(in("edges"), k, rounds)
+        graft.ops.Graphs.kcorePeelConverged(in("edges"), k, maxRounds(p))
+      else graft.ops.Graphs.kcorePeel(in("edges"), k,
+        p.params.getOrElse("rounds", "3").toInt)
     }
     // synchronous label propagation over any (sa, sb) undirected edge
-    // list: fixed rounds, or converge=true → fixpoint with round cap
+    // list: fixed rounds, or converge=true → fixpoint capped at max_rounds
     r.register("label_prop") { (_, in, p) =>
-      val rounds = p.params.getOrElse("rounds", "3").toInt
       if (p.params.getOrElse("converge", "false").toBoolean)
-        graft.ops.Graphs.labelPropagationConverged(in("edges"), rounds)
-      else graft.ops.Graphs.labelPropagation(in("edges"), rounds)
+        graft.ops.Graphs.labelPropagationConverged(in("edges"), maxRounds(p))
+      else graft.ops.Graphs.labelPropagation(in("edges"),
+        p.params.getOrElse("rounds", "3").toInt)
     }
     // damped PageRank over any weighted (src, dst, w) edge list: fixed
     // iterations, or converge=true → iterate until the L1 delta of the
-    // rank vector drops below `tol`, capped at `rounds`
+    // rank vector drops below `tol`, capped at `max_rounds`
     r.register("pagerank") { (_, in, p) =>
       val damping = p.params.getOrElse("damping", "0.85").toDouble
-      val rounds = p.params.getOrElse("rounds", "3").toInt
       if (p.params.getOrElse("converge", "false").toBoolean)
-        graft.ops.Graphs.pageRankConverged(in("edges"), damping, rounds,
+        graft.ops.Graphs.pageRankConverged(in("edges"), damping, maxRounds(p),
           p.params.getOrElse("tol", "1e-6").toDouble)
-      else graft.ops.Graphs.pageRank(in("edges"), damping, rounds)
+      else graft.ops.Graphs.pageRank(in("edges"), damping,
+        p.params.getOrElse("rounds", "3").toInt)
     }
     // conversion-lag histogram between two event types over any typed
     // event stream (declared e11 pins view→purchase, 48h cap)

@@ -38,6 +38,119 @@ class GraphsReliableSpec extends SparkSpec {
     assert(base < 1e-8, s"customers (no in-edges) must sit at the base rank: $base")
   }
 
+  test("converged variants are true fixpoints: one-more-round identity, tol contraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Graphs
+
+    // k-core: run-to-convergence on the REAL co-occurrence graph must
+    // equal the fixed-round peel once the fixed plan has enough rounds —
+    // and one more fixed round must be the identity (Seidman fixpoint)
+    val co = Graphs.coOccurrenceEdges(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kConv = rows(Graphs.kcorePeelConverged(co, k = 3, maxRounds = 50))
+    val k12 = rows(Graphs.kcorePeel(co, k = 3, rounds = 12))
+    val k13 = rows(Graphs.kcorePeel(co, k = 3, rounds = 13))
+    assert(k12 == k13, "12 fixed peel rounds did not reach the fixpoint — " +
+      "raise the fixed reference round count in this test")
+    assert(kConv == k12,
+      s"converged k-core != fixed-round fixpoint: only-conv=${(kConv -- k12).take(3)} " +
+        s"only-fixed=${(k12 -- kConv).take(3)}")
+    assert(kConv.nonEmpty && kConv.forall(_._2 >= 3),
+      "every surviving node must keep induced degree >= k")
+
+    // LPA: on a converging graph (two disjoint triangles) the converged
+    // assignment equals fixed-round R AND R+1 — one more synchronous
+    // round reproduces the same assignment
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("sa", "sb")
+    val lConv = rows(Graphs.labelPropagationConverged(tri, maxRounds = 10))
+    val l4 = rows(Graphs.labelPropagation(tri, rounds = 4))
+    val l5 = rows(Graphs.labelPropagation(tri, rounds = 5))
+    assert(l4 == l5, "LPA fixed rounds 4 and 5 disagree — not yet a fixpoint")
+    assert(lConv == l4, s"converged LPA != fixed fixpoint: $lConv vs $l4")
+    assert(lConv == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)))
+
+    // PageRank: tight tol reaches the ANALYTIC fixpoint of a cyclic graph
+    // (a<->b plus c->a, damping 0.5: pr = (4/9, 7/18, 1/6)), and a loose
+    // tol stops within the contraction bound tol*d/(1-d) of the tight run
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    def prMap(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tight = prMap(Graphs.pageRankConverged(cyc, damping = 0.5,
+      maxRounds = 80, tol = 1e-9))
+    assert(math.abs(tight("a") - 4.0 / 9) < 1e-7, tight.toString)
+    assert(math.abs(tight("b") - 7.0 / 18) < 1e-7, tight.toString)
+    assert(math.abs(tight("c") - 1.0 / 6) < 1e-7, tight.toString)
+    val tolLoose = 1e-2
+    val loose = prMap(Graphs.pageRankConverged(cyc, damping = 0.5,
+      maxRounds = 80, tol = tolLoose))
+    val l1 = loose.map { case (n, v) => math.abs(v - tight(n)) }.sum
+    // ||pr_stop - pr_fix||_1 <= tol * d/(1-d) once the per-round L1 delta
+    // is below tol (geometric tail of the damping contraction)
+    val bound = tolLoose * 0.5 / (1 - 0.5) + 1e-8
+    assert(l1 <= bound, s"loose-tol stop point violates the contraction " +
+      s"bound: L1=$l1 > $bound")
+  }
+
+  test("pageRank/LPA/kcore engage the reliable checkpoint under a dir, results unchanged") {
+    import spark.implicits._
+    import graft.ops.Graphs
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val co = Graphs.coOccurrenceEdges(spark, sfDir)
+    val prEdges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    def prRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // plain-posture references, computed BEFORE any checkpoint dir exists
+    // (this test must precede the suite's CC test, which sets one);
+    // iters/rounds = 4 so round 3 hits the every-3rd cadence AND is not
+    // the final round (cutRound's round < total guard)
+    val hadDir = spark.sparkContext.getCheckpointDir.isDefined
+    val plainPr = prRows(Graphs.pageRank(prEdges, 0.85, iters = 4))
+    val plainLpa = rows(Graphs.labelPropagation(co, rounds = 4))
+    val plainK = rows(Graphs.kcorePeel(co, k = 3, rounds = 4))
+
+    val ckptRoot = Files.createTempDirectory("graft_graphs_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptRoot.toString)
+    def pathsUnder(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(ckptRoot)
+      try walk.iterator().asScala.map(_.toString).toSet finally walk.close()
+    }
+    // NEW paths, not a count delta: the ContextCleaner (cleanCheckpoints
+    // on) deletes earlier ops' checkpoint files as their frames are GC'd,
+    // so a raw count can legitimately SHRINK across a body that still
+    // checkpointed. The check runs while the built frame is still
+    // strongly referenced — its lineage pins the round checkpoints, so
+    // the cleaner can't reclaim them before the assert.
+    def grew(label: String)(body: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val before = pathsUnder()
+      val df = body
+      assert((pathsUnder() -- before).nonEmpty,
+        s"$label produced no reliable checkpoint files under the dir")
+      df
+    }
+    val relPr = prRows(grew("pageRank")(Graphs.pageRank(prEdges, 0.85, iters = 4)))
+    val relLpa = rows(grew("labelPropagation")(Graphs.labelPropagation(co, rounds = 4)))
+    val relK = rows(grew("kcorePeel")(Graphs.kcorePeel(co, k = 3, rounds = 4)))
+    // the convergence loops upgrade their per-round cut the same way
+    val relKConv = rows(grew("kcorePeelConverged")(
+      Graphs.kcorePeelConverged(co, k = 3, maxRounds = 50)))
+    assert(relKConv.nonEmpty && relKConv.forall(_._2 >= 3))
+    // checkpointing must be behavior-neutral
+    if (!hadDir) {
+      assert(relPr == plainPr, "pageRank rows changed under the reliable posture")
+      assert(relLpa == plainLpa, "LPA rows changed under the reliable posture")
+      assert(relK == plainK, "kcore rows changed under the reliable posture")
+    }
+  }
+
   test("connected components under a checkpoint dir: chain forces the cadence") {
     val ckptRoot = Files.createTempDirectory("graft_cc_ckpt")
     spark.sparkContext.setCheckpointDir(ckptRoot.toString)

@@ -842,6 +842,58 @@ class PipelineSpecTest extends SparkSpec {
     assert(k4.subsetOf(k2) && k2.nonEmpty, s"k=4 core must nest in k=2 core")
   }
 
+  test("kcore/label_prop/pagerank converge=true through the registry reach fixpoints") {
+    val wh = Files.createTempDirectory("graft_wh_r10a").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    def run(steps: Seq[StepSpec], out: String): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(s"$wh/${runner.execute(PipelineSpec(steps), Seq(out))(out)}")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // kcore converge=true on the REAL co-occurrence graph == the fixed
+    // plan once it has enough rounds (the Seidman fixpoint)
+    val liStep = StepSpec("li", "source", params = Map("dir" -> sfDir, "table" -> "lineitem"))
+    val edgeStep = StepSpec("ed", "sql", Map("rows" -> "li"), Map("sql" ->
+      ("SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb " +
+        "FROM rows a JOIN rows b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey")))
+    def kcore(extra: (String, String)*) = pairs(run(
+      Seq(liStep, edgeStep, StepSpec("c", "kcore",
+        Map("edges" -> "ed"), Map("k" -> "3") ++ extra)), "c"))
+    val conv = kcore("converge" -> "true")
+    val fixed = kcore("rounds" -> "12")
+    assert(conv == fixed && conv.nonEmpty,
+      s"registry converged k-core != 12-round fixpoint: " +
+        s"only-conv=${(conv -- fixed).take(3)} only-fixed=${(fixed -- conv).take(3)}")
+
+    // label_prop converge=true on a converging VALUES graph: fixpoint ==
+    // the fixed plan at rounds R and R+1
+    val triStep = StepSpec("tri", "sql", Map("rows" -> "li"), Map("sql" ->
+      ("SELECT CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb FROM (VALUES " +
+        "(1,2),(1,3),(2,3),(10,11),(10,12),(11,12)) AS t(sa, sb)")))
+    def lpa(extra: (String, String)*) = pairs(run(
+      Seq(liStep, triStep, StepSpec("lp", "label_prop",
+        Map("edges" -> "tri"), Map(extra: _*))), "lp"))
+    val lConv = lpa("converge" -> "true")
+    assert(lpa("rounds" -> "4") == lpa("rounds" -> "5"),
+      "fixed LPA rounds 4/5 disagree — reference not a fixpoint")
+    assert(lConv == lpa("rounds" -> "4"),
+      s"registry converged LPA != fixed fixpoint: $lConv")
+
+    // pagerank converge=true: tight tol matches the analytic fixpoint of
+    // the a<->b + c->a cycle at damping 0.5 (4/9, 7/18, 1/6)
+    val cycStep = StepSpec("cyc", "sql", Map("rows" -> "li"), Map("sql" ->
+      ("SELECT src, dst, CAST(w AS BIGINT) AS w FROM (VALUES " +
+        "('a','b',1),('b','a',1),('c','a',1)) AS t(src, dst, w)")))
+    val pr = run(Seq(liStep, cycStep, StepSpec("pr", "pagerank",
+        Map("edges" -> "cyc"),
+        Map("damping" -> "0.5", "converge" -> "true", "tol" -> "1e-9"))), "pr")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("a") - 4.0 / 9) < 1e-7, pr.toString)
+    assert(math.abs(pr("b") - 7.0 / 18) < 1e-7, pr.toString)
+    assert(math.abs(pr("c") - 1.0 / 6) < 1e-7, pr.toString)
+  }
+
   test("topk, linear_attribution and oov_rate: knobs live through the registry") {
     val wh = Files.createTempDirectory("graft_wh_r8f").toString
     val runner = new Runner(spark, Transforms.standard(), wh)
