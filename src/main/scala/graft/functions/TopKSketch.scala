@@ -1,15 +1,15 @@
 package graft.functions
 
-import java.nio.ByteBuffer
+import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /** Bounded top-k-per-group as a native MERGEABLE aggregate (w5b) — the
@@ -23,52 +23,88 @@ import org.apache.spark.sql.types._
   * k pairs per (key, partition) ever cross the shuffle; merges are
   * k-way list merges.
   *
-  * Ordering is EXACTLY the window's `value DESC NULLS LAST, id ASC NULLS
-  * FIRST` total order: doubles compare with Spark's own sort semantics
-  * (SQLOrderingUtil: NaN greatest, -0.0 == 0.0), null values rank after
-  * every non-null value, null ids rank before every non-null id among
-  * value ties. That bit-identical equivalence is what lets the w5b
-  * declared query share w5's oracle and what the TopKRewrite optimizer
-  * rule relies on when it swaps this aggregate in for the window.
+  * Ordering is EXACTLY the window's total order for ANY orderable value
+  * and id type (Long, Int, Decimal, String, Double, timestamp, …) in
+  * either direction, with Spark's DEFAULT null ordering for that
+  * direction (ASC → NULLS FIRST, DESC → NULLS LAST): per-type comparison
+  * delegates to Catalyst's own interpreted ordering
+  * (TypeUtils.getInterpretedOrdering — the same SQLOrderingUtil double
+  * semantics the window sort uses: NaN greatest, -0.0 == 0.0). That
+  * bit-identical equivalence is what lets the w5b declared query share
+  * w5's oracle and what the TopKRewrite optimizer rule relies on when it
+  * swaps this aggregate in for the window.
   *
-  * Output: array<struct<value double, id bigint>> in rank order, ready to
-  * `posexplode` back into (id, value, rn) rows.
+  * Output: array<struct<value, id>> in rank order (element types follow
+  * the inputs), ready to `posexplode` back into (id, value, rn) rows.
   */
 case class TopKSketch(
     valueExpr: Expression,
     idExpr: Expression,
     k: Int = 3,
+    valueDesc: Boolean = true,
+    idDesc: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[TopKSketch.Entry]] {
-  import TopKSketch.{Entry, beats}
+  import TopKSketch.Entry
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"topk_sketch expects (DOUBLE value, BIGINT id), got " +
-        s"(${valueExpr.dataType.catalogString}, ${idExpr.dataType.catalogString})")
+    if (!RowOrdering.isOrderable(valueExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_sketch value type ${valueExpr.dataType.catalogString} is not orderable")
+    else if (!RowOrdering.isOrderable(idExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_sketch id type ${idExpr.dataType.catalogString} is not orderable")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("value", DoubleType, nullable = valueExpr.nullable),
-      StructField("id", LongType, nullable = idExpr.nullable))),
+      StructField("value", valueExpr.dataType, nullable = valueExpr.nullable),
+      StructField("id", idExpr.dataType, nullable = idExpr.nullable))),
     containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_sketch"
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+
+  // Catalyst's interpreted per-type orderings — identical comparison
+  // semantics to the window's SortOrder (incl. SQLOrderingUtil doubles)
+  @transient private lazy val ordV: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(valueExpr.dataType)
+  @transient private lazy val ordId: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(idExpr.dataType)
+
+  /** <0 iff `a` ranks strictly before `b` on one sort key with the
+    * direction's DEFAULT null ordering (ASC → NULLS FIRST, DESC → NULLS
+    * LAST — exactly SortDirection.defaultNullOrdering). */
+  private def cmpKey(a: Any, b: Any, ord: Ordering[Any], desc: Boolean): Int =
+    if (a == null || b == null) {
+      if ((a == null) == (b == null)) 0
+      else {
+        val aFirst = (a == null) != desc // null ranks first only in ASC
+        if (aFirst) -1 else 1
+      }
+    } else {
+      val c = ord.compare(a, b)
+      if (desc) -c else c
+    }
+
+  /** a beats b iff a ranks strictly before b under the window's
+    * (value dir1, id dir2) total order. */
+  private[functions] def beats(a: Entry, b: Entry): Boolean = {
+    val cv = cmpKey(a.v, b.v, ordV, valueDesc)
+    if (cv != 0) cv < 0
+    else cmpKey(a.id, b.id, ordId, idDesc) < 0
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[Entry] =
     mutable.ArrayBuffer.empty
 
   override def update(buf: mutable.ArrayBuffer[Entry],
       input: InternalRow): mutable.ArrayBuffer[Entry] = {
-    val v = valueExpr.eval(input)
-    val id = idExpr.eval(input)
-    val e = Entry(
-      v == null, if (v == null) 0.0 else v.asInstanceOf[Double],
-      id == null, if (id == null) 0L else id.asInstanceOf[Long])
+    // copyValue: child eval may return views into reused row buffers
+    // (UTF8String over an UnsafeRow); entries outlive the input row
+    val e = Entry(InternalRow.copyValue(valueExpr.eval(input)),
+      InternalRow.copyValue(idExpr.eval(input)))
     if (buf.size < k || beats(e, buf.last)) {
       // insertion into a ≤k rank-sorted buffer: O(k) per row, k tiny
       var i = buf.size
@@ -94,28 +130,45 @@ case class TopKSketch(
 
   override def eval(buf: mutable.ArrayBuffer[Entry]): Any =
     new GenericArrayData(buf.map(e =>
-      new GenericInternalRow(Array[Any](
-        if (e.vNull) null else e.v,
-        if (e.idNull) null else e.id)): Any).toArray)
+      new GenericInternalRow(Array[Any](e.v, e.id)): Any).toArray)
+
+  // Type-agnostic wire format: each entry is one UnsafeRow over
+  // (valueType, idType) — UnsafeRow's writer handles every SQL type
+  // (null bits included), so adding types never touches this code.
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array(valueExpr.dataType, idExpr.dataType))
+  @transient private lazy val serRow = new GenericInternalRow(2)
 
   override def serialize(buf: mutable.ArrayBuffer[Entry]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 17)
-    bb.putInt(buf.size)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
     buf.foreach { e =>
-      bb.put((((if (e.vNull) 1 else 0)) | (if (e.idNull) 2 else 0)).toByte)
-      bb.putDouble(e.v); bb.putLong(e.id)
+      serRow.update(0, e.v); serRow.update(1, e.id)
+      val ur = serProj(serRow)
+      out.writeInt(ur.getSizeInBytes)
+      out.write(ur.getBytes)
     }
-    bb.array()
+    out.flush()
+    bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Entry] = {
-    val bb = ByteBuffer.wrap(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val out = mutable.ArrayBuffer.empty[Entry]
+    val row = new UnsafeRow(2)
     var i = 0
     while (i < n) {
-      val f = bb.get()
-      out += Entry((f & 1) != 0, bb.getDouble, (f & 2) != 0, bb.getLong)
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      row.pointTo(arr, len)
+      // copyValue detaches variable-length values from `arr` so the
+      // entry owns its bytes regardless of buffer lifetime
+      out += Entry(
+        InternalRow.copyValue(row.get(0, valueExpr.dataType)),
+        InternalRow.copyValue(row.get(1, idExpr.dataType)))
       i += 1
     }
     out
@@ -131,22 +184,14 @@ case class TopKSketch(
 }
 
 object TopKSketch {
-  /** One ranked row; null flags carry the window's null ordering. */
-  final case class Entry(vNull: Boolean, v: Double, idNull: Boolean, id: Long)
+  /** One ranked row; `null` IS the SQL null (the per-direction default
+    * null ordering places it). Values are Catalyst-internal
+    * (UTF8String/Decimal/…), owned by the entry. */
+  final case class Entry(v: Any, id: Any)
 
-  /** `value DESC NULLS LAST, id ASC NULLS FIRST` — a beats b iff a ranks
-    * strictly before b under exactly that window order. */
-  def beats(a: Entry, b: Entry): Boolean = {
-    if (a.vNull != b.vNull) return !a.vNull // non-null value ranks first
-    if (!a.vNull) {
-      val c = SQLOrderingUtil.compareDoubles(a.v, b.v)
-      if (c != 0) return c > 0
-    }
-    if (a.idNull != b.idNull) return a.idNull // null id ranks first in ASC
-    !a.idNull && a.id < b.id
-  }
-
-  /** Register `topk_sketch(value, id, k)` for expr() use. */
+  /** Register `topk_sketch(value, id, k)` for expr() use — value DESC,
+    * id ASC (the w5 shape); the optimizer rule constructs directional
+    * variants directly. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_sketch",

@@ -11,7 +11,7 @@ import graft.functions.TopKSketch
 /** Optimizer rule: rewrite the textbook top-k-per-group WINDOW pattern
   *
   *   Filter(rn <= k, Window(row_number() OVER (PARTITION BY p ORDER BY
-  *     value DESC, id ASC) AS rn, child))
+  *     value [ASC|DESC], id [ASC|DESC]) AS rn, child))
   *
   * into the bounded-state aggregate form (w5b):
   *
@@ -29,11 +29,13 @@ import graft.functions.TopKSketch
   * Soundness gates (the rule fires ONLY when equivalence is structural):
   * - the window computes exactly ONE expression: row_number() with the
   *   standard (UnboundedPreceding, CurrentRow) row frame;
-  * - order is exactly (value: Double DESC, id: Long ASC) with the
-  *   DEFAULT null ordering (NULLS LAST / NULLS FIRST) — the sketch's
-  *   comparator reproduces that total order including Spark's own double
-  *   semantics (NaN greatest, -0.0 == 0.0) and both null positions, so
-  *   ties, floats and nullable parquet columns rank identically;
+  * - order is exactly (value, id) over attributes of ANY orderable
+  *   atomic type (Long/Int/Decimal/String/Double/timestamp/…) in either
+  *   direction, each with the DEFAULT null ordering for its direction
+  *   (ASC → NULLS FIRST, DESC → NULLS LAST) — the sketch's comparator is
+  *   Catalyst's own interpreted per-type ordering, so ties, floats
+  *   (NaN greatest, -0.0 == 0.0) and nullable parquet columns rank
+  *   identically to the window sort;
   * - the filter is `rn <= lit` / `rn < lit` with a positive int literal;
   * - the window's child outputs exactly partition ∪ {value, id} (true
   *   after column pruning whenever the query USES only those — otherwise
@@ -46,9 +48,22 @@ import graft.functions.TopKSketch
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 
-  private def enabled(plan: LogicalPlan): Boolean =
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.topkRewrite.enabled", "true") == "true"
+  private def enabled: Boolean =
+    // parseBoolean, not == "true": the conf is user-set ("TRUE"/"True"
+    // must not silently disable the flagship rule — ADVICE r8/r9)
+    java.lang.Boolean.parseBoolean(
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topkRewrite.enabled", "true"))
+
+  /** Orderable scalar whose interpreted ordering the sketch shares with
+    * the window sort. Nested types decline: array/struct ordering is
+    * orderable too, but keeping the gate to atomics keeps the
+    * equivalence surface auditable (and covers every real top-k key). */
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: StructType | _: MapType => false
+    case _: UserDefinedType[_] | NullType => false
+    case _ => RowOrdering.isOrderable(dt)
+  }
 
   private object RnLimit {
     /** rn <= k / rn < k+1 with a positive int literal → (rnAttr, k). */
@@ -62,7 +77,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled(plan)) return plan
+    if (!enabled) return plan
     plan.transformUp {
       case f @ Filter(RnLimit(rnAttr, k),
           w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
@@ -73,14 +88,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
             partitionSpec.forall(_.isInstanceOf[Attribute]) =>
         orderSpec match {
           case Seq(
-              SortOrder(value: Attribute, Descending, NullsLast, _),
-              SortOrder(id: Attribute, Ascending, NullsFirst, _))
-              if value.dataType == DoubleType && id.dataType == LongType &&
+              SortOrder(value: Attribute, vDir, vNulls, _),
+              SortOrder(id: Attribute, idDir, idNulls, _))
+              if vNulls == vDir.defaultNullOrdering &&
+                idNulls == idDir.defaultNullOrdering &&
+                supportedType(value.dataType) && supportedType(id.dataType) &&
                 child.outputSet.subsetOf(AttributeSet(
                   partitionSpec.map(_.asInstanceOf[Attribute]) ++ Seq(value, id))) &&
                 child.outputSet.contains(value) && child.outputSet.contains(id) =>
             rewrite(f, partitionSpec.map(_.asInstanceOf[Attribute]),
-              value, id, rnAttr, k, child)
+              value, id, rnAttr, k,
+              vDir == Descending, idDir == Descending, child)
           case _ => f
         }
     }
@@ -88,8 +106,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(orig: Filter, partition: Seq[Attribute],
       value: Attribute, id: Attribute, rnAttr: Attribute, k: Int,
-      child: LogicalPlan): LogicalPlan = {
-    val sketch = TopKSketch(value, id, k)
+      valueDesc: Boolean, idDesc: Boolean, child: LogicalPlan): LogicalPlan = {
+    val sketch = TopKSketch(value, id, k, valueDesc = valueDesc, idDesc = idDesc)
     val topAlias = Alias(AggregateExpression(sketch,
       org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
       isDistinct = false), "top")()

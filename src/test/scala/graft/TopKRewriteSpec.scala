@@ -81,19 +81,80 @@ class TopKRewriteSpec extends AnyFunSuite {
       "rewrite fired despite a live non-key column — unsound")
   }
 
-  test("the rule declines for rank() and for ascending value order") {
+  test("the rule declines for rank() and for a non-default null ordering") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val ranked = graft.core.Tables.orders(spark, sfDir)
       .withColumn("rn", rank().over(w)).where(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     assert(physicalOps(ranked).exists(_.contains("Window")))
-    val wAsc = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val asc = graft.core.Tables.orders(spark, sfDir)
-      .withColumn("rn", row_number().over(wAsc)).where(col("rn") <= 3)
+    // DESC NULLS FIRST is not the direction's default null ordering — the
+    // sketch's comparator would place nulls last, so the rule must decline
+    val wNf = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc_nulls_first, col("o_orderkey"))
+    val nf = graft.core.Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(wNf)).where(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
-    assert(physicalOps(asc).exists(_.contains("Window")))
+    assert(physicalOps(nf).exists(_.contains("Window")),
+      "rewrite fired on a non-default null ordering — unsound")
+  }
+
+  test("parity matrix: value type x direction (and id direction) match the window") {
+    // Every cell: the rewritten plan must drop the Window AND return
+    // row-identical results to the plain session's window — over data
+    // with ties, nulls, and (for doubles) -0.0/NaN. DECIMAL DESC is the
+    // real-world revenue top-k the Double-only gate used to decline.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("vl", LongType, nullable = true),
+      StructField("vi", IntegerType, nullable = true),
+      StructField("vd", DecimalType(18, 2), nullable = true),
+      StructField("vs", StringType, nullable = true),
+      StructField("vf", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = true)))
+    val rows = Seq(
+      Row(1L, 10L, 10, BigDecimal("10.50"), "beta", 1.5, 1L),
+      Row(1L, 10L, 10, BigDecimal("10.50"), "beta", 1.5, 2L),      // full tie
+      Row(1L, 7L, 7, BigDecimal("7.25"), "alpha", -0.0, 3L),
+      Row(1L, 7L, 7, BigDecimal("7.25"), "Alpha", 0.0, 4L),        // case + -0.0
+      Row(1L, null, null, null, null, null, 5L),                   // null value
+      Row(1L, 12L, 12, BigDecimal("12.00"), "gamma", Double.NaN, null), // null id
+      Row(2L, -3L, -3, BigDecimal("-3.10"), "", -9.9, 7L),
+      Row(2L, null, null, null, null, null, 8L),
+      Row(2L, null, null, null, null, null, 9L),                   // < k non-nulls
+      Row(3L, 0L, 0, BigDecimal("0.00"), "zzz", 0.0, 10L))
+    def df(s: SparkSession) = s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    def shape(s: SparkSession, vCol: String, vDesc: Boolean, idDesc: Boolean) = {
+      val v = if (vDesc) col(vCol).desc else col(vCol).asc
+      val i = if (idDesc) col("id").desc else col("id").asc
+      val w = Window.partitionBy(col("g")).orderBy(v, i)
+      df(s).select(col("g"), col(vCol), col("id"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+    }
+    for {
+      vCol <- Seq("vl", "vi", "vd", "vs", "vf")
+      vDesc <- Seq(true, false)
+      idDesc <- Seq(true, false)
+    } {
+      val label = s"$vCol vDesc=$vDesc idDesc=$idDesc"
+      val rewritten = shape(spark, vCol, vDesc, idDesc)
+      assert(!physicalOps(rewritten).exists(_.contains("Window")),
+        s"[$label] window survived the rewrite")
+      val plain = shape(SparkSpec.session, vCol, vDesc, idDesc)
+      assert(physicalOps(plain).exists(_.contains("Window")),
+        s"[$label] control session rewrote — test is vacuous")
+      // stringify cells: Scala's == on boxed doubles is numeric, so a
+      // NaN row would never equal itself in a Set; String.valueOf keeps
+      // NaN/-0.0 distinctions bit-faithful
+      val a = rewritten.collect().map(_.toSeq.map(String.valueOf)).toSet
+      val b = plain.collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(a == b, s"[$label] rows diverge: only-rewritten=" +
+        s"${(a -- b).take(3)} only-window=${(b -- a).take(3)}")
+    }
   }
 
   test("ties and negative zero rank identically to the window (adversarial data)") {
@@ -140,11 +201,16 @@ class TopKRewriteSpec extends AnyFunSuite {
       s"only-rewritten=${rewritten -- windowed} only-window=${windowed -- rewritten}")
   }
 
-  test("the conf kill switch restores the window plan") {
-    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+  test("the conf kill switch restores the window plan, case-insensitively") {
+    // mixed-case values must behave like their lowercase forms (ADVICE:
+    // a case-sensitive == "true" silently disabled the rule on "TRUE")
+    spark.conf.set("spark.graft.topkRewrite.enabled", "False")
     try {
       assert(physicalOps(topkWindow(spark)).exists(_.contains("Window")),
         "rule fired with the kill switch set")
+      spark.conf.set("spark.graft.topkRewrite.enabled", "TRUE")
+      assert(!physicalOps(topkWindow(spark)).exists(_.contains("Window")),
+        "enabled=TRUE (uppercase) silently disabled the rule")
     } finally spark.conf.set("spark.graft.topkRewrite.enabled", "true")
   }
 }
