@@ -207,6 +207,17 @@ class ApproxOpsSpec extends SparkSpec {
     assert(skType == org.apache.spark.sql.types.BinaryType, s"sk stored as $skType")
   }
 
+  test("l5c property summary: every contract boolean holds on the fixture") {
+    val row = TextOps.l5cSimhashSummary(spark, sfDir).collect().head
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(row.getLong(0) == nDocs, s"n_docs ${row.getLong(0)} != $nDocs")
+    val names = Seq("ordered_ok", "dedup_ok", "bound_ok",
+      "sample_complete_ok", "sample_sound_ok", "jaccard_ok")
+    names.zipWithIndex.foreach { case (n, i) =>
+      assert(row.getBoolean(i + 1), s"$n is FALSE")
+    }
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)
