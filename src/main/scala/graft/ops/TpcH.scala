@@ -6,10 +6,13 @@ import graft.core.Tables
 /** Classic TPC-H queries over the fixture's TPC-H-shaped tables — the
   * recognizable industry-standard analytics a user expects any engine to
   * run (Q1 pricing summary, Q3 shipping priority, Q4 order priority,
-  * Q5 local supplier, Q6 revenue change, Q10 returned items, Q14 promo
-  * effect, Q18 large-volume customers), adapted to the fixture's columns
-  * (no shipmode/commitdate family, no partsupp — Q4's lateness predicate
-  * becomes ship-lag vs the order date; Q2/Q11/Q16/Q20 are out of reach).
+  * Q5 local supplier, Q6 revenue change, Q7 volume shipping, Q10
+  * returned items, Q13 customer distribution, Q14 promo effect, Q15 top
+  * supplier, Q17 small-quantity revenue, Q18 large-volume customers),
+  * adapted to the fixture's columns (no shipmode/commitdate family, no
+  * partsupp — Q4's lateness predicate becomes ship-lag vs the order
+  * date, Q13's comment filter becomes a priority filter, Q17's container
+  * becomes brand-only; Q2/Q11/Q16/Q20 are out of reach — no partsupp).
   *
   * Float-parity discipline: the spec's `extendedprice·(1−discount)`
   * product chains are float-summation-order traps cross-engine, so every
@@ -218,7 +221,111 @@ object TpcH {
       .limit(100)
   }
 
+  /** TQ7 (TPC-H Q7): volume shipping — revenue flowing between two
+    * nations per (supplier nation, customer nation, ship year) over a
+    * two-year window, cross-nation flows only. Both nation-filtered dims
+    * broadcast (each keeps ~1/25 of its table); the only big exchange is
+    * the orders⋈lineitem fact join, and the supplier-side broadcast
+    * PREcedes it so non-qualifying lines never reach the shuffle. The
+    * inequality (supp ≠ cust nation) is a post-broadcast equi-filter. */
+  val tq7VolumeShipping: Q = (s, d) => {
+    val nat = Tables.nation(s, d)
+      .where(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    li(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+  }
+
+  /** TQ13 (TPC-H Q13): customer distribution — how many customers placed
+    * exactly N orders, N = 0 included (the LEFT join is the point of the
+    * query). The spec's o_comment NOT LIKE filter has no fixture column,
+    * so the excluded class is re-expressed as '1-URGENT' priority orders
+    * — same shape: a filtered fact side under an outer join. Scale: one
+    * custkey exchange for the outer join + per-customer count; the
+    * second aggregation is distribution-sized (≤ max order count). */
+  val tq13CustomerDistribution: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TQ15 (TPC-H Q15): top supplier — the supplier(s) whose discounted
+    * revenue over one quarter is the maximum (ALL ties, like the spec's
+    * view + subquery form). Revenue per supplier aggregates FIRST on the
+    * fact table (one suppkey exchange, map-side partials); the 1-row max
+    * and the supplier dim both broadcast. Integer 1e-4 revenue makes the
+    * max-set deterministic cross-engine. */
+  val tq15TopSupplier: Q = (s, d) => {
+    val rev = li(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("ext_cents") * (lit(100L) - col("disc_pct")))
+        .as("total_rev_e4"))
+    val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
+    rev
+      .join(broadcast(mx), col("total_rev_e4") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+  }
+
+  /** TQ17 (TPC-H Q17): small-quantity-order revenue — yearly revenue lost
+    * if one brand's below-one-fifth-of-average-quantity orders stopped
+    * (the spec's container predicate has no fixture column; brand alone
+    * selects the part family). The 0.2·avg comparison runs in EXACT
+    * integer arithmetic (qty·5·cnt < Σqty ⟺ qty < 0.2·avg, cnt > 0), so
+    * the qualifying set is partition- and engine-independent; only the
+    * final /7.0 divides. Scale: the brand dim broadcasts into both
+    * consumers of the filtered lines — the per-part average is an
+    * aggregate over the ~0.2% brand slice, broadcast back as the probe's
+    * build side. */
+  val tq17SmallQuantity: Q = (s, d) => {
+    val brandParts = Tables.part(s, d)
+      .where(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    def lines = li(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("ext_cents"))
+    val pq = lines.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    lines
+      .join(broadcast(pq), Seq("l_partkey"))
+      .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg(sum(col("ext_cents")).as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("avg_yearly_cents", col("rev_cents") / lit(7.0))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tq7_volume_shipping" -> tq7VolumeShipping,
+    "tq13_customer_distribution" -> tq13CustomerDistribution,
+    "tq15_top_supplier" -> tq15TopSupplier,
+    "tq17_small_quantity" -> tq17SmallQuantity,
     "tq1_pricing_summary" -> tq1PricingSummary,
     "tq3_shipping_priority" -> tq3ShippingPriority,
     "tq4_order_priority" -> tq4OrderPriority,
@@ -229,6 +336,62 @@ object TpcH {
     "tq18_large_volume" -> tq18LargeVolume)
 
   val oracle: Map[String, String] = Map(
+    "tq7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+           AND nc.n_name IN ('NATION_1', 'NATION_2')
+           AND ns.n_name <> nc.n_name
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    "tq13_customer_distribution" ->
+      """WITH cc AS (SELECT c.c_custkey,
+                            count(o.o_orderkey) AS c_count
+                     FROM customer c
+                     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                       AND o.o_orderpriority <> '1-URGENT'
+                     GROUP BY 1)
+         SELECT CAST(c_count AS BIGINT) AS c_count,
+                CAST(count(*) AS BIGINT) AS custdist
+         FROM cc GROUP BY 1""",
+    "tq15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                  AS BIGINT) AS total_rev_e4
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1996-04-01'
+                      GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)""",
+    "tq17_small_quantity" ->
+      """WITH lines AS (SELECT l.l_partkey,
+                               CAST(l.l_quantity AS BIGINT) AS qty,
+                               CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                                 AS ext_cents
+                        FROM lineitem l JOIN part p
+                          ON l.l_partkey = p.p_partkey
+                        WHERE p.p_brand = 'Brand#13'),
+            pq AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM lines GROUP BY 1)
+         SELECT CAST(sum(l.ext_cents) AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                sum(l.ext_cents) / 7.0 AS avg_yearly_cents
+         FROM lines l JOIN pq ON l.l_partkey = pq.l_partkey
+         WHERE l.qty * 5 * pq.cnt < pq.sum_qty""",
     "tq5_local_supplier" ->
       """SELECT n.n_name,
                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)

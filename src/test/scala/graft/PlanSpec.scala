@@ -454,6 +454,32 @@ class PlanSpec extends SparkSpec {
     assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
   }
 
+  test("tq7 volume shipping: nation-filtered dims broadcast — only the fact join shuffles") {
+    // sf0.01: the two-nation flow is EMPTY at sf0.001 and AQE collapses
+    // the whole plan to EmptyRelation — nothing to assert there
+    val plan = executed(graft.SparkEntry.queries("tq7_volume_shipping")(
+      spark, "/root/testdata/sf0.01"))
+    val all = collectAll(plan)
+    val bcast = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bcast >= 2, s"expected supplier/customer nation broadcasts:\n$plan")
+    val smj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    val shj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
+  }
+
+  test("tq17 small-quantity: the per-part average broadcasts back — no shuffled join") {
+    val plan = executed(graft.SparkEntry.queries("tq17_small_quantity")(spark, sfDir))
+    val all = collectAll(plan)
+    val smj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    val shj = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(smj + shj == 0, s"brand dim and per-part averages must broadcast:\n$plan")
+  }
+
   test("tq4 exists: the lateness check is a keyed semi join — orders never expand per late line") {
     val plan = executed(graft.SparkEntry.queries("tq4_order_priority")(spark, sfDir))
     val all = collectAll(plan)

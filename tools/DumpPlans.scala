@@ -20,7 +20,7 @@ object DumpPlans {
       "l5_jaccard_pairs" -> "Near-dup inverted index: shuffle on 8-byte hashed shingles only; no cross join anywhere.",
       "l27_incremental_dedup" -> "Incremental dedup: the new batch's band rows probe the PERSISTED history index (parquet scan of (band, bh, doc_id) rows — history text never re-read); candidates exact-verify against the persisted 8-byte shingle store.",
       "l26_pagerank" -> "Weighted PageRank, 3 unrolled iterations: per iteration one edge shuffle on src (contribution join) + one inflow aggregation on dst; nodes/out-weights/N computed once and reused.",
-      "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6.",
+      "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6; the declared entry wraps the pair set in the property summary (brute-force doc_id-mod-4 sample twin + exact-Jaccard comparison) so the driver hash-checks the contract booleans.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
       "l7c_knn_ivf" -> "IVF ANN: learned (Lloyd's) unit centroids as literals, assignment is K codegen'd dots per row, candidate join shuffles ids on (label, cell) only.",
       "l7d_knn_pq" -> "PQ ANN with ADC + exact re-rank (ADC+R): 16x4-bit codes (one long/vector) + precomputed reconstruction norm ride the candidate join; scoring is 16 table lookups against the query's 256-entry dot table; index vectors never shipped after encoding; the ADC top-12 short list is exactly re-ranked (recall 0.983-1.0 across SFs vs 0.52-0.65 pure ADC).",
@@ -82,6 +82,13 @@ object DumpPlans {
       "tq1_pricing_summary" -> "TPC-H Q1 in the integer money channel: one scan, one hash aggregation; every money product is an exact BIGINT so map-side partials are lossless.",
       "tq4_order_priority" -> "TPC-H Q4 (adapted): the EXISTS lateness check is a left-semi hash join on the order key with the ship-lag inequality as the residual — orders never expand per late line.",
       "tq18_large_volume" -> "TPC-H Q18: the quantity rollup runs on the fact table BEFORE any join (map-side partials on the natural l_orderkey clustering); only surviving orders join out to orders + the broadcast customer dim.",
+      "tq7_volume_shipping" -> "TPC-H Q7: both nation-filtered dims broadcast (supplier-side BEFORE the fact shuffle, so non-qualifying lines die early); the only shuffled join is orders x lineitem; the cross-nation inequality is a post-broadcast filter; ship year in exact integer, revenue in the 1e-4 channel.",
+      "tq13_customer_distribution" -> "TPC-H Q13 (adapted): one custkey exchange drives the outer join + per-customer count; the distribution aggregate's key space is the max order count — metadata-sized regardless of customers.",
+      "tq15_top_supplier" -> "TPC-H Q15: per-supplier revenue aggregates first on the fact table (one suppkey exchange); the 1-row max and the supplier dim broadcast; exact integer revenue makes the max-set deterministic.",
+      "tq17_small_quantity" -> "TPC-H Q17 (adapted): the brand dim broadcasts into both consumers of the filtered lines; the per-part average aggregates the ~0.2% brand slice and broadcasts back as the probe's build side; the 0.2*avg predicate runs in exact integer arithmetic (qty*5*cnt < sum_qty).",
+      "kcore_converged" -> "Run-to-convergence k-core (registry converge=true): the SAME per-round shape as l46 (one degree aggregation + two node-scale semi-joins) but each round materializes for the free edge-count stop signal; shown is the final round's plan over the previous round's checkpoint-backed edge base — lineage never deepens past one round.",
+      "label_prop_converged" -> "Run-to-convergence LPA (registry converge=true): per round the l40 shape (edge join + struct-MAX argmax hash agg) plus one node-keyed changed-count join (integer rows); shown is the final round over the prior round's checkpoint — the unroll never composes.",
+      "pagerank_converged" -> "Run-to-convergence PageRank (registry converge=true): per round the l26 shape (edge contribution join + dst inflow agg) plus the node-keyed L1-delta join; rank vectors live as round checkpoints, so the plan stays one-round deep at any iteration count.",
       "l52_ks_drift" -> "Two-sample KS length drift: one (source, length) count shuffle reduces the corpus to grid rows; CDFs are source-keyed cumulative windows; the pooled cumulative REAGGREGATES per-source cumulatives by length — no global window anywhere.")
     // the declared SparkEntry entries for the ANN family are property
     // SUMMARIES (exact-vs-ann verification wrappers) since round 7; the
@@ -89,7 +96,28 @@ object DumpPlans {
     val raw: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "l7c_knn_ivf" -> graft.ops.VectorOps.l7cKnnIvf,
       "l7d_knn_pq" -> graft.ops.VectorOps.l7dKnnPq,
-      "l7f_knn_ivfpq" -> graft.ops.VectorOps.l7fKnnIvfPq)
+      "l7f_knn_ivfpq" -> graft.ops.VectorOps.l7fKnnIvfPq,
+      // the converge=true registry paths (no SparkEntry twin — the
+      // declared graph queries stay fixed-round for the oracle)
+      "kcore_converged" -> ((s, dd) => graft.ops.Graphs.kcorePeelConverged(
+        graft.ops.Graphs.coOccurrenceEdges(s, dd), k = 3, maxRounds = 50)),
+      "label_prop_converged" -> ((s, dd) => graft.ops.Graphs
+        .labelPropagationConverged(
+          graft.ops.Graphs.coOccurrenceEdges(s, dd), maxRounds = 25)),
+      "pagerank_converged" -> ((s, dd) => {
+        import org.apache.spark.sql.functions._
+        val li = graft.core.Tables.lineitem(s, dd)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val o = graft.core.Tables.orders(s, dd)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Graphs.pageRankConverged(edges, damping = 0.85,
+          maxRounds = 50, tol = 1e-8)
+      }))
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, local[32])\n\n")
     sb.append("Generated by `tools/DumpPlans.scala`. These are the plans the\n")
