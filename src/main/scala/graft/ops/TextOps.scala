@@ -1462,10 +1462,25 @@ object TextOps {
     * before any wide column travels. Gates compare the round(·,6) scores
     * so both engines cut identically. */
   val l22PipelineClean: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val all = tokenized(s, d, wide = true)
-    val train = all.where(col("doc_id") % 20 =!= 0)
-    val evalDocs = all.where(col("doc_id") % 20 === 0)
+    pipelineCleanFrames(
+      all.where(col("doc_id") % 20 =!= 0),
+      all.where(col("doc_id") % 20 === 0),
+      minQuality = 0.4, maxDupTri = 0.2, minShared = 5, n = 3)
+  }
+
+  /** l22 core over ANY (doc_id, source, text[, t]) train/eval frames with
+    * every gate threshold exposed — registry name `pipeline_clean`
+    * (minQuality/maxDupTri/minShared/n params). The declared l22 query's
+    * 0.4/0.2/5 cut points are fixture-calibrated; production tunes all
+    * three per corpus (the l17/l6b pattern: declared query keeps the
+    * oracle's constants, the registry takes overrides). */
+  private[graft] def pipelineCleanFrames(train0: DataFrame,
+      evalDocs: DataFrame, minQuality: Double, maxDupTri: Double,
+      minShared: Long, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = if (train0.columns.contains("t")) train0
+      else train0.withColumn("t", toks(col("text")))
     val t = col("t")
     val nTok = size(t).cast("double")
     val quality = round(
@@ -1484,9 +1499,9 @@ object TextOps {
       .withColumn("rk", row_number().over(wDup)).where(col("rk") === 1)
       .withColumn("quality", quality)
       .withColumn("dup_trigram_frac", dupTri)
-      .where(col("quality") >= 0.4 && col("dup_trigram_frac") <= 0.2)
-    val flagged = decontaminateFrames(train, evalDocs, 3)
-      .where(col("n_shared_shingles") >= 5).select(col("doc_id"))
+      .where(col("quality") >= minQuality && col("dup_trigram_frac") <= maxDupTri)
+    val flagged = decontaminateFrames(train, evalDocs, n)
+      .where(col("n_shared_shingles") >= minShared).select(col("doc_id"))
     gated.join(flagged, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("quality"),
         col("dup_trigram_frac"), size(t).as("n_tokens"))

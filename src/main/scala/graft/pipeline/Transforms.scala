@@ -54,6 +54,18 @@ object Transforms {
       graft.ops.TextOps.decontaminateFrames(in("train"), in("eval"),
         p.params.getOrElse("n", "3").toInt)
     }
+    // the composed cleaning pipeline (l22) with every gate threshold as a
+    // param: min_quality/max_dup_tri (gate cut points), min_shared +
+    // shingle n (decontamination). Inputs {train, eval} are any
+    // (doc_id, source, text) steps; the declared l22 query pins the
+    // fixture-calibrated 0.4/0.2/5/3 for the oracle
+    r.register("pipeline_clean") { (_, in, p) =>
+      graft.ops.TextOps.pipelineCleanFrames(in("train"), in("eval"),
+        p.params.getOrElse("min_quality", "0.4").toDouble,
+        p.params.getOrElse("max_dup_tri", "0.2").toDouble,
+        p.params.getOrElse("min_shared", "5").toLong,
+        p.params.getOrElse("n", "3").toInt)
+    }
     // semantic dedup with a caller-chosen cosine threshold: input
     // {embeddings} is any (vec_id, label, embedding) step; the declared
     // l6b query's θ = 0.35 is fixture-calibrated — production semantic

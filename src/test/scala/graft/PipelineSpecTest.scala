@@ -153,6 +153,39 @@ class PipelineSpecTest extends SparkSpec {
     assert(spark.read.parquet(s"$wh/${imps6("flagged")}").count() == 0)
   }
 
+  test("pipeline_clean: all three gate thresholds are live registry knobs") {
+    val wh = Files.createTempDirectory("graft_wh_pc").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    val docsStep = StepSpec("docs", "source",
+      params = Map("dir" -> sfDir, "table" -> "documents"))
+    val trainStep = StepSpec("train", "sql", Map("rows" -> "docs"),
+      Map("sql" -> "SELECT * FROM rows WHERE doc_id % 20 <> 0"))
+    val evalStep = StepSpec("eval", "sql", Map("rows" -> "docs"),
+      Map("sql" -> "SELECT * FROM rows WHERE doc_id % 20 = 0"))
+    def clean(params: (String, String)*) = {
+      val imp = runner.execute(PipelineSpec(Seq(docsStep, trainStep, evalStep,
+        StepSpec("c", "pipeline_clean",
+          Map("train" -> "train", "eval" -> "eval"), Map(params: _*)))),
+        Seq("c"))("c")
+      spark.read.parquet(s"$wh/$imp")
+    }
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // defaults through the registry == the declared l22 rows exactly
+    val defaults = clean()
+    val declared = graft.ops.TextOps.l22PipelineClean(spark, sfDir)
+    assert(ids(defaults) == ids(declared),
+      "registry defaults diverge from the declared l22 query")
+    assert(defaults.count() > 0)
+    // each tightened gate can only SHRINK the kept set
+    assert(ids(clean("min_quality" -> "0.6")).subsetOf(ids(defaults)),
+      "raising min_quality must only drop docs")
+    assert(ids(clean("max_dup_tri" -> "0.05")).subsetOf(ids(defaults)),
+      "lowering max_dup_tri must only drop docs")
+    assert(ids(clean("min_shared" -> "1")).subsetOf(ids(defaults)),
+      "flag-on-any-overlap decontamination must only drop docs")
+  }
+
   test("embed_dedup transform: cosine threshold is a live registry knob") {
     val wh = Files.createTempDirectory("graft_wh_ed").toString
     val runner = new Runner(spark, Transforms.standard(), wh)
