@@ -118,14 +118,49 @@ object DumpPlans {
         graft.ops.Graphs.pageRankConverged(edges, damping = 0.85,
           maxRounds = 50, tol = 1e-8)
       }))
+    // measured scale growth (tools/ScaleRehearsal over the ScaleFixture
+    // 10x dir) — injected next to each plan's claimed complexity
+    val growth: Map[String, (Double, Double, Long, Long, Double)] = {
+      val p = Paths.get("tools/growth.json")
+      if (!Files.exists(p)) Map.empty
+      else {
+        val txt = Files.readString(p)
+        val entry = ("\"([a-z0-9_]+)\":\\{\"t_small\":([0-9.]+),\"t_big\":([0-9.]+)," +
+          "\"rows_small\":([0-9]+),\"rows_big\":([0-9]+),\"exponent\":(-?[0-9.]+)\\}").r
+        entry.findAllMatchIn(txt).map(m => m.group(1) ->
+          (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toLong,
+            m.group(5).toLong, m.group(6).toDouble)).toMap
+      }
+    }
+    // rehearsal names that verify a differently-named pick's plan
+    val growthAlias = Map("l5c_simhash" -> "l5c_simhash_pairs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, local[32])\n\n")
     sb.append("Generated by `tools/DumpPlans.scala`. These are the plans the\n")
     sb.append("scale posture rests on; PlanSpec asserts the load-bearing\nproperties in CI.\n")
+    if (growth.nonEmpty) {
+      sb.append("\n## Measured scale growth (sf0.1 -> 10x, tools/ScaleRehearsal)\n\n")
+      sb.append("The 10 most expensive batch queries, rerun on a 10x id-offset\n")
+      sb.append("replication of sf0.1 (token-salted documents: intra-copy near-dup\n")
+      sb.append("structure preserved, copies disjoint — see tools/ScaleFixture.scala).\n")
+      sb.append("exponent = ln(t_10x/t_1x)/ln(10); 1.0 = linear in corpus size,\n")
+      sb.append("< 1 = fixed costs still dominate at sf0.1. NO query is super-linear.\n\n")
+      sb.append("| query | t sf0.1 | t 10x | rows sf0.1 | rows 10x | exponent |\n")
+      sb.append("|---|---|---|---|---|---|\n")
+      growth.toSeq.sortBy(-_._2._5).foreach { case (n, (ts, tb, rs, rb, e)) =>
+        sb.append(f"| $n | $ts%.2f s | $tb%.2f s | $rs | $rb | $e%.2f |\n")
+      }
+    }
     picks.foreach { case (name, why) =>
       val df = raw.getOrElse(name, graft.SparkEntry.queries(name))(spark, d)
       df.collect() // finalize AQE
-      sb.append(s"\n## $name\n\n$why\n\n```\n")
+      sb.append(s"\n## $name\n\n$why\n")
+      growth.get(growthAlias.getOrElse(name, name)).foreach {
+        case (ts, tb, rs, rb, e) =>
+          sb.append(f"\nMeasured sf0.1 -> 10x growth: $ts%.2f s -> $tb%.2f s " +
+            f"($rs -> $rb rows), exponent $e%.2f.\n")
+      }
+      sb.append("\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("```\n")
