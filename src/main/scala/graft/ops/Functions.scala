@@ -116,11 +116,50 @@ object Functions {
       sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
 
   /** F7b: Spark-native 64-bit hash surface (xxhash64) — no SQL twin in
-    * DuckDB, so declared rows-only; determinism is covered by ScalaTest. */
+    * DuckDB; row-level values are pinned against the golden constants in
+    * ApproxOpsSpec and the DECLARED entry is [[f7bXxhashSummary]]. */
   val f7bXxhash: Q = (s, d) =>
     Tables.customer(s, d).select(
       col("c_custkey"),
       xxhash64(col("c_name")).as("name_xx64"))
+
+  /** Golden xxhash64(seed=42) values for three pinned literals, computed
+    * once through Spark's own XXH64 (`XXH64.hashUnsafeBytes(utf8, 42)`)
+    * and frozen here + in ApproxOpsSpec: any seed or algorithm change in
+    * a Spark upgrade flips `golden_ok` in the declared summary. */
+  private[graft] val XxGoldGraft = -4815631219266125053L
+  private[graft] val XxGoldEmpty = -7444071767201028348L
+  private[graft] val XxGoldFox = 6882318601984224800L
+
+  /** F7b property summary (the l5c/annSummary pattern): DuckDB cannot
+    * recompute xxhash64, so the declared entry emits ONE row whose counts
+    * the oracle recomputes exactly and whose booleans are in-plan checks
+    * asserted TRUE:
+    *  - nonnull_ok — no non-null name hashes to null;
+    *  - injective_ok — distinct hashes == distinct names (the oracle
+    *    recomputes `n_distinct_names` exactly; a truncated/collapsed hash
+    *    breaks this, and a real 64-bit collision at fixture scale has
+    *    probability ~n²/2⁶⁵);
+    *  - golden_ok — three pinned literals hash to the frozen golden
+    *    constants, catching any algorithm/seed regression. */
+  val f7bXxhashSummary: Q = (s, d) => {
+    val h = f7bXxhash(s, d)
+    val agg = h.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(when(col("name_xx64").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null"),
+      countDistinct(col("name_xx64")).as("n_distinct_hash"))
+    val nd = Tables.customer(s, d)
+      .agg(countDistinct(col("c_name")).as("n_distinct_names"))
+    agg.crossJoin(nd).select(
+      col("n_rows"),
+      col("n_distinct_names"),
+      (col("n_null") === 0).as("nonnull_ok"),
+      (col("n_distinct_hash") === col("n_distinct_names")).as("injective_ok"),
+      (xxhash64(lit("graft")) === lit(XxGoldGraft) &&
+        xxhash64(lit("")) === lit(XxGoldEmpty) &&
+        xxhash64(lit("the quick brown fox")) === lit(XxGoldFox)).as("golden_ok"))
+  }
 
   /** F8: registered scalar UDF (type-token diversity score). The UDF surface
     * maps the reference's algorithm-impression hook (container_job.py:44-61);
@@ -169,7 +208,7 @@ object Functions {
     "f5_map" -> f5Map,
     "f6_json" -> f6Json,
     "f7_hash" -> f7Hash,
-    "f7b_xxhash64" -> f7bXxhash,
+    "f7b_xxhash64" -> f7bXxhashSummary,
     "f8_udf" -> f8Udf,
     "f9_generator" -> f9Generator
   )
@@ -244,6 +283,13 @@ object Functions {
          FROM events""",
     "f7_hash" ->
       """SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+         FROM customer""",
+    // f7b is a property summary (see f7bXxhashSummary): the counts are
+    // exact, the contract booleans are in-plan checks asserted TRUE
+    "f7b_xxhash64" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_names,
+                TRUE AS nonnull_ok, TRUE AS injective_ok, TRUE AS golden_ok
          FROM customer""",
     "f8_udf" ->
       """SELECT doc_id,

@@ -683,11 +683,63 @@ object TextOps {
   }
 
   /** L12: rolling-hash fingerprint — custom codegen'd Catalyst expression.
-    * Rows-only for the oracle; exact values pinned in ScalaTest. */
+    * Row-level values are pinned in ScalaTest (codegen == reference fold);
+    * the DECLARED entry is [[l12RollingFpSummary]]. */
   val l12RollingFp: Q = (s, d) => {
     RollingHash.register(s)
     Tables.documents(s, d).select(
       col("doc_id"), expr("rolling_hash(text)").as("fp"))
+  }
+
+  /** L12 property summary (the l5c/f7b pattern): the base-31 wrapping
+    * fold isn't expressible in DuckDB's overflow-trapping BIGINTs, so the
+    * declared entry emits ONE row whose `n_docs` the oracle recomputes
+    * exactly and whose booleans are in-plan contract checks asserted TRUE:
+    *  - nonnull_ok — every document fingerprints to a non-null long;
+    *  - twin_match_ok — for EVERY document the custom expression equals
+    *    an independent recomputation of the same fold built only from
+    *    Spark built-ins (hex-pair byte extraction + `aggregate`); the
+    *    codegen'd expression and the built-in chain share no code, so a
+    *    codegen bug, an eval/codegen divergence, or a byte-order mistake
+    *    flips this;
+    *  - shift_ok — the defining polynomial identity on real data:
+    *    rolling_hash(text ∥ 'x') == rolling_hash(text)·31 + 120 for every
+    *    document (the ScalaTest shift property, in-plan at corpus scale);
+    *  - golden_ok — rolling_hash('abc') == 96354 (= 97·31² + 98·31 + 99,
+    *    the Java String.hashCode identity on ASCII) and
+    *    rolling_hash('') == 0. */
+  val l12RollingFpSummary: Q = (s, d) => {
+    RollingHash.register(s)
+    val bin = encode(col("text"), "UTF-8")
+    val hx = hex(bin)
+    // byte i (0-based) of the UTF-8 encoding via its hex pair — built-ins
+    // only, deliberately NOT the custom expression's code path
+    val twin = when(length(bin) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(0), length(bin) - 1),
+        lit(0L),
+        (h, i) => h * lit(31L) +
+          conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")))
+    val per = Tables.documents(s, d).select(
+      expr("rolling_hash(text)").as("fp"),
+      twin.as("fp_twin"),
+      (expr("rolling_hash(concat(text, 'x'))") ===
+        expr("rolling_hash(text)") * 31L + 120L).as("shift"))
+    per.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col("fp").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null"),
+      coalesce(sum(when(col("fp") === col("fp_twin"), 0L).otherwise(1L)),
+        lit(0L)).as("n_twin_miss"),
+      coalesce(sum(when(col("shift"), 0L).otherwise(1L)), lit(0L))
+        .as("n_shift_miss"))
+      .select(
+        col("n_docs"),
+        (col("n_null") === 0).as("nonnull_ok"),
+        (col("n_twin_miss") === 0).as("twin_match_ok"),
+        (col("n_shift_miss") === 0).as("shift_ok"),
+        (expr("rolling_hash('abc')") === 96354L &&
+          expr("rolling_hash('')") === 0L).as("golden_ok"))
   }
 
   /** L5e: near-dup CLUSTERING — connected components over the τ ≥ 0.3
@@ -1701,7 +1753,7 @@ object TextOps {
     "l10_lang_id" -> l10LangId,
     "l11_quality" -> l11Quality,
     "l11b_repetition" -> l11bRepetition,
-    "l12_rolling_fp" -> l12RollingFp,
+    "l12_rolling_fp" -> l12RollingFpSummary,
     "l13_source_mix" -> l13SourceMix,
     "l14_token_pack" -> l14TokenPack,
     "l42_seq_pack" -> l42SeqPack,
@@ -1828,6 +1880,13 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // l12 is a property summary (see l12RollingFpSummary): n_docs is
+    // exact, the contract booleans are in-plan checks asserted TRUE
+    "l12_rolling_fp" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                TRUE AS nonnull_ok, TRUE AS twin_match_ok,
+                TRUE AS shift_ok, TRUE AS golden_ok
+         FROM documents""",
     // l5c is a property summary (see l5cSimhashSummary): n_docs is exact,
     // the contract booleans are in-plan checks the oracle asserts TRUE
     "l5c_simhash" ->

@@ -230,7 +230,7 @@ object TpcH {
     * inequality (supp ≠ cust nation) is a post-broadcast equi-filter. */
   val tq7VolumeShipping: Q = (s, d) => {
     val nat = Tables.nation(s, d)
-      .where(col("n_name").isin("NATION_1", "NATION_2"))
+      .where(col("n_name").isin("NATION_11", "NATION_12"))
       .select(col("n_nationkey"), col("n_name"))
     val cust = Tables.customer(s, d)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -348,8 +348,8 @@ object TpcH {
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-         WHERE ns.n_name IN ('NATION_1', 'NATION_2')
-           AND nc.n_name IN ('NATION_1', 'NATION_2')
+         WHERE ns.n_name IN ('NATION_11', 'NATION_12')
+           AND nc.n_name IN ('NATION_11', 'NATION_12')
            AND ns.n_name <> nc.n_name
            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
            AND l.l_shipdate < TIMESTAMP '1998-01-01'

