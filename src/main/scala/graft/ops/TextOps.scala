@@ -697,34 +697,44 @@ object TextOps {
     * exactly and whose booleans are in-plan contract checks asserted TRUE:
     *  - nonnull_ok — every document fingerprints to a non-null long;
     *  - twin_match_ok — for EVERY document the custom expression equals
-    *    an independent recomputation of the same fold built only from
-    *    Spark built-ins (hex-pair byte extraction + `aggregate`); the
-    *    codegen'd expression and the built-in chain share no code, so a
-    *    codegen bug, an eval/codegen divergence, or a byte-order mistake
-    *    flips this;
+    *    an independent recomputation of the same fold as a plain Scala
+    *    UDF over `text.getBytes(UTF_8)` with wrapping JVM Long
+    *    arithmetic (Spark's SQL arithmetic traps the intended mod-2^64
+    *    wrap under default ANSI mode, so the twin MUST live outside the
+    *    expression layer); the codegen'd expression and the UDF share no
+    *    code, so a codegen bug, an eval/codegen divergence, or a
+    *    byte-order mistake flips this;
     *  - shift_ok — the defining polynomial identity on real data:
     *    rolling_hash(text ∥ 'x') == rolling_hash(text)·31 + 120 for every
-    *    document (the ScalaTest shift property, in-plan at corpus scale);
+    *    document, the ·31+120 step ALSO computed in wrapping JVM
+    *    arithmetic (a second tiny UDF) — the ScalaTest shift property,
+    *    in-plan at corpus scale;
     *  - golden_ok — rolling_hash('abc') == 96354 (= 97·31² + 98·31 + 99,
     *    the Java String.hashCode identity on ASCII) and
     *    rolling_hash('') == 0. */
   val l12RollingFpSummary: Q = (s, d) => {
     RollingHash.register(s)
-    val bin = encode(col("text"), "UTF-8")
-    val hx = hex(bin)
-    // byte i (0-based) of the UTF-8 encoding via its hex pair — built-ins
-    // only, deliberately NOT the custom expression's code path
-    val twin = when(length(bin) === 0, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(0), length(bin) - 1),
-        lit(0L),
-        (h, i) => h * lit(31L) +
-          conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")))
+    // Independent JVM twin — deliberately NOT RollingHash's code path,
+    // and deliberately NOT SQL arithmetic (ANSI mode turns the wrap into
+    // ARITHMETIC_OVERFLOW for any document beyond ~13 bytes).
+    val twinUdf = udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var h = 0L; var i = 0
+        while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+        java.lang.Long.valueOf(h)
+      }
+    }
+    val shiftStepUdf = udf { (h: java.lang.Long) =>
+      if (h == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(h.longValue() * 31L + 120L)
+    }
     val per = Tables.documents(s, d).select(
       expr("rolling_hash(text)").as("fp"),
-      twin.as("fp_twin"),
+      twinUdf(col("text")).as("fp_twin"),
       (expr("rolling_hash(concat(text, 'x'))") ===
-        expr("rolling_hash(text)") * 31L + 120L).as("shift"))
+        shiftStepUdf(expr("rolling_hash(text)"))).as("shift"))
     per.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(when(col("fp").isNull, 1L).otherwise(0L)), lit(0L))
