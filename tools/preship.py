@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Pre-ship gate: no declared-map change ships unexecuted.
+
+Two rounds running, the round's one integrity defect was work that
+bypassed its own verification (r9: fictional test citations; r10: a
+declared query swept into the snapshot commit that crashed on every
+fixture). This script is the mechanism replacing discipline: run it
+before EVERY commit that touches src/main.
+
+What it does
+  1. Diffs the working tree (staged + unstaged) against HEAD.
+  2. Maps each changed src/main file to the declared queries it gates:
+     - a file with its own `"name" -> impl` registry entries gates ALL
+       of them (file-level granularity is deliberately conservative —
+       a changed helper can affect any query in the file);
+     - a file with no registry (e.g. functions/RollingHash.scala) gates
+       every registry file that references its top-level type names.
+  3. Runs graft.Verify with SPARK_GRAFT_VERIFY_ONLY=<gated names> at
+     sf0.01 and checks the DuckDB oracle via tools/check.py.
+  4. Runs every ScalaTest spec that was itself changed OR references a
+     changed file's top-level object name.
+
+Exit 0 = gate passed (or nothing to gate). Non-zero = DO NOT COMMIT.
+
+Usage: python3 tools/preship.py [--dry-run] [--sf DIR] [--skip-tests]
+"""
+import argparse
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAIN = "src/main/scala"
+TEST = "src/test/scala"
+
+
+def sh(args, **kw):
+    return subprocess.run(args, cwd=REPO, text=True,
+                          capture_output=True, **kw)
+
+
+def changed_files():
+    out = sh(["git", "diff", "HEAD", "--name-only"]).stdout.split()
+    # include untracked sources too — brand-new files are exactly the
+    # never-executed risk this gate exists for
+    unt = sh(["git", "ls-files", "--others", "--exclude-standard"]).stdout.split()
+    files = sorted(set(out) | set(unt))
+    return ([f for f in files if f.startswith(MAIN) and f.endswith(".scala")],
+            [f for f in files if f.startswith(TEST) and f.endswith(".scala")])
+
+
+REG_KEY = re.compile(r'"([a-z][a-z0-9_]*)"\s*->')
+TOP_TYPE = re.compile(r'^(?:case\s+)?(?:object|class|trait)\s+([A-Za-z_]\w*)',
+                      re.M)
+
+
+def registry_keys(path):
+    """Declared-query keys in a file: `"name" -> impl` pairs inside its
+    queries/registry map(s). The oracle map uses the same keys, so a raw
+    findall over-collects only if a key string appears outside any map —
+    acceptable for a gate (over-verification is safe)."""
+    try:
+        with open(os.path.join(REPO, path)) as f:
+            src = f.read()
+    except FileNotFoundError:
+        return set(), set()
+    # strip line comments/scaladoc so documented examples don't gate
+    stripped = re.sub(r'//[^\n]*', '', src)
+    stripped = re.sub(r'/\*.*?\*/', '', stripped, flags=re.S)
+    return set(REG_KEY.findall(stripped)), set(TOP_TYPE.findall(stripped))
+
+
+def all_main_files():
+    out = sh(["git", "ls-files", MAIN]).stdout.split()
+    return [f for f in out if f.endswith(".scala")]
+
+
+def gated_queries(changed_main):
+    gated, reasons = set(), []
+    info = {f: registry_keys(f) for f in all_main_files()}
+    for f in changed_main:
+        keys, types = info.get(f) or registry_keys(f)
+        if keys:
+            gated |= keys
+            reasons.append(f"{f}: gates its own {len(keys)} declared queries")
+            continue
+        # no registry here — gate every registry file referencing this
+        # file's top-level names (word-boundary match on real code lines)
+        hit = set()
+        for g, (gkeys, _) in info.items():
+            if g == f or not gkeys:
+                continue
+            with open(os.path.join(REPO, g)) as fh:
+                gsrc = fh.read()
+            if any(re.search(r'\b' + re.escape(t) + r'\b', gsrc)
+                   for t in types):
+                hit |= gkeys
+                reasons.append(f"{f}: referenced by {g} -> {len(gkeys)} queries")
+        if hit:
+            gated |= hit
+        elif types:
+            reasons.append(f"{f}: no registry and no referencing registry "
+                           f"file found — NOT gated (check manually)")
+    return gated, reasons
+
+
+def touched_specs(changed_main, changed_test):
+    specs = set()
+    for t in changed_test:
+        m = re.search(r'([A-Za-z_]\w*)\.scala$', t)
+        if m:
+            specs.add("graft." + m.group(1))
+    names = set()
+    for f in changed_main:
+        _, types = registry_keys(f)
+        names |= types
+    if names:
+        for t in sh(["git", "ls-files", TEST]).stdout.split():
+            if not t.endswith(".scala"):
+                continue
+            with open(os.path.join(REPO, t)) as fh:
+                src = fh.read()
+            if any(re.search(r'\b' + re.escape(n) + r'\b', src)
+                   for n in names):
+                m = re.search(r'([A-Za-z_]\w*)\.scala$', t)
+                if m:
+                    specs.add("graft." + m.group(1))
+    return sorted(specs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the gate plan, run nothing")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/preship_verify")
+    ap.add_argument("--skip-tests", action="store_true",
+                    help="verify-only (when the full suite just ran)")
+    a = ap.parse_args()
+
+    changed_main, changed_test = changed_files()
+    if not changed_main and not changed_test:
+        print("[preship] working tree matches HEAD under src/ — nothing to gate")
+        return 0
+
+    gated, reasons = gated_queries(changed_main)
+    specs = touched_specs(changed_main, changed_test)
+    for r in reasons:
+        print(f"[preship] {r}")
+    print(f"[preship] gated queries: {len(gated)}; specs: {len(specs)}")
+    if a.dry_run:
+        print("[preship] dry run:")
+        if gated:
+            print(f"  SPARK_GRAFT_VERIFY_ONLY={','.join(sorted(gated))} "
+                  f"sbt 'runMain graft.Verify {a.sf} {a.out}'")
+            print(f"  python3 tools/check.py {a.sf} {a.out}")
+        if specs:
+            print(f"  sbt 'testOnly {' '.join(specs)}'")
+        return 0
+
+    if gated:
+        subprocess.run(["rm", "-rf", a.out])
+        env = dict(os.environ, SPARK_GRAFT_VERIFY_ONLY=",".join(sorted(gated)))
+        print(f"[preship] verifying {len(gated)} queries at {a.sf} ...")
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {a.sf} {a.out}"],
+            cwd=REPO, env=env)
+        if r.returncode != 0:
+            print("[preship] FAIL: Verify crashed")
+            return 1
+        r = subprocess.run(
+            [sys.executable, "tools/check.py", a.sf, a.out], cwd=REPO)
+        if r.returncode != 0:
+            print("[preship] FAIL: oracle mismatch")
+            return 1
+    if specs and not a.skip_tests:
+        print(f"[preship] running {len(specs)} touched specs ...")
+        r = subprocess.run(["sbt", "-batch", "testOnly " + " ".join(specs)],
+                          cwd=REPO)
+        if r.returncode != 0:
+            print("[preship] FAIL: spec failure")
+            return 1
+    print("[preship] gate PASSED — safe to commit")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
