@@ -551,7 +551,7 @@ object TextOps {
     *    canonical (da < db), exactly-once (the no-distinct emission's own
     *    guarantee), and within the hamming ≤ 6 bound;
     *  - sample_complete_ok / sample_sound_ok — on a DETERMINISTIC doc
-    *    subsample (doc_id ≡ 0 mod [[L5cSampleMod]]) the banded pair set
+    *    subsample (doc_id ≡ 0 mod stride, [[l5cSampleMod]]) the banded pair set
     *    equals a brute-force all-pairs hamming scan of the sample, both
     *    directions — a broken band index, a wrong first-clean-index
     *    emission, or a hash regression flips one of these;
@@ -559,14 +559,27 @@ object TextOps {
     *    the sample have a HIGHER mean exact token-set Jaccard than the
     *    sample's non-near pairs (vacuously true only if a side is empty).
     *
-    * The brute twin is O((n/mod)²) on 16-byte rows — bounded and tiny
-    * relative to the banded join at fixture scale; at 100 TB the mod is
-    * the audit-budget knob (the pair ROWS themselves stay pinned by the
-    * ApproxOpsSpec completeness contract, which runs the true O(n²)
-    * scan at test scale). */
-  private val L5cSampleMod = 4
-  val l5cSimhashSummary: Q = (s, d) => {
+    * The brute twin runs on a FIXED ROW BUDGET, not a fixed mod: the
+    * sample stride is ceil(n_docs / budget), so the scan is O(budget²)
+    * on 16-byte rows at ANY corpus size — the audit cost is a constant
+    * set by the `sample_budget` knob (registry transform
+    * `simhash_audit`), never a quadratic term in n. The default budget
+    * of 160 docs yields stride 4 on the 500-doc verify fixture; the
+    * pair ROWS themselves stay pinned by the ApproxOpsSpec completeness
+    * contract, which runs the true O(n²) scan at test scale. */
+  private[graft] val L5cSampleBudget = 160L
+  /** Sample stride for an n-doc corpus under a row budget: the smallest
+    * mod keeping the audit sample ≤ budget docs (≥ 1 always). */
+  private[graft] def l5cSampleMod(nDocs: Long, budget: Long): Long = {
+    val b = math.max(1L, budget)
+    math.max(1L, (nDocs + b - 1) / b)
+  }
+  val l5cSimhashSummary: Q = l5cSimhashSummaryBudget(L5cSampleBudget)
+  def l5cSimhashSummaryBudget(sampleBudget: Long): Q = (s, d) => {
     val sim = l5cSketch(s, d)
+    // one cheap count over the 16-byte checkpointed sketch sizes the
+    // stride; deterministic for a given corpus (no sampling randomness)
+    val L5cSampleMod = l5cSampleMod(sim.count(), sampleBudget)
     val pairs = l5cPairs(sim, None).localCheckpoint(eager = true)
     val stats = pairs.agg(
       count(lit(1)).as("n_pairs"),

@@ -66,6 +66,14 @@ object Transforms {
         p.params.getOrElse("min_shared", "5").toLong,
         p.params.getOrElse("n", "3").toInt)
     }
+    // the l5c simhash audit with its row-budget knob live: param
+    // sample_budget caps the brute-twin sample (the scan is
+    // O(sample_budget²) at ANY corpus size — the declared l5c query
+    // pins the default 160, stride 4 on the 500-doc verify fixture)
+    r.register("simhash_audit") { (s, _, p) =>
+      graft.ops.TextOps.l5cSimhashSummaryBudget(
+        p.params.getOrElse("sample_budget", "160").toLong)(s, p("dir"))
+    }
     // semantic dedup with a caller-chosen cosine threshold: input
     // {embeddings} is any (vec_id, label, embedding) step; the declared
     // l6b query's θ = 0.35 is fixture-calibrated — production semantic

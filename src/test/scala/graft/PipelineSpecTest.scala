@@ -967,4 +967,39 @@ class PipelineSpecTest extends SparkSpec {
     assert(bad == 0 && oov.agg(org.apache.spark.sql.functions.min(col("oov_permille"))).head().getLong(0) >= 500,
       "a 1-word vocab must leave most tokens OOV")
   }
+
+  test("simhash_audit: sample_budget is a live registry knob; stride math") {
+    // the stride math: smallest mod keeping the sample within budget,
+    // never below 1 — the declared default (160) gives stride 4 on the
+    // 500-doc verify fixture, stride 1 on the 50-doc sf0.001 one, and
+    // stays O(budget²) as the corpus grows (stride 625 at 100k docs)
+    import graft.ops.TextOps.l5cSampleMod
+    assert(l5cSampleMod(500L, 160L) == 4L)
+    assert(l5cSampleMod(50L, 160L) == 1L)
+    assert(l5cSampleMod(5000L, 160L) == 32L)
+    assert(l5cSampleMod(100000L, 160L) == 625L)
+    assert(l5cSampleMod(0L, 160L) == 1L, "empty corpus must not divide by 0")
+    assert(l5cSampleMod(10L, 0L) == 10L, "degenerate budget clamps to 1-doc sample")
+    val wh = Files.createTempDirectory("graft_wh_sa").toString
+    val runner = new Runner(spark, Transforms.standard(), wh)
+    def audit(params: (String, String)*) = {
+      val imp = runner.execute(PipelineSpec(Seq(
+        StepSpec("a", "simhash_audit", Map.empty,
+          Map(params: _*) + ("dir" -> sfDir)))), Seq("a"))("a")
+      (imp, spark.read.parquet(s"$wh/$imp"))
+    }
+    val (impDefault, dflt) = audit()
+    val declared = graft.ops.TextOps.l5cSimhashSummary(spark, sfDir)
+    // the runner appends its impression column; compare declared columns
+    assert(dflt.select(declared.columns.map(col): _*).collect().toSeq
+        == declared.collect().toSeq,
+      "registry defaults diverge from the declared l5c summary")
+    // a tighter budget = a coarser stride = a DIFFERENT (smaller) audit
+    // sample — the contract booleans must hold on it too
+    val (impSmall, small) = audit("sample_budget" -> "8")
+    assert(impSmall != impDefault, "the budget knob must reach the impression")
+    val row = small.collect().head
+    (1 to 6).foreach(i => assert(row.getBoolean(i),
+      s"contract boolean ${small.columns(i)} is FALSE under budget=8"))
+  }
 }

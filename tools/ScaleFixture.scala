@@ -9,12 +9,28 @@
 //    copies (10× nodes, 10× edges, same diameter/degree profile), which
 //    is how a corpus actually grows; offsetting only orderkeys would
 //    instead multiply edge WEIGHTS on a fixed graph.
+//  - dimension tables (customer/supplier/part) replicate with the SAME
+//    key shift and payload columns unchanged, so the fact tables' foreign
+//    keys stay closed in every copy — dim-join queries (the TPC-H
+//    family) see 10× facts against 10× dims instead of silently dropping
+//    ~90% of fact rows on dangling keys. nation/region are unreplicated
+//    enums (the dims' *_nationkey payloads still resolve).
 //  - documents get per-copy token salting (every token suffixed `_k`):
-//    intra-copy near-dup structure is preserved EXACTLY (each copy
-//    reproduces the original's pair set) while copies share no token,
-//    shingle, or simhash neighborhood — near-dup volume grows linearly,
-//    so a rehearsal measures plan scaling, not the quadratic blowup of
-//    verbatim replication.
+//    token-set structure is preserved by BIJECTION (each copy reproduces
+//    the original's Jaccard/shingle pair set exactly) while copies share
+//    no token or shingle — near-dup volume grows linearly for the
+//    token-set operators, so a rehearsal measures plan scaling, not the
+//    quadratic blowup of verbatim replication. CAVEAT: simhash
+//    neighborhoods are HASH-dependent, not token-set-dependent — salting
+//    reassigns every token's xxhash64, so per-copy hamming distances
+//    shift and the simhash pair DENSITY differs from the source (the
+//    measured 10× run had ~2× pairs per copy; see PLANS.md). Only the
+//    exact-token-set operators inherit the "same pairs per copy"
+//    guarantee.
+//  - events replicate with event_id/user_id shifted (ts unchanged): 10×
+//    the stream against the same time axis — per-user session/state
+//    structure repeats per copy, watermark horizons are untouched (the
+//    streaming rehearsal's input).
 package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -48,6 +64,22 @@ object ScaleFixture {
       .withColumn("text", array_join(
         transform(split(col("text"), " "),
           t => concat(t, lit("_"), col("k").cast("string"))), " ")))
+    // dims: same key shift, payload untouched — closes the fact FKs
+    rep("customer")(df => df.withColumn("c_custkey", shift("c_custkey")))
+    rep("supplier")(df => df.withColumn("s_suppkey", shift("s_suppkey")))
+    rep("part")(df => df.withColumn("p_partkey", shift("p_partkey")))
+    // events: 10x the stream on the same time axis (ts untouched)
+    rep("events")(df => df
+      .withColumn("event_id", shift("event_id"))
+      .withColumn("user_id", shift("user_id")))
+    // tiny enums + embeddings pass through unreplicated so every source
+    // table exists in the synthesized dir (nation/region stay valid via
+    // the dims' unshifted *_nationkey payloads)
+    for (t <- Seq("nation", "region", "embeddings")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"wrote $out/$t.parquet (1x passthrough)")
+    }
     spark.stop()
   }
 }

@@ -68,7 +68,13 @@ def registry_keys(path):
     # strip line comments/scaladoc so documented examples don't gate
     stripped = re.sub(r'//[^\n]*', '', src)
     stripped = re.sub(r'/\*.*?\*/', '', stripped, flags=re.S)
-    return set(REG_KEY.findall(stripped)), set(TOP_TYPE.findall(stripped))
+    # only true declared-query registries carry `"name" -> impl` keys we
+    # care about (`val queries: Map[String, Q]` in the ops files); JSON
+    # literal maps elsewhere (e.g. the HTTP facade) share the arrow shape
+    # but none of their keys are declared queries
+    is_registry = re.search(r'val\s+queries\s*:\s*Map\[String,', stripped)
+    keys = set(REG_KEY.findall(stripped)) if is_registry else set()
+    return keys, set(TOP_TYPE.findall(stripped))
 
 
 def all_main_files():
