@@ -118,6 +118,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.cleanSpread(Seq(-1.0, 3.0)) == 1.0)
   }
 
+  test("regate anchors: prior-times parsing and the 3x-under-load trigger") {
+    // parse exactly our own bench.json shape; drop failed (-1) anchors
+    val json = """{"metric":"total","value":9.9,"unit":"sec",""" +
+      """"queries":{"a_q":1.25,"b_q":-1,"c_q":0.3},"spreads":{"a_q":1.1},""" +
+      """"noisy":false,"sf":"/x"}"""
+    val prev = Bench.parseQueriesMap(json)
+    assert(prev == Map("a_q" -> 1.25, "c_q" -> 0.3))
+    // malformed / absent input disables regating, never crashes
+    assert(Bench.parseQueriesMap("") == Map.empty)
+    assert(Bench.parseQueriesMap("{\"queries\":{") == Map.empty)
+    assert(Bench.parseQueriesMap("not json at all") == Map.empty)
+    // trigger: >=3x regression AND the box over the gate limit — both
+    val limit = 4.0
+    assert(Bench.needsRegate(4.0, Some(1.0), load = 9.0, limit))
+    assert(!Bench.needsRegate(4.0, Some(1.0), load = 1.0, limit),
+      "an idle-box regression is real — never masked by regating")
+    assert(!Bench.needsRegate(2.9, Some(1.0), load = 9.0, limit),
+      "under 3x is normal jitter even on a busy box")
+    assert(!Bench.needsRegate(4.0, None, load = 9.0, limit),
+      "no anchor (new query) -> nothing to adjudicate")
+    assert(!Bench.needsRegate(-1.0, Some(1.0), load = 9.0, limit),
+      "a failed query is a failure, not a regate candidate")
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))
