@@ -102,7 +102,12 @@ object Bench {
       val body = json.substring(start + "\"queries\":{".length)
       val end = body.indexOf('}')
       if (end < 0) Map.empty
-      else "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body.substring(0, end))
+      // exponent-aware: the queries map is written with raw Double.toString,
+      // so a sub-centisecond value renders as 1.2E-4 — the bare [0-9.]+
+      // pattern would silently truncate it to 1.2, a WRONG anchor rather
+      // than a dropped one (ADVICE r11)
+      else "\"([^\"]+)\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+        .findAllMatchIn(body.substring(0, end))
         .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _))
         .filter(_._2 > 0).toMap
     }
@@ -216,7 +221,13 @@ object Bench {
             (System.nanoTime() - w0) / 1000000L < regateBudgetMs)
           Thread.sleep(5000)
         regateBudgetMs -= (System.nanoTime() - w0) / 1000000L
-        times :+= one()
+        // keep the extra sample only if it SUCCEEDED: the any-negative→-1
+        // failure rule would otherwise let a transient throw under the very
+        // contention that triggered re-gating flip a query with clean
+        // successful samples into a reported failure — the doc contract is
+        // "the extra sample can only lower the min" (ADVICE r11)
+        val extra = one()
+        if (extra >= 0) times :+= extra
         regated ::= name
         System.err.println(f"[bench] re-gated $name after " +
           f"${(System.nanoTime() - w0) / 1e9}%.0f s wait " +
@@ -254,7 +265,15 @@ object Bench {
     val spr = spreads(runs.toMap.view.mapValues(_.toSeq).toMap)
     val sprMedian = median(spr.values.toSeq)
     val cleanSpr = runs.toMap.view.mapValues(ts => cleanSpread(ts.toSeq)).toMap
-    val suspects = cleanSpr.filter(_._2 > 2.0).keys.toSeq.sorted
+    // absolute-time floor (VERDICT r11 #6): spread on a 0.14 s query is
+    // scheduler jitter, not contamination — naming it trains readers to
+    // ignore the list. Only queries whose own min is ≥ 0.5 s can be
+    // suspects (a -1 failure is already visible as a failure).
+    val resultMin = runs.toMap.view.mapValues(ts =>
+      ts.filter(_ >= 0).minOption.getOrElse(-1.0)).toMap
+    val suspects = cleanSpr.filter { case (k, v) =>
+      v > 2.0 && resultMin.getOrElse(k, -1.0) >= 0.5
+    }.keys.toSeq.sorted
     val cores = Runtime.getRuntime.availableProcessors()
     val noisy = loadStart > 2.0 + cores / 16.0 ||
       sprMedian > 2.0 || suspects.size >= 3

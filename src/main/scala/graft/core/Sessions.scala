@@ -42,6 +42,41 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The extensions-installed session — the standalone-library posture
+    * (`spark.sql.extensions=graft.GraftExtensions`) materialized INSIDE a
+    * harness whose base session was built plain. Built once per JVM over
+    * the existing SparkContext (extensions are a session-build-time
+    * property, so `newSession()` can't add them; a fresh builder over the
+    * live context can) and cached. Declared queries that must run under
+    * the optimizer extensions (w5c's TopKRewrite proof) resolve through
+    * here, so verify/bench exercise the rule exactly as a user session
+    * with the extension conf would. The default/active session slots are
+    * saved and restored around the build — the base harness session stays
+    * the JVM default. */
+  @volatile private var extendedSession: Option[SparkSession] = None
+  def extended(base: SparkSession): SparkSession = synchronized {
+    extendedSession match {
+      case Some(s) if !s.sparkContext.isStopped &&
+          (s.sparkContext eq base.sparkContext) => s
+      case _ =>
+        val prevDefault = SparkSession.getDefaultSession
+        val prevActive = SparkSession.getActiveSession
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        val cpus = base.conf.get("spark.sql.shuffle.partitions", "32")
+        val s = tune(SparkSession.builder().master(base.sparkContext.master)
+            .appName("yukispark-ext"), cpus)
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+        extendedSession = Some(s)
+        s
+    }
+  }
 }
 
 /** A named execution backend — the engine's analogue of the reference's

@@ -27,6 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** Derived partsupp catalog (the TPC-H Q2/Q11/Q16/Q20 family): the
+    * fixture ships no partsupp, so it is derived deterministically from
+    * the fact table — the distinct (partkey, suppkey) pairs that actually
+    * trade, with availqty / supplycost as PURE integer functions of the
+    * key pair. Pure-function columns mean the DuckDB oracle derives the
+    * bit-identical table from the same parquet (keys are non-negative, so
+    * `%` ≡ pmod cross-engine), keeping all four queries hash-checkable.
+    * Scale: one distinct-exchange on the composite key builds a catalog
+    * of |parts|·|supps-per-part| rows — a one-off any consumer amortizes
+    * (or persists through the s5 parquet sink as a real table). */
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(9999L)) + 1)
+          .cast("int"))
+      .withColumn("ps_supplycost_cents",
+        pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 13, lit(99900L)) + lit(100L))
   /** Widen a scan whose split count under-parallelizes the session: a
     * single small parquet file yields ONE scan partition (one row group —
     * byte-range splitting can't help), which serializes every CPU-heavy

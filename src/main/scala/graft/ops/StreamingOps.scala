@@ -76,9 +76,28 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // scale-evidence channel (VERDICT r11 #2): peak state-store footprint
+      // across the run's micro-batches, read off the finished query's
+      // progress stream — wall time alone can't show that a stateful op's
+      // state is BOUNDED; memoryUsedBytes across batch count can
+      val sops = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      if (sops.nonEmpty)
+        stateMetrics(name) = StateMetrics(
+          peakStateBytes = sops.map(_.memoryUsedBytes).max,
+          peakStateRows = sops.map(_.numRowsTotal).max,
+          batches = q.recentProgress.length)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
+
+  /** Peak state-store metrics of the last completed run per sink name —
+    * written by [[runToMemory]], read by the streaming scale rehearsal
+    * (tools/StreamRehearsal.scala) and StreamingStateSpec. */
+  final case class StateMetrics(peakStateBytes: Long, peakStateRows: Long,
+      batches: Int)
+  private[graft] val stateMetrics =
+    scala.collection.concurrent.TrieMap.empty[String, StateMetrics]
 
   /** T1: tumbling 1-hour window aggregation (complete mode). */
   val t1Tumbling: Q = (s, d) => {

@@ -12,7 +12,11 @@ import graft.core.Tables
   * adapted to the fixture's columns (no shipmode/commitdate family, no
   * partsupp — Q4's lateness predicate becomes ship-lag vs the order
   * date, Q13's comment filter becomes a priority filter, Q17's container
-  * becomes brand-only; Q2/Q11/Q16/Q20 are out of reach — no partsupp).
+  * becomes brand-only; the partsupp family Q2/Q11/Q16/Q20 runs over the
+  * deterministically DERIVED partsupp catalog — [[Tables.partsupp]] —
+  * with Q16's comment-based complaint filter re-expressed as a negative
+  * account balance and Q20's p_name prefix as a suffix match on the
+  * fixture's "adjective noun" part names).
   *
   * Float-parity discipline: the spec's `extendedprice·(1−discount)`
   * product chains are float-summation-order traps cross-engine, so every
@@ -321,7 +325,131 @@ object TpcH {
       .withColumn("avg_yearly_cents", col("rev_cents") / lit(7.0))
   }
 
+  /** TQ2 (TPC-H Q2, adapted): minimum-cost supplier — for each ECONOMY
+    * part of size ≤ 15, which EUROPE supplier offers it at the regional
+    * minimum supplycost. The spec's correlated-min subquery becomes an
+    * aggregate-and-rejoin on ps_partkey: the EUROPE supplier dim
+    * broadcasts into partsupp, the per-part min aggregates on the SAME
+    * ps_partkey partitioning the rejoin probes (one exchange, reused),
+    * and the part dim broadcasts last. Money in cents-longs; the top-100
+    * cut carries a (p_partkey, s_suppkey) tiebreak so it is deterministic
+    * cross-engine. */
+  val tq2MinCostSupplier: Q = (s, d) => {
+    val euNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val euSupp = Tables.supplier(s, d)
+      .join(broadcast(euNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("s_acctbal_cents"),
+        col("n_name"))
+    val psEu = Tables.partsupp(s, d)
+      .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = psEu.groupBy(col("ps_partkey"))
+      .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
+      .withColumnRenamed("ps_partkey", "mk")
+    val prt = Tables.part(s, d)
+      .where(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+      .select(col("p_partkey"), col("p_name"))
+    psEu
+      .join(minCost, col("ps_partkey") === col("mk") &&
+        col("ps_supplycost_cents") === col("min_cost_cents"))
+      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal_cents").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TQ11 (TPC-H Q11): important stock identification — per-part inventory
+    * value (supplycost·availqty, exact cents-long) held by one nation's
+    * suppliers, keeping parts whose share of the nation total exceeds
+    * 0.1%. The threshold comparison runs in EXACT integer arithmetic
+    * (value·1000 > total ⟺ share > 1/1000), so the qualifying set is
+    * engine- and partitioning-independent. Scale: the nation-filtered
+    * supplier dim broadcasts; per-part values aggregate on one
+    * ps_partkey exchange; the 1-row grand total broadcasts back as a
+    * nested-loop build side (the tq15 max pattern). */
+  val tq11ImportantStock: Q = (s, d) => {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val natPs = Tables.partsupp(s, d)
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("val_cents"))
+    val total = natPs.agg(sum(col("val_cents")).as("total_cents"))
+    natPs.groupBy(col("ps_partkey"))
+      .agg(sum(col("val_cents")).as("value_cents"))
+      .join(broadcast(total), col("value_cents") * lit(1000L) > col("total_cents"))
+      .select(col("ps_partkey"), col("value_cents"))
+  }
+
+  /** TQ16 (TPC-H Q16, adapted): parts/supplier relationship — how many
+    * distinct suppliers can furnish each (brand, type, size) bucket of
+    * the interesting parts, excluding flagged suppliers. The spec's
+    * comment-based complaint filter has no fixture column, so the
+    * excluded class is re-expressed as suppliers with a NEGATIVE account
+    * balance — same shape: a NOT-IN subquery on supplier, executed as a
+    * broadcast anti-join so the big partsupp side never shuffles for the
+    * exclusion. The distinct-supplier count shuffles once on the
+    * three-column group key. */
+  val tq16PartsSupplier: Q = (s, d) => {
+    val flagged = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("ps_suppkey"))
+    val prt = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.partsupp(s, d)
+      .join(broadcast(flagged), Seq("ps_suppkey"), "left_anti")
+      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TQ20 (TPC-H Q20): potential part promotion — the suppliers in one
+    * nation whose stock of the candidate parts (name-matched; the
+    * fixture's "adjective noun" names make it a suffix match) exceeds
+    * half of what they actually shipped in a year. The availqty > 0.5·Σqty
+    * comparison runs as exact integers (2·availqty > Σqty). Scale: the
+    * year's shipments aggregate FIRST on the fact table's natural
+    * (partkey, suppkey) key — map-side partials, one exchange — then the
+    * broadcast part filter cuts partsupp before the aggregate join; the
+    * supplier side is a semi-join, so each supplier emits once no matter
+    * how many qualifying parts it stocks. */
+  val tq20PartPromotion: Q = (s, d) => {
+    val widgetParts = Tables.part(s, d)
+      .where(col("p_name").endsWith("widget")).select(col("p_partkey"))
+    val shipped = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val candidates = Tables.partsupp(s, d)
+      .join(broadcast(widgetParts), col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty").cast("long") * 2 > col("sum_qty"))
+      .select(col("ps_suppkey"))
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).where(col("n_name") === "NATION_3")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(candidates, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tq2_min_cost_supplier" -> tq2MinCostSupplier,
+    "tq11_important_stock" -> tq11ImportantStock,
+    "tq16_parts_supplier" -> tq16PartsSupplier,
+    "tq20_part_promotion" -> tq20PartPromotion,
     "tq7_volume_shipping" -> tq7VolumeShipping,
     "tq13_customer_distribution" -> tq13CustomerDistribution,
     "tq15_top_supplier" -> tq15TopSupplier,
@@ -335,7 +463,84 @@ object TpcH {
     "tq14_promo_effect" -> tq14PromoEffect,
     "tq18_large_volume" -> tq18LargeVolume)
 
+  /** The DuckDB twin of [[Tables.partsupp]] — keys are non-negative, so
+    * `%` matches Spark's pmod exactly. */
+  private val psCte =
+    """partsupp AS (
+         SELECT ps_partkey, ps_suppkey,
+                CAST((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS INT)
+                  AS ps_availqty,
+                CAST((ps_partkey * 7 + ps_suppkey * 13) % 99900 + 100 AS BIGINT)
+                  AS ps_supplycost_cents
+         FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                               l_suppkey AS ps_suppkey FROM lineitem))"""
+
   val oracle: Map[String, String] = Map(
+    "tq2_min_cost_supplier" ->
+      s"""WITH $psCte,
+            eu AS (SELECT s.s_suppkey, s.s_name,
+                          CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+                          n.n_name
+                   FROM supplier s
+                   JOIN nation n ON s.s_nationkey = n.n_nationkey
+                   JOIN region r ON n.n_regionkey = r.r_regionkey
+                   WHERE r.r_name = 'EUROPE'),
+            pse AS (SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+                           eu.s_suppkey, eu.s_name, eu.s_acctbal_cents, eu.n_name
+                    FROM partsupp ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey),
+            mc AS (SELECT ps_partkey AS mk,
+                          min(ps_supplycost_cents) AS min_cost_cents
+                   FROM pse GROUP BY 1)
+          SELECT pse.s_acctbal_cents, pse.s_name, pse.n_name,
+                 p.p_partkey, p.p_name, pse.s_suppkey, pse.ps_supplycost_cents
+          FROM pse
+          JOIN mc ON pse.ps_partkey = mc.mk
+                 AND pse.ps_supplycost_cents = mc.min_cost_cents
+          JOIN part p ON pse.ps_partkey = p.p_partkey
+          WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+          ORDER BY pse.s_acctbal_cents DESC, pse.n_name, pse.s_name,
+                   p.p_partkey, pse.s_suppkey
+          LIMIT 100""",
+    "tq11_important_stock" ->
+      s"""WITH $psCte,
+            natps AS (SELECT ps.ps_partkey,
+                             ps.ps_supplycost_cents * ps.ps_availqty AS val_cents
+                      FROM partsupp ps
+                      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+                      WHERE n.n_name = 'NATION_3')
+          SELECT ps_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
+          FROM natps GROUP BY 1
+          HAVING sum(val_cents) * 1000 > (SELECT sum(val_cents) FROM natps)""",
+    "tq16_parts_supplier" ->
+      s"""WITH $psCte
+          SELECT p.p_brand, p.p_type, p.p_size,
+                 CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+          FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+          WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+            AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            AND ps.ps_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY 1, 2, 3""",
+    "tq20_part_promotion" ->
+      s"""WITH $psCte,
+            shipped AS (SELECT l_partkey, l_suppkey,
+                               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                 AS sum_qty
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate < TIMESTAMP '1997-01-01'
+                        GROUP BY 1, 2)
+          SELECT s.s_suppkey, s.s_name, n.n_name
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name = 'NATION_3'
+            AND s.s_suppkey IN
+                (SELECT ps.ps_suppkey FROM partsupp ps
+                 JOIN part p ON ps.ps_partkey = p.p_partkey
+                            AND p.p_name LIKE '%widget'
+                 JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                                AND ps.ps_suppkey = sh.l_suppkey
+                 WHERE CAST(ps.ps_availqty AS BIGINT) * 2 > sh.sum_qty)""",
     "tq7_volume_shipping" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -131,8 +131,39 @@ object Windows {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** W5c: the [[graft.plans.TopKRewrite]] optimizer rule on the DECLARED
+    * surface — the user writes the NATURAL row_number window top-k
+    * (top-3 customers per nation by exact cents revenue) and runs it in
+    * the extensions-installed session ([[graft.core.Sessions.extended]],
+    * i.e. `spark.sql.extensions=graft.GraftExtensions`), where the rule
+    * silently rewrites it to the bounded topk_sketch aggregate: no
+    * per-group sort anywhere, ≤ k (value, id) pairs per group through the
+    * map-side partials and the shuffle. The oracle runs the window form —
+    * rows must be IDENTICAL (the rule's equivalence contract) — and
+    * PlanSpec pins the rewritten physical plan (ObjectHashAggregate
+    * present, no Window, no Sort). The revenue rollup happens FIRST on
+    * orders alone (one o_custkey exchange), then the nation key joins on;
+    * the window's child outputs exactly partition ∪ {value, id}, which is
+    * the rule's fire condition. */
+  val w5cTopkRewrite: Q = (s0, d) => {
+    val s = graft.core.Sessions.extended(s0)
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val rev = perCust
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("rev_cents"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev_cents").desc, col("c_custkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("rev_cents"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w5b_topk_agg" -> w5bTopkAgg,
+    "w5c_topk_rewrite" -> w5cTopkRewrite,
     "w1_rank" -> w1Rank,
     "w2_lag_lead" -> w2LagLead,
     "w3_running_sum" -> w3RunningSum,
@@ -150,6 +181,19 @@ object Windows {
                 row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders
+         QUALIFY rn <= 3""",
+    // w5c's oracle is the UN-rewritten window form — the optimizer-rule
+    // equivalence contract checked row-for-row through the hash gate
+    "w5c_topk_rewrite" ->
+      """WITH rev AS (SELECT c.c_nationkey, c.c_custkey,
+                             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                                  AS BIGINT) AS rev_cents
+                      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                      GROUP BY 1, 2)
+         SELECT c_nationkey, c_custkey, rev_cents,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY rev_cents DESC, c_custkey) AS rn
+         FROM rev
          QUALIFY rn <= 3""",
     "w1_rank" ->
       """SELECT c_nationkey, c_custkey,

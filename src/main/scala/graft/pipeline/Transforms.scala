@@ -219,6 +219,12 @@ object Transforms {
     // (e.g. l5e/l6b output): whole dedup groups land in one fold;
     // train/val percents of the 100-way component hash (declared l38
     // pins 80/10)
+    // near-dup grouping over any (doc_id, text) step: τ ≥ 0.3 exact
+    // Jaccard pairs (the l5 inverted index) + the CC loop — the pipeline
+    // form of l5e, feeding group_split (the declared composition is l50)
+    r.register("dedup_groups") { (_, in, _) =>
+      graft.ops.TextOps.dedupGroupsFrames(in("docs"))
+    }
     r.register("group_split") { (_, in, p) =>
       graft.ops.TextOps.groupSplitFrames(in("groups"),
         p.params.getOrElse("train", "80").toInt,

@@ -211,10 +211,18 @@ class ApproxOpsSpec extends SparkSpec {
     val row = TextOps.l5cSimhashSummary(spark, sfDir).collect().head
     val nDocs = graft.core.Tables.documents(spark, sfDir).count()
     assert(row.getLong(0) == nDocs, s"n_docs ${row.getLong(0)} != $nDocs")
+    // the audit sample must be non-vacuous and within the budgeted band:
+    // stride = ceil(n/160) over dense 0-based ids ⇒ ceil(n/stride) docs
+    val stride = TextOps.l5cSampleMod(nDocs, 160L)
+    val nSample = row.getLong(1)
+    assert(nSample == (nDocs + stride - 1) / stride,
+      s"n_sample $nSample != ceil($nDocs/$stride)")
+    assert(nSample > 0 && nSample <= 2 * 160,
+      s"n_sample $nSample outside the budget band")
     val names = Seq("ordered_ok", "dedup_ok", "bound_ok",
       "sample_complete_ok", "sample_sound_ok", "jaccard_ok")
     names.zipWithIndex.foreach { case (n, i) =>
-      assert(row.getBoolean(i + 1), s"$n is FALSE")
+      assert(row.getBoolean(i + 2), s"$n is FALSE")
     }
   }
 

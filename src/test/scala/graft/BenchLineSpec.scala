@@ -125,6 +125,11 @@ class BenchLineSpec extends AnyFunSuite {
       """"noisy":false,"sf":"/x"}"""
     val prev = Bench.parseQueriesMap(json)
     assert(prev == Map("a_q" -> 1.25, "c_q" -> 0.3))
+    // scientific notation: raw Double.toString writes 1.2E-4 — must parse
+    // as the true value, not silently truncate to 1.2 (ADVICE r11)
+    val sci = Bench.parseQueriesMap(
+      """{"queries":{"a_q":1.2E-4,"b_q":3.5e2,"c_q":2.0}}""")
+    assert(sci == Map("a_q" -> 1.2e-4, "b_q" -> 350.0, "c_q" -> 2.0), sci)
     // malformed / absent input disables regating, never crashes
     assert(Bench.parseQueriesMap("") == Map.empty)
     assert(Bench.parseQueriesMap("{\"queries\":{") == Map.empty)

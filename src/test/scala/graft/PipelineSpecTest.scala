@@ -999,7 +999,12 @@ class PipelineSpecTest extends SparkSpec {
     val (impSmall, small) = audit("sample_budget" -> "8")
     assert(impSmall != impDefault, "the budget knob must reach the impression")
     val row = small.collect().head
-    (1 to 6).foreach(i => assert(row.getBoolean(i),
-      s"contract boolean ${small.columns(i)} is FALSE under budget=8"))
+    Seq("ordered_ok", "dedup_ok", "bound_ok", "sample_complete_ok",
+      "sample_sound_ok", "jaccard_ok").foreach(n =>
+      assert(row.getBoolean(row.fieldIndex(n)),
+        s"contract boolean $n is FALSE under budget=8"))
+    // the audit's own size column must be non-vacuous under the knob too
+    assert(row.getLong(row.fieldIndex("n_sample")) > 0,
+      "budget=8 audit sample is empty — the contract booleans are vacuous")
   }
 }

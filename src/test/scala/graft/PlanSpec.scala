@@ -544,4 +544,36 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(bad.isEmpty, s"unkeyed join in CM plan:\n$plan")
   }
+
+  test("w5c: the DECLARED query's plan IS the TopKRewrite — sketch aggregate, no Window, no Sort") {
+    // the declared entry resolves the extensions session itself
+    // (Sessions.extended) — this asserts the plan a verify/bench run sees
+    val df = graft.ops.Windows.w5cTopkRewrite(spark, sfDir)
+    val names = collectAll(executed(df)).map(_.nodeName)
+    assert(!names.exists(_.contains("Window")), s"window survived in w5c: $names")
+    assert(!names.exists(_.contains("Sort")), s"sort present in w5c: $names")
+    assert(names.exists(_.contains("ObjectHashAggregate")),
+      s"no topk_sketch aggregate in w5c: $names")
+    // equivalence contract: identical rows to the un-rewritten window form
+    // built on the PLAIN session (also the DuckDB oracle's shape)
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("rev_cents").desc, col("c_custkey"))
+    val plain = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .join(graft.core.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("c_custkey"), col("rev_cents"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("rev_cents"), col("rn"))
+    assert(collectAll(executed(plain)).map(_.nodeName).exists(_.contains("Window")),
+      "control did not use the window plan — the comparison is vacuous")
+    val a = df.collect().map(_.toSeq).toSet
+    val b = plain.collect().map(_.toSeq).toSet
+    assert(a == b, s"w5c rewrite changed rows: only-rewritten=${(a -- b).take(3)} " +
+      s"only-window=${(b -- a).take(3)}")
+  }
 }

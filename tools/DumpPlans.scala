@@ -151,6 +151,42 @@ object DumpPlans {
         sb.append(f"| $n | $ts%.2f s | $tb%.2f s | $rs | $rb | $e%.2f |\n")
       }
     }
+    // measured STREAMING scale growth (tools/StreamRehearsal): wall-time
+    // exponents AND peak state-store footprint — watermark-bounded state
+    // is a claim wall time can't prove
+    locally {
+      val p = Paths.get("tools/stream_growth.json")
+      if (Files.exists(p)) {
+        val txt = Files.readString(p)
+        val entry = ("\"([a-z0-9_]+)\":\\{\"t_small\":([0-9.]+),\"t_big\":([0-9.]+)," +
+          "\"rows_small\":([0-9]+),\"rows_big\":([0-9]+),\"exponent\":(-?[0-9.]+)," +
+          "\"state_bytes_small\":(-?[0-9]+),\"state_bytes_big\":(-?[0-9]+)," +
+          "\"state_rows_small\":(-?[0-9]+),\"state_rows_big\":(-?[0-9]+)," +
+          "\"batches_small\":(-?[0-9]+),\"batches_big\":(-?[0-9]+)\\}").r
+        val sg = entry.findAllMatchIn(txt).toSeq
+        if (sg.nonEmpty) {
+          sb.append("\n## Measured streaming scale growth (sf0.1 -> 10x events, tools/StreamRehearsal)\n\n")
+          sb.append("Stateful streaming gates replayed on 10x events (id-offset user/event\n")
+          sb.append("replication, same time axis — tools/ScaleFixture.scala). `state` is the\n")
+          sb.append("PEAK across micro-batches of StateOperatorProgress.memoryUsedBytes /\n")
+          sb.append("numRowsTotal summed over the query's state operators; -1 = the query\n")
+          sb.append("holds no store state (t12 keeps CDC state in versioned parquet).\n")
+          sb.append("State growing ~linearly with DISTINCT KEYS while the time axis is fixed\n")
+          sb.append("is expected; the watermark bound shows in state rows tracking key count,\n")
+          sb.append("not stream length x batches.\n\n")
+          sb.append("| query | t sf0.1 | t 10x | exponent | state sf0.1 | state 10x | state rows 1x -> 10x | batches |\n")
+          sb.append("|---|---|---|---|---|---|---|---|\n")
+          sg.sortBy(m => -m.group(6).toDouble).foreach { m =>
+            def mb(g: Int) = { val v = m.group(g).toLong
+              if (v < 0) "n/a" else f"${v / 1024.0 / 1024.0}%.1f MiB" }
+            sb.append(f"| ${m.group(1)} | ${m.group(2).toDouble}%.2f s | " +
+              f"${m.group(3).toDouble}%.2f s | ${m.group(6).toDouble}%.2f | " +
+              s"${mb(7)} | ${mb(8)} | ${m.group(9)} -> ${m.group(10)} | " +
+              s"${m.group(11)} -> ${m.group(12)} |\n")
+          }
+        }
+      }
+    }
     picks.foreach { case (name, why) =>
       val df = raw.getOrElse(name, graft.SparkEntry.queries(name))(spark, d)
       df.collect() // finalize AQE

@@ -51,8 +51,14 @@ def changed_files():
 
 
 REG_KEY = re.compile(r'"([a-z][a-z0-9_]*)"\s*->')
-TOP_TYPE = re.compile(r'^(?:case\s+)?(?:object|class|trait)\s+([A-Za-z_]\w*)',
-                      re.M)
+# modifier-aware: a file whose top-level types all carry modifiers (e.g.
+# `final class HttpApi`) must still yield its type names — with an empty
+# set it would match neither gate branch and slip through silently
+# (ADVICE r11). `private[graft]`-style scoped modifiers included.
+TOP_TYPE = re.compile(
+    r'^(?:(?:private|protected|final|sealed|abstract|implicit|case)'
+    r'(?:\[\w+\])?\s+)*(?:object|class|trait)\s+([A-Za-z_]\w*)',
+    re.M)
 
 
 def registry_keys(path):
@@ -83,7 +89,13 @@ def all_main_files():
 
 
 def gated_queries(changed_main):
-    gated, reasons = set(), []
+    """Returns (gated query names, log lines, changed files gating NOTHING).
+
+    Every changed main file lands in exactly one bucket: its own registry
+    keys, the keys of registries referencing its top-level types, or the
+    ungated list — which main() refuses to pass silently (ADVICE r11: the
+    never-executed-change class is exactly what this gate exists for)."""
+    gated, reasons, ungated = set(), [], []
     info = {f: registry_keys(f) for f in all_main_files()}
     for f in changed_main:
         keys, types = info.get(f) or registry_keys(f)
@@ -105,10 +117,11 @@ def gated_queries(changed_main):
                 reasons.append(f"{f}: referenced by {g} -> {len(gkeys)} queries")
         if hit:
             gated |= hit
-        elif types:
-            reasons.append(f"{f}: no registry and no referencing registry "
-                           f"file found — NOT gated (check manually)")
-    return gated, reasons
+        else:
+            ungated.append(f)
+            reasons.append(f"{f}: gates NO declared query "
+                           f"(top-level types: {sorted(types) or 'NONE'})")
+    return gated, reasons, ungated
 
 
 def touched_specs(changed_main, changed_test):
@@ -143,6 +156,9 @@ def main():
     ap.add_argument("--out", default="/tmp/preship_verify")
     ap.add_argument("--skip-tests", action="store_true",
                     help="verify-only (when the full suite just ran)")
+    ap.add_argument("--allow-uncovered", action="store_true",
+                    help="let a main change with no gating query AND no "
+                         "covering spec pass (say why in the commit)")
     a = ap.parse_args()
 
     changed_main, changed_test = changed_files()
@@ -150,11 +166,33 @@ def main():
         print("[preship] working tree matches HEAD under src/ — nothing to gate")
         return 0
 
-    gated, reasons = gated_queries(changed_main)
+    gated, reasons, ungated = gated_queries(changed_main)
     specs = touched_specs(changed_main, changed_test)
     for r in reasons:
         print(f"[preship] {r}")
     print(f"[preship] gated queries: {len(gated)}; specs: {len(specs)}")
+    # A changed main file that gates no declared query AND is exercised by
+    # no spec would pass this gate completely unexecuted — exactly the
+    # class the gate exists to catch. Refuse (ADVICE r11).
+    spec_srcs = {}
+    for t in sh(["git", "ls-files", TEST]).stdout.split():
+        if t.endswith(".scala"):
+            with open(os.path.join(REPO, t)) as fh:
+                spec_srcs[t] = fh.read()
+
+    def spec_covers(f):
+        _, types = registry_keys(f)
+        return any(re.search(r'\b' + re.escape(ty) + r'\b', src)
+                   for ty in types for src in spec_srcs.values())
+
+    uncovered = [f for f in ungated if not spec_covers(f)]
+    for f in uncovered:
+        print(f"[preship] UNCOVERED: {f} is executed by neither a declared "
+              f"query nor a touched spec — add coverage or gate manually")
+    if uncovered and not a.allow_uncovered and not a.dry_run:
+        print("[preship] FAIL: uncovered main change "
+              "(--allow-uncovered to override)")
+        return 1
     if a.dry_run:
         print("[preship] dry run:")
         if gated:
