@@ -118,9 +118,15 @@ object Bench {
     * right now — both conditions, so a genuine regression on an idle box
     * is NEVER masked (it re-samples only under load, and the extra
     * sample can only lower the min, not hide a real slowdown). */
-  def needsRegate(minSec: Double, prevSec: Option[Double],
-                  load: Double, gateLimit: Double): Boolean =
-    minSec > 0 && prevSec.exists(p => minSec > 3.0 * p) && load > gateLimit
+  /** ANCHOR-ONLY trigger (VERDICT r12 #2): a ≥3× regression vs the prior
+    * recorded bench earns the extra sample regardless of instantaneous
+    * loadavg — r12's 3.4× l26 phantom was measured during a load TRANSIENT
+    * that subsided before the old `load > gateLimit` precondition sampled
+    * it, so the phantom shipped unregated. The quiescence wait inside the
+    * re-gate still only spins while the box is actually loaded, and the
+    * shared budget bounds the total cost. */
+  def needsRegate(minSec: Double, prevSec: Option[Double]): Boolean =
+    minSec > 0 && prevSec.exists(p => minSec > 3.0 * p)
 
   def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0
@@ -210,12 +216,12 @@ object Bench {
       if (times.forall(_ >= 0) &&
           times.max / math.max(times.min, 1e-3) > 1.5)
         times :+= one()
-      // re-gate: a ≥3× regression vs the prior recorded run, measured
-      // while the box is over the gate limit, earns a quiescence wait
-      // (against the shared budget) and ONE more sample
+      // re-gate: a ≥3× regression vs the prior recorded run earns a
+      // quiescence wait (only spins if the box is loaded NOW, against the
+      // shared budget) and ONE more sample — anchor-only, see needsRegate
       if (regateBudgetMs > 0 &&
           needsRegate(times.filter(_ >= 0).minOption.getOrElse(-1.0),
-            prevTimes.get(name), loadAvg(), gateLimit)) {
+            prevTimes.get(name))) {
         val w0 = System.nanoTime()
         while (loadAvg() > gateLimit &&
             (System.nanoTime() - w0) / 1000000L < regateBudgetMs)

@@ -3,9 +3,15 @@
 // rehearsed batch queries. This probe splits the cost per phase on BOTH
 // fixtures so the exponent's source is attributable: edge BUILD (the
 // lineitem pair join + distinct) vs bidirect materialization vs per-round
-// degree agg vs per-round semi-join peel. Each phase is forced with an
-// eager localCheckpoint, so phase times are additive (the declared query
-// runs the same stages as ONE composed plan, i.e. strictly cheaper).
+// degree-delta peel (removed-set semi-join + decrement agg + node update).
+// Each phase is forced with an eager localCheckpoint, so phase times are
+// additive. History note (r12 judge data): the OLD composed edge-rewrite
+// plan measured 2.5-3.5x the sum of its own phases (29.1s vs 8.3s at 10x)
+// because each round's three references re-expanded the previous round's
+// subtree — which refuted this header's prior "one composed plan, strictly
+// cheaper" claim and motivated the r13 degree-delta rewrite the phases
+// below now mirror (edge list materialized once, node-scale state per
+// round).
 //   sbt 'set Compile/unmanagedSourceDirectories += file("tools")' \
 //       'runMain graft.tools.KcoreProbe /root/testdata/sf0.1 /tmp/graft_sf1'
 package graft.tools
@@ -33,35 +39,49 @@ object KcoreProbe {
         pl.count()
       }
       System.err.println(f"  order-part distinct        $dt%6.2fs rows=$n")
-      val edges = pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-        .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
-          Seq("l_orderkey"))
-        .where(col("sa") < col("sb"))
-        .select(col("sa"), col("sb")).distinct()
-        .localCheckpoint(true)
-      val r1 = timed(edges.count())
-      System.err.println(f"  edge build (pair+distinct) ${r1._1}%6.2fs edges=${r1._2}")
+      // NOTE on timing: localCheckpoint(eager=true) runs the job AT
+      // CONSTRUCTION, so each phase is timed around the construction of
+      // its eager checkpoint (the r12 probe counted already-materialized
+      // frames inside timed() and reported near-zero phases)
+      def forced(df: => DataFrame): (Double, DataFrame) = {
+        val t0 = System.nanoTime()
+        val out = df.localCheckpoint(true)
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      val (t1, edges) = forced(
+        pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
+          .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
+            Seq("l_orderkey"))
+          .where(col("sa") < col("sb"))
+          .select(col("sa"), col("sb")).distinct())
+      System.err.println(f"  edge build (pair+distinct) $t1%6.2fs edges=${edges.count()}")
       // phase 2: bidirect + materialize (kcorePeel's cutBase)
-      var bi: DataFrame = edges.select(col("sa").as("u"), col("sb").as("v"))
-        .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-        .localCheckpoint(true)
-      val r2 = timed(bi.count())
-      System.err.println(f"  bidirect materialize       ${r2._1}%6.2fs rows=${r2._2}")
-      // phases 3..: three peel rounds, degree-agg and semi-join peel
-      // forced separately per round
+      val (t2, bi) = forced(
+        edges.select(col("sa").as("u"), col("sb").as("v"))
+          .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+      System.err.println(f"  bidirect materialize       $t2%6.2fs rows=${bi.count()}")
+      // phases 3..: degree init, then three delta-peel rounds — removed-set
+      // + decrement agg forced together, node-scale degree update forced
+      // separately (mirrors kcorePeel exactly; bi is never rewritten)
+      val (t3, deg0) = forced(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+      var deg: DataFrame = deg0
+      System.err.println(f"  degree init                $t3%6.2fs nodes=${deg.count()}")
       for (round <- 1 to 3) {
-        val keep = bi.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 3).select(col("u"))
-          .localCheckpoint(true)
-        val ra = timed(keep.count())
-        val peeled = bi.join(keep, Seq("u"), "left_semi")
-          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-          .select(col("u"), col("v"))
-          .localCheckpoint(true)
-        val rb = timed(peeled.count())
-        System.err.println(f"  round $round degree agg        ${ra._1}%6.2fs keep=${ra._2}")
-        System.err.println(f"  round $round semi-join peel    ${rb._1}%6.2fs edges=${rb._2}")
-        bi = peeled
+        val removed = deg.where(col("deg") < 3).select(col("u"))
+        val (ta, dec) = forced(
+          bi.join(removed, Seq("u"), "left_semi")
+            .groupBy(col("v")).agg(count(lit(1)).as("dec"))
+            .select(col("v").as("u"), col("dec")))
+        val ra = (ta, dec.count())
+        val (tb, next) = forced(
+          deg.join(removed, Seq("u"), "left_anti")
+            .join(dec, Seq("u"), "left")
+            .select(col("u"),
+              (col("deg") - coalesce(col("dec"), lit(0L))).as("deg")))
+        val rb = (tb, next.count())
+        System.err.println(f"  round $round removed+dec agg   ${ra._1}%6.2fs touched=${ra._2}")
+        System.err.println(f"  round $round degree update     ${rb._1}%6.2fs nodes=${rb._2}")
+        deg = next
       }
       graft.core.Caches.releaseAll(s)
       // declared end-to-end, twice: run 2 has the edge memo warm — the

@@ -51,6 +51,16 @@ object StreamRehearsal {
       // either run's peak is THE peak
       val s1 = run(name, small, sinks); val s2 = run(name, small, sinks)
       val b1 = run(name, big, sinks); val b2 = run(name, big, sinks)
+      // Sanity gate (VERDICT r12 #1): a big-side run that streams zero
+      // rows, or a stateful gate whose sinks recorded no state metrics,
+      // means the source staging silently fed the stream NOTHING — refuse
+      // to write a growth artifact built on that.
+      require(b1._2 > 0 && s1._2 > 0,
+        s"$name streamed 0 rows (small=${s1._2}, big=${b1._2}): " +
+          "source staging is broken, growth numbers would be garbage")
+      require(sinks.isEmpty || (s1._4 > 0 && b1._4 > 0),
+        s"$name recorded no state metrics for sinks $sinks: " +
+          "stateful run did not report state, growth numbers would be garbage")
       val ts = math.min(s1._1, s2._1); val tb = math.min(b1._1, b2._1)
       val e = math.log(tb / ts) / math.log(scaleF)
       println(f"$name%-24s small=$ts%6.2fs (${s1._2}%d rows, state=${s1._3}%d B" +
