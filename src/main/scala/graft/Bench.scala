@@ -113,20 +113,38 @@ object Bench {
     }
   }
 
-  /** A query's fresh min is suspect enough to re-gate when it regressed
-    * ≥3× against the prior recorded run AND the box is demonstrably busy
-    * right now — both conditions, so a genuine regression on an idle box
-    * is NEVER masked (it re-samples only under load, and the extra
-    * sample can only lower the min, not hide a real slowdown). */
   /** ANCHOR-ONLY trigger (VERDICT r12 #2): a ≥3× regression vs the prior
     * recorded bench earns the extra sample regardless of instantaneous
     * loadavg — r12's 3.4× l26 phantom was measured during a load TRANSIENT
     * that subsided before the old `load > gateLimit` precondition sampled
     * it, so the phantom shipped unregated. The quiescence wait inside the
     * re-gate still only spins while the box is actually loaded, and the
-    * shared budget bounds the total cost. */
+    * shared budget bounds the total cost. The extra sample can only LOWER
+    * the reported min (see withExtraSample), so a genuine regression is
+    * never masked — regating can only unmask phantoms. */
   def needsRegate(minSec: Double, prevSec: Option[Double]): Boolean =
     minSec > 0 && prevSec.exists(p => minSec > 3.0 * p)
+
+  /** Append the re-gate sample only if it SUCCEEDED: the any-negative→-1
+    * failure rule would otherwise let a transient throw under the very
+    * contention that triggered re-gating flip a query with clean
+    * successful samples into a reported failure. The contract is "the
+    * extra sample can only lower the min" (ADVICE r11) — min(times :+ x)
+    * ≤ min(times) for any kept x, and a failed extra changes nothing. */
+  def withExtraSample(times: Vector[Double], extra: Double): Vector[Double] =
+    if (extra >= 0) times :+ extra else times
+
+  /** Anchor times for per-query regating: the prior artifact at `path`,
+    * parsed with parseQueriesMap. Missing or unreadable file → empty map
+    * (regating silently disabled — but the artifact's `anchors` field
+    * records 0, so "no regate because no anchor" is distinguishable from
+    * "no regression"; VERDICT r13 #2's 5.1× phantom shipped with
+    * `regated: []` precisely because the anchor path silently resolved
+    * to nothing and the artifact couldn't say so). */
+  def loadAnchors(path: String): Map[String, Double] =
+    try parseQueriesMap(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+    catch { case _: Throwable => Map.empty }
 
   def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0
@@ -179,16 +197,18 @@ object Bench {
     // PER-QUERY RE-GATING (VERDICT r10 #4): the pre-flight gate samples
     // load once at t0; r10's artifact passed it yet recorded a 19×
     // phantom on l5e from MID-RUN ambient contention. Anchor each query
-    // against the last recorded bench (bench.json in cwd — the previous
-    // round's committed artifact): a ≥3× regression measured WHILE the
-    // box is over the gate limit gets one quiescence wait + one more
-    // sample, and the artifact names it in `regated` so suspects are
-    // self-adjudicating instead of needing a judge rerun.
-    val prevTimes =
-      try parseQueriesMap(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench.json"))))
-      catch { case _: Throwable => Map.empty[String, Double] }
+    // against the last recorded bench artifact: a ≥3× regression gets
+    // one quiescence wait + one more sample (anchor-only trigger, see
+    // needsRegate), and the artifact names it in `regated` so suspects
+    // are self-adjudicating instead of needing a judge rerun.
+    // The anchor default is the OUT path itself — the previous round's
+    // artifact still sitting where this run is about to write (VERDICT
+    // r13 #2: a cwd-relative "bench.json" default resolved to nothing
+    // when the driver ran with an absolute SPARK_GRAFT_BENCH_OUT, so the
+    // regate silently had no anchors and a 5.1× phantom shipped with
+    // `regated: []`).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val prevTimes = loadAnchors(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath))
     // global waiting budget so a permanently-loaded box can't hang the
     // bench: regating stops silently once the budget is spent
     var regateBudgetMs = sys.env.getOrElse("SPARK_GRAFT_REGATE_BUDGET_SEC",
@@ -227,13 +247,7 @@ object Bench {
             (System.nanoTime() - w0) / 1000000L < regateBudgetMs)
           Thread.sleep(5000)
         regateBudgetMs -= (System.nanoTime() - w0) / 1000000L
-        // keep the extra sample only if it SUCCEEDED: the any-negative→-1
-        // failure rule would otherwise let a transient throw under the very
-        // contention that triggered re-gating flip a query with clean
-        // successful samples into a reported failure — the doc contract is
-        // "the extra sample can only lower the min" (ADVICE r11)
-        val extra = one()
-        if (extra >= 0) times :+= extra
+        times = withExtraSample(times, one())
         regated ::= name
         System.err.println(f"[bench] re-gated $name after " +
           f"${(System.nanoTime() - w0) / 1e9}%.0f s wait " +
@@ -292,7 +306,7 @@ object Bench {
       s""","load_avg_max":${fmt(loadMax)},"cpus":$cores""" +
       s""","gate_wait_sec":${fmt(gateWaitSec)},"gate_timed_out":$gateTimedOut""" +
       s""","spread_median":${fmt(sprMedian)},"suspect":$suspectJson""" +
-      s""","regated":$regatedJson,"noisy":$noisy"""
+      s""","regated":$regatedJson,"anchors":${prevTimes.size},"noisy":$noisy"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sprJson = spr.toSeq.sortBy(_._1)
@@ -307,7 +321,6 @@ object Bench {
     // line after the session is fully stopped — the driver keeps only the
     // last 2000 chars of stdout, so the stdout line must fit that window.
     spark.stop()
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullLine + "\n")
     catch { case _: Throwable => () } // stdout below is the fallback channel
     println(stdoutLine(results, sfDir, extra = health))

@@ -572,9 +572,15 @@ object Graphs {
           round0)
       }
     }
-    if (nRemoved > 0)
+    // nRemoved > 0 at loop exit only says the LAST EXECUTED round removed
+    // nodes, not that the post-removal state is short of the fixpoint —
+    // e.g. a final round that peeled only stragglers whose removal left
+    // every survivor at deg >= k. Re-check the UPDATED state before
+    // warning, so the cap-exit warning fires only when sub-k nodes
+    // actually remain (ADVICE r13).
+    if (nRemoved > 0 && !deg.where(col("deg") < k).isEmpty)
       warnCapExit("kcorePeelConverged", maxRounds,
-        s"last round still removed $nRemoved nodes")
+        s"nodes below k=$k remain after the capped final round")
     deg.where(col("deg") > 0)
       .select(col("u").as("node"), col("deg"))
   }

@@ -23,26 +23,38 @@ object StreamingOps {
   import Relational.Q
 
   /** Stage a parquet table (single FILE or Spark-written DIRECTORY of
-    * part-files) into `stageDir` as flat symlinks the non-recursive
-    * file-stream source can list. A directory table is expanded to its
-    * `*.parquet` children (ascending mtime, name-tiebroken, sequentially
-    * renamed so arrival order is deterministic) — symlinking the directory
-    * itself stages ZERO files and the stream silently reads nothing
-    * (VERDICT r12 #1). Fails loudly on an empty directory for the same
-    * reason. */
+    * part-files, including nested non-partitioned layouts) into `stageDir`
+    * as flat symlinks the non-recursive file-stream source can list. A
+    * directory table is expanded to its `*.parquet` descendants (ascending
+    * mtime, path-tiebroken, sequentially renamed so arrival order is
+    * deterministic) — symlinking the directory itself stages ZERO files and
+    * the stream silently reads nothing (VERDICT r12 #1). Fails loudly on a
+    * directory with no part-files for the same reason, and on a
+    * HIVE-PARTITIONED table (`key=value` path segments): flattening one
+    * would silently DROP the partition columns the batch reader recovers
+    * from the directory names — a wrong-data failure worse than the
+    * wrong-shape one this staging fixes (ADVICE r13). */
   private[graft] def stageParquet(stageDir: java.nio.file.Path, table: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(table).toAbsolutePath
     if (Files.isDirectory(src)) {
       import scala.jdk.CollectionConverters._
       val parts = {
-        val listing = Files.list(src)
-        try listing.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        val walk = Files.walk(src)
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
           .toVector
-        finally listing.close()
-      }.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+        finally walk.close()
+      }.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
       require(parts.nonEmpty, s"no *.parquet files under directory table $src")
+      parts.foreach { p =>
+        val partitioned = src.relativize(p).iterator().asScala
+          .exists(_.toString.contains('='))
+        require(!partitioned,
+          s"$src is hive-partitioned ($p) — flat staging would drop the " +
+            "partition columns; stream from an unpartitioned copy instead")
+      }
       parts.zipWithIndex.foreach { case (p, i) =>
         Files.createSymbolicLink(stageDir.resolve(f"f$i%05d.parquet"), p)
       }
@@ -102,12 +114,19 @@ object StreamingOps {
     // silently under-reports peaks on runs with more micro-batches (e.g.
     // the 10x rehearsal under maxFilesPerTrigger=1) — ADVICE r12.
     var peakBytes = 0L; var peakRows = 0L; var batches = 0
+    // every match is by NAME (set on the writer before start): a fast
+    // AvailableNow query can dispatch its terminated event before a
+    // post-start `watchedId = q.id` assignment runs, which would leave the
+    // latch uncounted and stall the 30 s await on EVERY query (ADVICE r13).
+    // The started event precedes terminated in per-listener order, so
+    // capturing the id there would also work — name matching needs no
+    // mutable handoff at all. Terminated events don't carry the name, so
+    // the id is captured from the started event.
     @volatile var watchedId: java.util.UUID = null
     val done = new java.util.concurrent.CountDownLatch(1)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      // match by NAME (set on the writer before start, so no race with the
-      // post-start watchedId assignment)
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == name) watchedId = e.id
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
         if (e.progress.name == name) synchronized {
           batches += 1
@@ -127,12 +146,14 @@ object StreamingOps {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      watchedId = q.id
       q.awaitTermination()
       // listener events are async on the bus but per-listener ordered, so
       // the terminated event arriving means every progress event for this
-      // run has been counted
-      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // run has been counted; a timed-out await means the metrics below may
+      // be incomplete — say so instead of passing silently (ADVICE r13)
+      if (!done.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        System.err.println(s"[streaming] $name: terminated event not seen " +
+          "within 30 s — state metrics may under-count this run")
       if (peakRows > 0 || peakBytes > 0)
         stateMetrics(name) = StateMetrics(peakBytes, peakRows, batches)
     } finally {

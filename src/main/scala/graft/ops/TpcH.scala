@@ -12,11 +12,12 @@ import graft.core.Tables
   * adapted to the fixture's columns (no shipmode/commitdate family, no
   * partsupp — Q4's lateness predicate becomes ship-lag vs the order
   * date, Q13's comment filter becomes a priority filter, Q17's container
-  * becomes brand-only; the partsupp family Q2/Q11/Q16/Q20 runs over the
-  * deterministically DERIVED partsupp catalog — [[Tables.partsupp]] —
+  * becomes brand-only; the partsupp family Q2/Q9/Q11/Q16/Q20 runs over
+  * the deterministically DERIVED partsupp catalog — [[Tables.partsupp]] —
   * with Q16's comment-based complaint filter re-expressed as a negative
-  * account balance and Q20's p_name prefix as a suffix match on the
-  * fixture's "adjective noun" part names).
+  * account balance and Q9/Q20's p_name patterns as suffix matches on the
+  * fixture's "adjective noun" part names; Q8's national market share
+  * keeps its full snowflake shape over the fixture's region/nation dims).
   *
   * Float-parity discipline: the spec's `extendedprice·(1−discount)`
   * product chains are float-summation-order traps cross-engine, so every
@@ -445,7 +446,91 @@ object TpcH {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 
+  /** TQ8 (TPC-H Q8): national market share — per order year, the share of
+    * AMERICA-region customers' ECONOMY-part purchase volume supplied by
+    * one nation. Classic snowflake: every dim (region-filtered customer
+    * nations, type-filtered part, supplier→nation) broadcasts; the only
+    * big exchange is the orders⋈lineitem fact join, and the part filter
+    * broadcasts into the FACT SCAN side so non-qualifying lines never
+    * reach it. Numerator and denominator accumulate as exact 1e-4-unit
+    * BIGINTs in one conditional-sum pass; only the final share divides
+    * the two exact integers as doubles. */
+  val tq8MarketShare: Q = (s, d) => {
+    val amNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).where(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val prt = Tables.part(s, d)
+      .where(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val suppNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    li(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("vol_e4"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("vol_e4"))
+          .otherwise(0L)).as("nation_vol_e4"),
+        sum(col("vol_e4")).as("total_vol_e4"))
+      .withColumn("mkt_share", col("nation_vol_e4") / col("total_vol_e4"))
+  }
+
+  /** TQ9 (TPC-H Q9): product type profit — per (supplier nation, order
+    * year), the profit on one name-matched part family, where profit =
+    * discounted revenue − supplycost·quantity over the derived partsupp
+    * catalog ([[Tables.partsupp]]; the fixture's "adjective noun" names
+    * make the spec's %green% an `endsWith` family match). Profit runs
+    * entirely in exact 1e-4-dollar BIGINTs (rev_e4 − cost_cents·qty·100),
+    * so per-nation sums are bit-identical on any partitioning. Scale: the
+    * part-family filter broadcasts into BOTH big sides — the fact scan
+    * and the partsupp catalog — before their one composite-key exchange;
+    * orders joins on the fact's natural orderkey; supplier→nation
+    * broadcasts last. */
+  val tq9ProductProfit: Q = (s, d) => {
+    val boltParts = Tables.part(s, d)
+      .where(col("p_name").endsWith("bolt")).select(col("p_partkey"))
+    val ps = Tables.partsupp(s, d)
+      .join(broadcast(boltParts), col("ps_partkey") === col("p_partkey"))
+      .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost_cents"))
+    val suppNat = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    li(s, d)
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("rev_e4") - col("ps_supplycost_cents") * col("qty")
+        * lit(100L)).as("profit_e4"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tq8_market_share" -> tq8MarketShare,
+    "tq9_product_profit" -> tq9ProductProfit,
     "tq2_min_cost_supplier" -> tq2MinCostSupplier,
     "tq11_important_stock" -> tq11ImportantStock,
     "tq16_parts_supplier" -> tq16PartsSupplier,
@@ -476,6 +561,51 @@ object TpcH {
                                l_suppkey AS ps_suppkey FROM lineitem))"""
 
   val oracle: Map[String, String] = Map(
+    "tq8_market_share" ->
+      """WITH v AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                           ns.n_name AS supp_nation,
+                           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                             AS vol_e4
+                    FROM lineitem l
+                    JOIN part p ON l.l_partkey = p.p_partkey
+                               AND p.p_type = 'ECONOMY'
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+                    JOIN region r ON nc.n_regionkey = r.r_regionkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                    WHERE r.r_name = 'AMERICA'
+                      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o.o_orderdate <= TIMESTAMP '1996-12-31')
+         SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                              THEN vol_e4 ELSE 0 END) AS BIGINT)
+                  AS nation_vol_e4,
+                CAST(sum(vol_e4) AS BIGINT) AS total_vol_e4,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                              THEN vol_e4 ELSE 0 END) AS BIGINT) * 1.0
+                  / CAST(sum(vol_e4) AS BIGINT) AS mkt_share
+         FROM v GROUP BY 1""",
+    "tq9_product_profit" ->
+      s"""WITH $psCte
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          - ps.ps_supplycost_cents
+                            * CAST(l.l_quantity AS BIGINT) * 100)
+                      AS BIGINT) AS profit_e4
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+                     AND p.p_name LIKE '%bolt'
+          JOIN partsupp ps ON l.l_partkey = ps.ps_partkey
+                          AND l.l_suppkey = ps.ps_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2""",
     "tq2_min_cost_supplier" ->
       s"""WITH $psCte,
             eu AS (SELECT s.s_suppkey, s.s_name,

@@ -118,7 +118,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.cleanSpread(Seq(-1.0, 3.0)) == 1.0)
   }
 
-  test("regate anchors: prior-times parsing and the 3x-under-load trigger") {
+  test("regate anchors: prior-times parsing and the anchor-only 3x trigger") {
     // parse exactly our own bench.json shape; drop failed (-1) anchors
     val json = """{"metric":"total","value":9.9,"unit":"sec",""" +
       """"queries":{"a_q":1.25,"b_q":-1,"c_q":0.3},"spreads":{"a_q":1.1},""" +
@@ -134,17 +134,58 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.parseQueriesMap("") == Map.empty)
     assert(Bench.parseQueriesMap("{\"queries\":{") == Map.empty)
     assert(Bench.parseQueriesMap("not json at all") == Map.empty)
-    // trigger: >=3x regression AND the box over the gate limit — both
-    val limit = 4.0
-    assert(Bench.needsRegate(4.0, Some(1.0), load = 9.0, limit))
-    assert(!Bench.needsRegate(4.0, Some(1.0), load = 1.0, limit),
-      "an idle-box regression is real — never masked by regating")
-    assert(!Bench.needsRegate(2.9, Some(1.0), load = 9.0, limit),
-      "under 3x is normal jitter even on a busy box")
-    assert(!Bench.needsRegate(4.0, None, load = 9.0, limit),
+    // ANCHOR-ONLY trigger (VERDICT r12 #2): a >=3x regression vs the prior
+    // recorded time fires the regate regardless of instantaneous load —
+    // the signature takes NO load argument, so the decision is
+    // load-independent by construction (r12's phantom was measured during
+    // a load transient the old `load > limit` precondition missed).
+    assert(Bench.needsRegate(4.0, Some(1.0)),
+      "a 4x outlier vs its anchor is always regated, loaded box or not")
+    assert(!Bench.needsRegate(2.9, Some(1.0)),
+      "under 3x is normal jitter — no regate")
+    assert(!Bench.needsRegate(4.0, None),
       "no anchor (new query) -> nothing to adjudicate")
-    assert(!Bench.needsRegate(-1.0, Some(1.0), load = 9.0, limit),
+    assert(!Bench.needsRegate(-1.0, Some(1.0)),
       "a failed query is a failure, not a regate candidate")
+    // the extra sample can only LOWER the min — a kept sample extends the
+    // vector (min over a superset is <=), a failed one changes nothing,
+    // so regating can unmask a phantom but never hide a real regression
+    val base = Vector(4.0, 4.2)
+    assert(Bench.withExtraSample(base, 0.9) == Vector(4.0, 4.2, 0.9))
+    assert(Bench.withExtraSample(base, 0.9).min < base.min)
+    assert(Bench.withExtraSample(base, 6.0).min == base.min,
+      "a slower extra sample leaves the reported min unchanged")
+    assert(Bench.withExtraSample(base, -1.0) == base,
+      "a failed extra sample is dropped, never flips clean runs to -1")
+  }
+
+  test("anchor file present + 5x outlier => query is a regate candidate; " +
+       "missing file => anchors empty, distinguishable via the anchors field") {
+    // End-to-end over the file path main() uses: a prior artifact on disk
+    // anchors the fresh run; a 5x outlier against it must trip needsRegate
+    // (VERDICT r13 #2's ask — BENCH_r13 shipped a 5.1x phantom with
+    // regated:[] because the anchor path silently resolved to nothing).
+    val dir = java.nio.file.Files.createTempDirectory("bench-anchor-spec")
+    try {
+      val prevArtifact = dir.resolve("bench.json")
+      java.nio.file.Files.writeString(prevArtifact,
+        """{"metric":"total","value":2.0,"unit":"sec",""" +
+        """"queries":{"l32_mad_outliers":0.77,"l26_pagerank":1.8},"sf":"/x"}""" + "\n")
+      val anchors = Bench.loadAnchors(prevArtifact.toString)
+      assert(anchors.size == 2, "artifact parses to 2 anchors")
+      // the 5.1x phantom shape from BENCH_r13: fresh min 3.92 vs anchor 0.77
+      assert(Bench.needsRegate(3.92, anchors.get("l32_mad_outliers")),
+        "a 5x outlier with an anchor present MUST be regated")
+      assert(!Bench.needsRegate(1.9, anchors.get("l26_pagerank")),
+        "a within-jitter time is not regated")
+      // missing anchor file: regating disabled but OBSERVABLE — loadAnchors
+      // returns empty and main() records `anchors:0` in the artifact, so
+      // "no regate because no anchor" is distinguishable from "no regression"
+      assert(Bench.loadAnchors(dir.resolve("nope.json").toString) == Map.empty)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {

@@ -16,14 +16,19 @@ HOOK="$REPO_ROOT/.git/hooks/pre-commit"
 cat > "$HOOK" <<'EOF'
 #!/bin/sh
 # Auto-installed by tools/install-hooks.sh — the pre-ship gate.
-# A commit touching src/ must not ship unexecuted declared-query changes.
-if git diff --cached --name-only | grep -q '^src/'; then
-    echo "[pre-commit] src/ staged - running the pre-ship gate" >&2
+# A commit touching src/ or tools/*.scala must not ship unexecuted (or
+# non-compiling) changes. --skip-tests here skips only the FULL
+# touched-spec closure: preship still compiles the whole tree (test
+# sources + changed tools) and still RUNS any spec that is the sole
+# coverage of a changed main file or was itself changed — the r13 RED
+# suite shipped through the old unconditional skip, never again.
+if git diff --cached --name-only | grep -Eq '^src/|^tools/.*\.scala$'; then
+    echo "[pre-commit] gated sources staged - running the pre-ship gate" >&2
     # the gate diffs HEAD..working-tree (staged+unstaged): strictly more
     # conservative than staged-only, and what preship.py documents
     python3 "$(git rev-parse --show-toplevel)/tools/preship.py" --skip-tests
 else
-    echo "[pre-commit] no src/ changes staged - gate skipped" >&2
+    echo "[pre-commit] no gated sources staged - gate skipped" >&2
 fi
 EOF
 chmod +x "$HOOK"

@@ -47,7 +47,8 @@ def changed_files():
     unt = sh(["git", "ls-files", "--others", "--exclude-standard"]).stdout.split()
     files = sorted(set(out) | set(unt))
     return ([f for f in files if f.startswith(MAIN) and f.endswith(".scala")],
-            [f for f in files if f.startswith(TEST) and f.endswith(".scala")])
+            [f for f in files if f.startswith(TEST) and f.endswith(".scala")],
+            [f for f in files if f.startswith("tools/") and f.endswith(".scala")])
 
 
 REG_KEY = re.compile(r'"([a-z][a-z0-9_]*)"\s*->')
@@ -124,16 +125,13 @@ def gated_queries(changed_main):
     return gated, reasons, ungated
 
 
-def touched_specs(changed_main, changed_test):
-    specs = set()
-    for t in changed_test:
-        m = re.search(r'([A-Za-z_]\w*)\.scala$', t)
-        if m:
-            specs.add("graft." + m.group(1))
+def specs_referencing(files):
+    """Specs whose source references any top-level type of `files`."""
     names = set()
-    for f in changed_main:
+    for f in files:
         _, types = registry_keys(f)
         names |= types
+    specs = set()
     if names:
         for t in sh(["git", "ls-files", TEST]).stdout.split():
             if not t.endswith(".scala"):
@@ -145,7 +143,16 @@ def touched_specs(changed_main, changed_test):
                 m = re.search(r'([A-Za-z_]\w*)\.scala$', t)
                 if m:
                     specs.add("graft." + m.group(1))
-    return sorted(specs)
+    return specs
+
+
+def touched_specs(changed_main, changed_test):
+    specs = set()
+    for t in changed_test:
+        m = re.search(r'([A-Za-z_]\w*)\.scala$', t)
+        if m:
+            specs.add("graft." + m.group(1))
+    return sorted(specs | specs_referencing(changed_main))
 
 
 def main():
@@ -155,15 +162,20 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/preship_verify")
     ap.add_argument("--skip-tests", action="store_true",
-                    help="verify-only (when the full suite just ran)")
+                    help="skip the FULL touched-spec run (when the suite "
+                         "just ran) — the test tree still COMPILES, and a "
+                         "main change whose ONLY coverage is a spec still "
+                         "runs that spec (r13's RED suite shipped through "
+                         "an unconditional --skip-tests hook)")
     ap.add_argument("--allow-uncovered", action="store_true",
                     help="let a main change with no gating query AND no "
                          "covering spec pass (say why in the commit)")
     a = ap.parse_args()
 
-    changed_main, changed_test = changed_files()
-    if not changed_main and not changed_test:
-        print("[preship] working tree matches HEAD under src/ — nothing to gate")
+    changed_main, changed_test, changed_tools = changed_files()
+    if not changed_main and not changed_test and not changed_tools:
+        print("[preship] working tree matches HEAD under src/ or tools/ — "
+              "nothing to gate")
         return 0
 
     gated, reasons, ungated = gated_queries(changed_main)
@@ -193,15 +205,53 @@ def main():
         print("[preship] FAIL: uncovered main change "
               "(--allow-uncovered to override)")
         return 1
+
+    # THE r13 HOLE, closed (VERDICT r13 #1/#3): the whole tree — test
+    # sources included — must COMPILE on every gated commit, regardless of
+    # --skip-tests. A src/main signature change with stale spec call sites
+    # is a COMPILE break, not a test failure, and r13 shipped exactly that
+    # (needsRegate lost two params; BenchLineSpec kept calling the 4-arg
+    # form) through the unconditional --skip-tests hook. tools/*.scala
+    # (an unmanaged source dir, not part of the normal build) are added to
+    # the compile whenever one changed, so a probe/generator can't rot to
+    # non-compiling either.
+    compile_cmd = ["sbt", "-batch"]
+    if changed_tools:
+        compile_cmd.append(
+            'set Compile/unmanagedSourceDirectories += file("tools")')
+    compile_cmd.append("Test/compile")
+    # MANDATORY even under --skip-tests: specs that are the ONLY executable
+    # coverage of a changed main file (the file gates no declared query),
+    # plus any spec file that itself changed — both are cheap relative to
+    # the full touched-spec closure, and skipping them is how unexecuted
+    # changes ship.
+    spec_only_main = [f for f in ungated if f not in uncovered]
+    mandatory = sorted(
+        specs_referencing(spec_only_main) |
+        {("graft." + m.group(1))
+         for t in changed_test
+         for m in [re.search(r'([A-Za-z_]\w*)\.scala$', t)] if m})
+
     if a.dry_run:
         print("[preship] dry run:")
+        print(f"  {' '.join(compile_cmd)}")
         if gated:
             print(f"  SPARK_GRAFT_VERIFY_ONLY={','.join(sorted(gated))} "
                   f"sbt 'runMain graft.Verify {a.sf} {a.out}'")
             print(f"  python3 tools/check.py {a.sf} {a.out}")
-        if specs:
+        if specs and not a.skip_tests:
             print(f"  sbt 'testOnly {' '.join(specs)}'")
+        elif mandatory:
+            print(f"  sbt 'testOnly {' '.join(mandatory)}'  # mandatory "
+                  f"even under --skip-tests")
         return 0
+
+    what = "src+test" + ("+tools" if changed_tools else "")
+    print(f"[preship] compiling the full tree ({what}) ...")
+    r = subprocess.run(compile_cmd, cwd=REPO)
+    if r.returncode != 0:
+        print("[preship] FAIL: tree does not compile")
+        return 1
 
     if gated:
         subprocess.run(["rm", "-rf", a.out])
@@ -218,9 +268,12 @@ def main():
         if r.returncode != 0:
             print("[preship] FAIL: oracle mismatch")
             return 1
-    if specs and not a.skip_tests:
-        print(f"[preship] running {len(specs)} touched specs ...")
-        r = subprocess.run(["sbt", "-batch", "testOnly " + " ".join(specs)],
+    to_run = specs if not a.skip_tests else mandatory
+    if to_run:
+        label = ("touched" if not a.skip_tests
+                 else "mandatory (spec-only coverage / changed specs)")
+        print(f"[preship] running {len(to_run)} {label} specs ...")
+        r = subprocess.run(["sbt", "-batch", "testOnly " + " ".join(to_run)],
                           cwd=REPO)
         if r.returncode != 0:
             print("[preship] FAIL: spec failure")
