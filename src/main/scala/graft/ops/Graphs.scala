@@ -594,6 +594,21 @@ object Graphs {
   val l46Kcore: graft.ops.Relational.Q = (s, d) =>
     kcorePeel(coOccurrenceEdges(s, d), k = 3, rounds = 3)
 
+  /** L46b: the same peel with a k that ACTUALLY REMOVES nodes on the
+    * declared data (VERDICT r13 perf note: at k=3 the fixture removes
+    * zero nodes — every co-occurrence node already has degree ≥ 3 — so
+    * the declared l46 pins the plan shape and the no-op fixpoint while
+    * peel semantics were exercised only by GraphsReliableSpec's
+    * synthetic graphs). k=75 sits inside the fixture's degree
+    * distribution at every SF (min degree 38–49, median 89–119), so
+    * each round peels real nodes THROUGH the declared oracle gate with
+    * survivors left at every SF: sf0.001 cascades 200 → 176 → 143 → 54
+    * survivors over the 3 rounds, sf0.01 1949 → 1941 → 1939, sf0.1
+    * 19472 → 19415 → 19408. Same operator, same plan — only the
+    * threshold differs. */
+  val l46bKcoreDeep: graft.ops.Relational.Q = (s, d) =>
+    kcorePeel(coOccurrenceEdges(s, d), k = 75, rounds = 3)
+
   /** L51: market-basket association (support + lift per co-purchased part
     * pair — the classic Apriori-style "frequently bought together"
     * table, and the association-rule sibling of l35/l40/l46's structural
@@ -628,6 +643,7 @@ object Graphs {
     "l26_pagerank" -> l26PageRank,
     "l35_triangles" -> l35Triangles,
     "l46_kcore" -> l46Kcore,
+    "l46b_kcore_deep" -> l46bKcoreDeep,
     "l40_label_prop" -> l40LabelProp)
 
   val oracle: Map[String, String] = Map(
@@ -666,6 +682,26 @@ object Graphs {
             bi2 AS (SELECT b.u, b.v FROM bi1 b
                     JOIN k2 a ON b.u = a.u JOIN k2 c ON b.v = c.u),
             k3 AS (SELECT u FROM bi2 GROUP BY u HAVING count(*) >= 3),
+            bi3 AS (SELECT b.u, b.v FROM bi2 b
+                    JOIN k3 a ON b.u = a.u JOIN k3 c ON b.v = c.u)
+         SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM bi3 GROUP BY u""",
+    // identical unroll at k=75 — the threshold that actually peels on the
+    // fixture (see l46bKcoreDeep scaladoc)
+    "l46b_kcore_deep" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (SELECT DISTINCT a.l_partkey AS sa, b.l_partkey AS sb
+                   FROM pl a JOIN pl b
+                     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            bi0 AS (SELECT sa AS u, sb AS v FROM e0
+                    UNION ALL SELECT sb AS u, sa AS v FROM e0),
+            k1 AS (SELECT u FROM bi0 GROUP BY u HAVING count(*) >= 75),
+            bi1 AS (SELECT b.u, b.v FROM bi0 b
+                    JOIN k1 a ON b.u = a.u JOIN k1 c ON b.v = c.u),
+            k2 AS (SELECT u FROM bi1 GROUP BY u HAVING count(*) >= 75),
+            bi2 AS (SELECT b.u, b.v FROM bi1 b
+                    JOIN k2 a ON b.u = a.u JOIN k2 c ON b.v = c.u),
+            k3 AS (SELECT u FROM bi2 GROUP BY u HAVING count(*) >= 75),
             bi3 AS (SELECT b.u, b.v FROM bi2 b
                     JOIN k3 a ON b.u = a.u JOIN k3 c ON b.v = c.u)
          SELECT u AS node, CAST(count(*) AS BIGINT) AS deg

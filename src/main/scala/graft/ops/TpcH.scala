@@ -3,21 +3,27 @@ package graft.ops
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Classic TPC-H queries over the fixture's TPC-H-shaped tables — the
-  * recognizable industry-standard analytics a user expects any engine to
-  * run (Q1 pricing summary, Q3 shipping priority, Q4 order priority,
-  * Q5 local supplier, Q6 revenue change, Q7 volume shipping, Q10
-  * returned items, Q13 customer distribution, Q14 promo effect, Q15 top
-  * supplier, Q17 small-quantity revenue, Q18 large-volume customers),
-  * adapted to the fixture's columns (no shipmode/commitdate family, no
-  * partsupp — Q4's lateness predicate becomes ship-lag vs the order
-  * date, Q13's comment filter becomes a priority filter, Q17's container
-  * becomes brand-only; the partsupp family Q2/Q9/Q11/Q16/Q20 runs over
-  * the deterministically DERIVED partsupp catalog — [[Tables.partsupp]] —
-  * with Q16's comment-based complaint filter re-expressed as a negative
-  * account balance and Q9/Q20's p_name patterns as suffix matches on the
-  * fixture's "adjective noun" part names; Q8's national market share
-  * keeps its full snowflake shape over the fixture's region/nation dims).
+/** ALL 22 classic TPC-H queries over the fixture's TPC-H-shaped tables —
+  * the recognizable industry-standard analytics a user expects any
+  * engine to run — adapted to the fixture's columns where the spec's are
+  * absent (no shipmode/commitdate/receiptdate family, no c_phone, no
+  * shipped partsupp):
+  *  - lateness (Q4/Q12/Q21) is ship-lag vs the order date (shipped > 60
+  *    days after ordering) in place of commit-vs-receipt;
+  *  - the mode dimension (Q12) runs over the return-flag classes;
+  *  - Q13's comment filter becomes a priority filter, Q16's complaint
+  *    filter a negative account balance, Q17's container brand-only,
+  *    Q19's container/shipmode terms drop (brand+size+quantity carry
+  *    the disjunctive-band shape);
+  *  - Q22's country code derives from the nation key and its "never
+  *    ordered" becomes "no order since 1999" (every fixture customer
+  *    has ordered at least once);
+  *  - the partsupp family (Q2/Q9/Q11/Q16/Q20) runs over the
+  *    deterministically DERIVED partsupp catalog — [[Tables.partsupp]] —
+  *    with Q9/Q20's p_name patterns as suffix matches on the fixture's
+  *    "adjective noun" part names;
+  *  - Q8's national market share keeps its full snowflake shape over
+  *    the fixture's region/nation dims.
   *
   * Float-parity discipline: the spec's `extendedprice·(1−discount)`
   * product chains are float-summation-order traps cross-engine, so every
@@ -528,9 +534,133 @@ object TpcH {
         * lit(100L)).as("profit_e4"))
   }
 
+  /** TQ12 (TPC-H Q12, adapted): shipping modes vs order priority — per
+    * "mode" class, how many LATE lines carried high- vs low-priority
+    * orders in a year. The fixture has no l_shipmode/commitdate/
+    * receiptdate, so the mode dimension is re-expressed over the return
+    * flag classes ('A'/'R') and lateness as the tq4 ship-lag rule
+    * (shipped > 60 days after the order date). The shape is preserved
+    * exactly: one fact equi-join + ONE conditional aggregation (the
+    * spec's CASE sums), no second scan. Scale: the year+flag filters
+    * land in the lineitem scan's PushedFilters before the join. */
+  val tq12ShipPriority: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  /** TQ19 (TPC-H Q19): discounted revenue under a DISJUNCTION of
+    * (brand, size band, quantity band) predicates — the spec's classic
+    * OR-of-bands pushdown test (its container/shipmode terms have no
+    * fixture columns; brand+size+quantity carry the disjunctive shape).
+    * The part dim broadcasts, the disjunction evaluates post-broadcast
+    * in one pass, and revenue accumulates as an exact 1e-4 BIGINT. */
+  val tq19DiscountedRevenue: Q = (s, d) =>
+    li(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("ext_cents"),
+        col("disc_pct"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(col("ext_cents") * (lit(100L) - col("disc_pct")))
+        .as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+
+  /** TQ21 (TPC-H Q21, adapted): suppliers who kept orders waiting — for
+    * finalized ('F') orders, the supplier whose line was late (the tq4
+    * ship-lag rule) while EVERY OTHER supplier in the order shipped on
+    * time, counted per one nation's suppliers. The spec's
+    * EXISTS/NOT-EXISTS pair over other suppliers' lines is re-expressed
+    * as per-order aggregates — n_suppliers ≥ 2 ∧ n_late_suppliers = 1 ∧
+    * this supplier is the late one — which is the SAME predicate without
+    * the double correlated self-join: two keyed aggregations on the
+    * order key the fact table is naturally clustered by, then one
+    * broadcast supplier/nation join. Top-100 by numwait with a suppkey
+    * tiebreak is deterministic. */
+  val tq21WaitingSupplier: Q = (s, d) => {
+    val lines = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val perOrder = lines.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      .where(col("n_supp") >= 2L && col("n_late") === 1L)
+    lines.where(col("late") === 1L)
+      .join(perOrder, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TQ22 (TPC-H Q22, adapted): global sales opportunity — per country
+    * code, the count and total balance of above-average-balance customers
+    * with NO RECENT orders. The fixture has no c_phone, so the country
+    * code derives from the nation key (nationkey mod 10 — deterministic,
+    * non-negative, so `%` ≡ pmod cross-engine); and since every fixture
+    * customer has ordered at least once, the spec's "never ordered"
+    * becomes "no order since 1999" — the same NOT-EXISTS shape with a
+    * selective date filter on the subquery side. The above-average
+    * threshold runs in EXACT integer arithmetic (acctbal_cents · n_pos >
+    * sum_cents ⟺ acctbal > avg over positive balances), so the
+    * qualifying set is engine-independent; the 1-row stats broadcast. */
+  val tq22GlobalSales: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        pmod(col("c_nationkey"), lit(10)).cast("long").as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .where(col("cntrycode").isin(1L, 2L, 3L, 4L, 5L, 6L))
+    val stats = cust.where(col("acctbal_cents") > 0L)
+      .agg(sum(col("acctbal_cents")).as("s_cents"),
+        count(lit(1)).as("n_pos"))
+    cust
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .where(col("acctbal_cents") * col("n_pos") > col("s_cents"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("acctbal_cents")).as("totacctbal_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tq8_market_share" -> tq8MarketShare,
     "tq9_product_profit" -> tq9ProductProfit,
+    "tq12_ship_priority" -> tq12ShipPriority,
+    "tq19_discounted_revenue" -> tq19DiscountedRevenue,
+    "tq21_waiting_supplier" -> tq21WaitingSupplier,
+    "tq22_global_sales" -> tq22GlobalSales,
     "tq2_min_cost_supplier" -> tq2MinCostSupplier,
     "tq11_important_stock" -> tq11ImportantStock,
     "tq16_parts_supplier" -> tq16PartsSupplier,
@@ -561,6 +691,69 @@ object TpcH {
                                l_suppkey AS ps_suppkey FROM lineitem))"""
 
   val oracle: Map[String, String] = Map(
+    "tq12_ship_priority" ->
+      """SELECT l.l_returnflag,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_returnflag IN ('A', 'R')
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+         GROUP BY 1""",
+    "tq19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+    "tq21_waiting_supplier" ->
+      """WITH lines AS (SELECT l.l_orderkey, l.l_suppkey,
+                               max(CASE WHEN l.l_shipdate >
+                                             o.o_orderdate + INTERVAL 60 DAY
+                                        THEN 1 ELSE 0 END) AS late
+                        FROM lineitem l
+                        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                        WHERE o.o_orderstatus = 'F'
+                        GROUP BY 1, 2),
+            po AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+                   FROM lines GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+         FROM (SELECT l.l_suppkey, count(*) AS numwait
+               FROM lines l JOIN po ON l.l_orderkey = po.l_orderkey
+               WHERE l.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+               GROUP BY 1) w
+         JOIN supplier s ON w.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3'
+         ORDER BY numwait DESC, s.s_suppkey
+         LIMIT 100""",
+    "tq22_global_sales" ->
+      """WITH cust AS (SELECT c_custkey,
+                              CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+                              CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS acctbal_cents
+                       FROM customer
+                       WHERE CAST(c_nationkey % 10 AS BIGINT) IN (1,2,3,4,5,6)),
+            stats AS (SELECT CAST(sum(acctbal_cents) AS BIGINT) AS s_cents,
+                             CAST(count(*) AS BIGINT) AS n_pos
+                      FROM cust WHERE acctbal_cents > 0)
+         SELECT c.cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(c.acctbal_cents) AS BIGINT) AS totacctbal_cents
+         FROM cust c CROSS JOIN stats
+         WHERE c.acctbal_cents * stats.n_pos > stats.s_cents
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1""",
     "tq8_market_share" ->
       """WITH v AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                            ns.n_name AS supp_nation,

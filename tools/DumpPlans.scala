@@ -73,7 +73,7 @@ object DumpPlans {
       "w5c_topk_rewrite" -> "TopKRewrite optimizer rule (registered via SparkSessionExtensions — Sessions.extended): the rank<=k row_number window over the revenue rollup is REWRITTEN by the rule into the bounded topk_sketch aggregate + explode — the dumped plan shows ObjectHashAggregate and no Window/Sort; <= k (value, id) pairs per group cross the exchange instead of every row. The oracle runs the UN-rewritten window form, so the hash gate checks the rule's row-for-row equivalence contract.",
       "l50_pipeline_split" -> "The COMPOSED 7-step training-data pipeline through the orchestration Runner (ingest -> train/eval split -> fused clean -> exact+near-dup groups over the CLEANED corpus -> leakage-safe group-atomic 80/10/10 split): every step parquet-materializes into the content-addressed step warehouse, so the dumped plan is the TERMINAL step over cached upstream parquet — and a re-execute in the same session reuses every step (cold/warm evidence below).",
       "l46_kcore" -> ("Degree-delta k-core peel (the r13 rewrite): the bidirected edge list is materialized ONCE and never rewritten; each of the 3 rounds carries only NODE-scale state — the removed set semi-joins the edge base for decrement counts, an anti-join + left join updates the degree table. The replaced per-round edge-rewrite plan re-expanded the prior round's subtree through its three references and measured 29.1 s at 10x (r12); the rewrite measured 13.15 s at 10x / exponent ~0.62 (r13 judge-run KcoreProbe; the growth table above carries the current re-measured numbers). " +
-        "Closure note: on the DECLARED fixture the k=3 core removes ZERO nodes (every co-occurrence node already has degree >= 3), so the probe's touched=0 per round is expected, not a bug — peel semantics are exercised by GraphsReliableSpec's synthetic sub-k graphs; the declared query pins the plan shape and the no-op fixpoint."),
+        "Closure note: on the DECLARED fixture the k=3 core removes ZERO nodes (every co-occurrence node already has degree >= 3), so the probe's touched=0 per round is expected, not a bug — this query pins the plan shape and the no-op fixpoint, while ACTUAL peeling flows through the declared oracle gate via l46b_kcore_deep (k=75, inside the fixture's degree distribution at every SF: sf0.001 cascades 200 -> 176 -> 143 -> 54 survivors over the 3 rounds) and GraphsReliableSpec's synthetic sub-k graphs."),
       "g15_cm_sketch" -> "Count-Min sketch: corpus-scale work is the native partial-aggregating count_min_sketch; the 10 probe words broadcast into the exact-count join; estimates read the serialized sketch on metadata-scale rows only.",
       "l47_phrase_search" -> "Positional-index phrase search: the token stream filters to the phrase's words BEFORE any shuffle; adjacency is (doc_id, pos-offset) equi-joins; no LIKE scan, no string rescans.",
       "e14_pattern_match" -> "Sequence-pattern matching: one user-keyed exchange builds order-independent char sequences (sorted structs), regexp_count scores them — no join in the plan.",
