@@ -523,6 +523,85 @@ class PlanSpec extends SparkSpec {
     assert(aggNoJoinBelow, s"tq18's quantity rollup should run before any join:\n$p18")
   }
 
+  test("tq8/tq9: every dim broadcasts — only the fact-side joins shuffle") {
+    // tq8 snowflake: part/customer-keys/supplier-nation broadcast; the one
+    // big exchange is orders x lineitem
+    val p8 = executed(graft.SparkEntry.queries("tq8_market_share")(spark, sfDir))
+    val all8 = collectAll(p8)
+    assert(all8.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
+      s"expected part/customer/supplier-nation broadcasts in tq8:\n$p8")
+    val shuffled8 = all8.count(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(shuffled8 <= 1, s"more than the one fact join shuffled in tq8:\n$p8")
+    // tq9: the part-family filter broadcasts into BOTH big sides; at most
+    // the fact x partsupp and fact x orders joins shuffle
+    val p9 = executed(graft.SparkEntry.queries("tq9_product_profit")(spark, sfDir))
+    val all9 = collectAll(p9)
+    assert(all9.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
+      s"expected bolt-part (x2) and supplier-nation broadcasts in tq9:\n$p9")
+    val shuffled9 = all9.count(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(shuffled9 <= 2, s"more than the partsupp+orders fact joins shuffled in tq9:\n$p9")
+    (all8 ++ all9).foreach(p => assert(
+      !p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec],
+      s"cartesian product in tq8/tq9"))
+  }
+
+  test("tq19/tq21/tq22: disjunctive bands stay broadcast; Q21's EXISTS pair is keyed aggregation; Q22's NOT-EXISTS is an anti join") {
+    // tq19: the brand/size dim broadcasts — the disjunction never forces a
+    // shuffled or unkeyed join
+    val p19 = executed(graft.SparkEntry.queries("tq19_discounted_revenue")(spark, sfDir))
+    val all19 = collectAll(p19)
+    assert(all19.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"part dim should broadcast in tq19:\n$p19")
+    assert(all19.count(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]) == 0,
+      s"tq19's band predicate forced a shuffled join:\n$p19")
+    // tq21: the spec's correlated EXISTS/NOT-EXISTS over other suppliers'
+    // lines must NOT appear as self-joins — the reformulation is keyed
+    // aggregation + one left-semi + the broadcast supplier dim; nothing
+    // cartesian/nested-loop anywhere
+    val p21 = executed(graft.SparkEntry.queries("tq21_waiting_supplier")(spark, sfDir))
+    val all21 = collectAll(p21)
+    def isSemi(p: SparkPlan) = p match {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }
+    assert(all21.exists(isSemi), s"expected the qualifying-order semi join in tq21:\n$p21")
+    assert(!all21.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"correlated-exists shape leaked into tq21's plan:\n$p21")
+    // tq22: the no-recent-orders check is a LEFT ANTI hash join; the 1-row
+    // stats cross is the only nested-loop (broadcast, single row)
+    val p22 = executed(graft.SparkEntry.queries("tq22_global_sales")(spark, sfDir))
+    val all22 = collectAll(p22)
+    def isAnti(p: SparkPlan) = p match {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }
+    assert(all22.exists(isAnti), s"expected the NOT-EXISTS anti join in tq22:\n$p22")
+    assert(!all22.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"cartesian product in tq22:\n$p22")
+  }
+
   test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {
     val plan = executed(graft.SparkEntry.queries("l52_ks_drift")(spark, sfDir))
     val wins = collectAll(plan).collect {

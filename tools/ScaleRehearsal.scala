@@ -24,6 +24,9 @@ object ScaleRehearsal {
     val picks: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "l35_triangles" -> graft.SparkEntry.queries("l35_triangles"),
       "l46_kcore" -> graft.SparkEntry.queries("l46_kcore"),
+      // the k=75 variant actually REMOVES nodes each round (r14), so its
+      // 10x exponent measures peeling work, not just the no-op fixpoint
+      "l46b_kcore_deep" -> graft.SparkEntry.queries("l46b_kcore_deep"),
       "l40_label_prop" -> graft.SparkEntry.queries("l40_label_prop"),
       "l5c_simhash_pairs" -> ((s: SparkSession, d: String) =>
         graft.ops.TextOps.l5cSimhash(s, d)),
