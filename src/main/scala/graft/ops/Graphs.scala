@@ -254,9 +254,11 @@ object Graphs {
     * term only) — the same simplification both engines compute, so the
     * oracle is exact arithmetic, not an approximation contract.
     *
-    * Scale shape per iteration: ONE shuffle of the edge list on src (the
-    * contribution join) and one on dst (the inflow aggregation); nodes,
-    * out-weights and N are computed once and reused. The iteration count
+    * Scale shape per iteration: the contribution join reuses the
+    * [[contribEdges]] table's src partitioning, so only the NODE-scale
+    * rank vector exchanges (or broadcasts) into it; the one edge-scale
+    * shuffle left per iteration is the inflow aggregation on dst. Nodes,
+    * out-weights and N are computed once. The iteration count
     * is a fixed plan unroll here (3 plans composed in local posture); when
     * a checkpoint dir is set, every [[CheckpointEvery]]-th round's rank
     * vector is RELIABLY checkpointed, exactly like [[connectedComponents]]
@@ -273,11 +275,11 @@ object Graphs {
     val nodes = cutBase(edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct())
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = contribEdges(edges)
     var pr = nodes.crossJoin(nN)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
     for (i <- 1 to iters) {
-      val inflow = edges.join(outw, Seq("src"))
+      val inflow = ew
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
@@ -307,14 +309,14 @@ object Graphs {
     val nodes = cutBase(edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct())
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = contribEdges(edges)
     var pr = cutBase(nodes.crossJoin(nN)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr")))
     var round0 = 0
     var delta = Double.MaxValue
     while (round0 < maxRounds && delta >= tol) {
       round0 += 1
-      val inflow = edges.join(outw, Seq("src"))
+      val inflow = ew
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
@@ -334,6 +336,24 @@ object Graphs {
       warnCapExit("pageRankConverged", maxRounds, s"L1 delta $delta >= tol $tol")
     pr.select(col("node"), round(col("pr"), 8).as("pr"))
   }
+
+  /** The out-weight-annotated edge table both PageRank variants iterate
+    * over: (src, dst, w, outw), built ONCE — the join with the out-weight
+    * aggregation used to sit INSIDE the loop, re-paying an edge-scale
+    * join (and, composed, a reshuffle of the edge list on src) every
+    * iteration. No explicit repartition: at scale, where the out-weight
+    * table exceeds the broadcast threshold, the build join itself runs
+    * shuffled on src and the checkpoint PRESERVES that HashPartitioning —
+    * every iteration's contribution join then sees a src-clustered edge
+    * side and exchanges only the node-scale rank vector. (When outw is
+    * small enough to broadcast, so is the rank vector, and the loop joins
+    * are broadcast-side free anyway — forcing an exchange there would be
+    * pure cost.) `w` and `outw` ride as separate columns (not
+    * pre-divided) so the per-edge contribution keeps the exact expression
+    * `pr * w / outw` — bit-identical floats to the oracle's arithmetic. */
+  private def contribEdges(edges: DataFrame): DataFrame =
+    cutBase(edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")))
 
   /** L26: PageRank centrality over the customer→supplier order graph
     * (edge weight = lineitems ordered) — 3 damped iterations. Node ids
@@ -422,13 +442,13 @@ object Graphs {
     * most frequent label among its NEIGHBORS (count desc, label asc
     * tie-break — the determinism knob async LPA lacks). Every node in the
     * derived node set has ≥1 edge, so each round relabels every node.
-    * Per round: one edge-keyed join + one (node, label) aggregation + one
-    * node-partitioned window — the same exchange budget as a PageRank
-    * iteration, with label counts (not floats) on the wire. */
+    * Per round: the neighbor-label join reuses [[lpaEdges]]' v-partitioning
+    * (only the node-scale label vector moves), then one (node, label)
+    * aggregation + one node argmax aggregation — the same exchange budget
+    * as a PageRank iteration, with label counts (not floats) on the wire. */
   private[graft] def labelPropagation(edges: org.apache.spark.sql.DataFrame,
       rounds: Int): org.apache.spark.sql.DataFrame = {
-    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    val bi = lpaEdges(edges)
     val nodes = bi.select(col("u").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node"))
     for (r <- 1 to rounds) {
@@ -439,6 +459,16 @@ object Graphs {
     }
     labels.select(col("node"), col("lab").as("community"))
   }
+
+  /** The bidirected (u, v) neighbor table both LPA variants iterate over,
+    * built once and partitioned on `v` BEFORE the lineage cut — the
+    * per-round neighbor-label join keys on v, and checkpointing preserves
+    * the physical partitioning, so each round exchanges only the
+    * node-scale label vector (or broadcasts it), never the edge list. */
+  private def lpaEdges(edges: DataFrame): DataFrame =
+    cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .repartition(col("v")))
 
   /** One synchronous LPA round: every node adopts the most frequent label
     * among its neighbors (count desc, label asc tie-break). Shared by the
@@ -460,8 +490,7 @@ object Graphs {
   private[graft] def labelPropagationConverged(
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): org.apache.spark.sql.DataFrame = {
-    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    val bi = lpaEdges(edges)
     val nodes = bi.select(col("u").as("node")).distinct()
     var labels = cutBase(nodes.withColumn("lab", col("node")))
     var round0 = 0
@@ -516,8 +545,7 @@ object Graphs {
     // forced phases (judge probe, r12). Per round: one scan of the
     // materialized bi (semi-join against the broadcast-size removed set)
     // + one degree-decrement agg + one node-scale join.
-    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    val bi = kcoreEdges(edges)
     var deg = cutBase(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     for (r <- 1 to rounds) {
       val removed = deg.where(col("deg") < k).select(col("u"))
@@ -545,14 +573,25 @@ object Graphs {
     * so the edge COUNT is the free convergence signal — no edge-level
     * diff join; per-round materialization runs under the CC loop's dual
     * posture. */
+  /** The bidirected (u, v) edge table both k-core variants peel over,
+    * built once and partitioned on `u` BEFORE the lineage cut: the degree
+    * build (groupBy u) and every round's removed-set semi-join key on u,
+    * so with HashPartitioning(u) preserved by the checkpoint the degree
+    * aggregation is exchange-free and a non-broadcastable removed set
+    * (round 1 at 100 TB can drop a large fraction of nodes) co-partitions
+    * against the edge base instead of reshuffling it. */
+  private def kcoreEdges(edges: DataFrame): DataFrame =
+    cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
+      .repartition(col("u")))
+
   private[graft] def kcorePeelConverged(edges: DataFrame, k: Int,
       maxRounds: Int): DataFrame = {
     // Same degree-delta shape as [[kcorePeel]]; the convergence signal is
     // the REMOVED-node count (node-scale, and the natural monotone signal
     // of delta peeling — no node below k means one more round is the
     // identity, the true Seidman fixpoint asserted in GraphsReliableSpec).
-    val bi = cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(edges.select(col("sb").as("u"), col("sa").as("v"))))
+    val bi = kcoreEdges(edges)
     var deg = cutBase(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     var round0 = 0
     var nRemoved = 1L

@@ -19,7 +19,7 @@ object DumpPlans {
       "j9_bloom_join" -> "Runtime bloom-filter semi-join reduction: InjectRuntimeFilter builds bloom_filter_agg over the filtered dim keys and pushes might_contain(xxhash64(l_orderkey)) into the fact-side scan filter — non-matching fact rows die before the join exchange.",
       "l5_jaccard_pairs" -> "Near-dup inverted index: shuffle on 8-byte hashed shingles only; no cross join anywhere.",
       "l27_incremental_dedup" -> "Incremental dedup: the new batch's band rows probe the PERSISTED history index (parquet scan of (band, bh, doc_id) rows — history text never re-read); candidates exact-verify against the persisted 8-byte shingle store.",
-      "l26_pagerank" -> "Weighted PageRank, 3 unrolled iterations: per iteration one edge shuffle on src (contribution join) + one inflow aggregation on dst; nodes/out-weights/N computed once and reused.",
+      "l26_pagerank" -> "Weighted PageRank, 3 unrolled iterations: the out-weight-annotated edge table (contribEdges) is built ONCE — at scale the build join's src HashPartitioning survives the lineage cut, so each iteration's contribution join moves only the node-scale rank vector (or broadcasts it); the one edge-scale shuffle left per iteration is the inflow aggregation on dst.",
       "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6; the declared entry wraps the pair set in the property summary (brute-force doc_id-mod-4 sample twin + exact-Jaccard comparison) so the driver hash-checks the contract booleans.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
       "l7c_knn_ivf" -> "IVF ANN: learned (Lloyd's) unit centroids as literals, assignment is K codegen'd dots per row, candidate join shuffles ids on (label, cell) only.",
@@ -60,7 +60,7 @@ object DumpPlans {
       "l38_group_split" -> "Leakage-safe group split: the fold column is a pure projection over the CC output (component mod 100) — zero exchanges added on top of the dedup grouping.",
       "e11_conversion_lag" -> "Conversion-lag histogram: two user-keyed min-aggs share the user_id exchange, the histogram groupBy's key space is 49 buckets — final aggregation is metadata-sized regardless of user count.",
       "p9_expectations" -> "Data-quality expectations: four constraint checks fold into one aggregation over one scan; only the FK probe adds a (broadcast) left-anti join; stack pivots the single row to a row per constraint.",
-      "l40_label_prop" -> "Label propagation, 3 synchronous rounds: each round one edge-keyed join + one (node, label) count aggregation + one node-partitioned window — integer counts on the wire, no floats, no global sort.",
+      "l40_label_prop" -> "Label propagation, 3 synchronous rounds: the bidirected neighbor table (lpaEdges) is built once and v-partitioned BEFORE the lineage cut, so each round's neighbor-label join moves only the node-scale label vector; then one (node, label) count aggregation + one node argmax — integer counts on the wire, no floats, no global sort.",
       "l41_dsir_weights" -> "DSIR importance weights: one gram explode feeds both distribution count tables on 8-byte hashes; smoothing constants arrive as a broadcast 1-row cross; the per-doc log-ratio rollup is a single doc_id shuffle.",
       "l42_seq_pack" -> "Training-sequence packing: ONE source-keyed window computes cumulative offsets, each doc generates its spanned sequences in-expression (no join) — scan, window, generate, project.",
       "e12_attribution" -> "Last-touch attribution: one user-keyed window carries the most recent touch as a struct (last ignoreNulls over unbounded-to-previous) to every purchase row — no purchases x touches inequality join; the channel rollup aggregates alphabet-sized keys.",
@@ -72,7 +72,7 @@ object DumpPlans {
       "w5b_topk_agg" -> "Bounded top-k per group: the topk_sketch TypedImperativeAggregate runs as ObjectHashAggregate partial+final — <= k (value, id) pairs per group cross the shuffle, NO sort and NO window anywhere in the plan.",
       "w5c_topk_rewrite" -> "TopKRewrite optimizer rule (registered via SparkSessionExtensions — Sessions.extended): the rank<=k row_number window over the revenue rollup is REWRITTEN by the rule into the bounded topk_sketch aggregate + explode — the dumped plan shows ObjectHashAggregate and no Window/Sort; <= k (value, id) pairs per group cross the exchange instead of every row. The oracle runs the UN-rewritten window form, so the hash gate checks the rule's row-for-row equivalence contract.",
       "l50_pipeline_split" -> "The COMPOSED 7-step training-data pipeline through the orchestration Runner (ingest -> train/eval split -> fused clean -> exact+near-dup groups over the CLEANED corpus -> leakage-safe group-atomic 80/10/10 split): every step parquet-materializes into the content-addressed step warehouse, so the dumped plan is the TERMINAL step over cached upstream parquet — and a re-execute in the same session reuses every step (cold/warm evidence below).",
-      "l46_kcore" -> ("Degree-delta k-core peel (the r13 rewrite): the bidirected edge list is materialized ONCE and never rewritten; each of the 3 rounds carries only NODE-scale state — the removed set semi-joins the edge base for decrement counts, an anti-join + left join updates the degree table. The replaced per-round edge-rewrite plan re-expanded the prior round's subtree through its three references and measured 29.1 s at 10x (r12); the rewrite measured 13.15 s at 10x / exponent ~0.62 (r13 judge-run KcoreProbe; the growth table above carries the current re-measured numbers). " +
+      "l46_kcore" -> ("Degree-delta k-core peel (the r13 rewrite): the bidirected edge list is materialized ONCE (u-partitioned before the lineage cut, so the degree build is exchange-free and a non-broadcastable removed set co-partitions instead of reshuffling the edges) and never rewritten; each of the 3 rounds carries only NODE-scale state — the removed set semi-joins the edge base for decrement counts, an anti-join + left join updates the degree table. The replaced per-round edge-rewrite plan re-expanded the prior round's subtree through its three references and measured 29.1 s at 10x (r12); the rewrite measured 13.15 s at 10x / exponent ~0.62 (r13 judge-run KcoreProbe; the growth table above carries the current re-measured numbers). " +
         "Closure note: on the DECLARED fixture the k=3 core removes ZERO nodes (every co-occurrence node already has degree >= 3), so the probe's touched=0 per round is expected, not a bug — this query pins the plan shape and the no-op fixpoint, while ACTUAL peeling flows through the declared oracle gate via l46b_kcore_deep (k=75, inside the fixture's degree distribution at every SF: sf0.001 cascades 200 -> 176 -> 143 -> 54 survivors over the 3 rounds) and GraphsReliableSpec's synthetic sub-k graphs."),
       "g15_cm_sketch" -> "Count-Min sketch: corpus-scale work is the native partial-aggregating count_min_sketch; the 10 probe words broadcast into the exact-count join; estimates read the serialized sketch on metadata-scale rows only.",
       "l47_phrase_search" -> "Positional-index phrase search: the token stream filters to the phrase's words BEFORE any shuffle; adjacency is (doc_id, pos-offset) equi-joins; no LIKE scan, no string rescans.",
