@@ -146,6 +146,21 @@ object Bench {
       java.nio.file.Paths.get(path)))
     catch { case _: Throwable => Map.empty }
 
+  /** Anchor-based suspects (VERDICT r14 #4): a query whose reported min is
+    * ≥2× its prior-round anchor, measured in a run whose PEAK load exceeded
+    * the gate limit, is named in `suspect` — below the 3× regate trigger
+    * these shipped as apparent regressions that only a judge idle rerun
+    * could disprove (r14's t14/t15/t16, l40). The loadMax condition keeps
+    * a 2× mover on a provably idle box OUT of the list: that one is a real
+    * regression and must read as one, not as noise. Same ≥0.5 s floor as
+    * the cleanSpread suspects — 2× on a 0.2 s query is scheduler jitter. */
+  def anchorSuspects(mins: Map[String, Double], anchors: Map[String, Double],
+                     loadMax: Double, gateLimit: Double): Seq[String] =
+    if (loadMax <= gateLimit) Seq.empty
+    else mins.collect { case (k, m)
+      if m >= 0.5 && anchors.get(k).exists(p => m > 2.0 * p) => k
+    }.toSeq.sorted
+
   def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0
     else {
@@ -207,8 +222,13 @@ object Bench {
     // when the driver ran with an absolute SPARK_GRAFT_BENCH_OUT, so the
     // regate silently had no anchors and a 5.1× phantom shipped with
     // `regated: []`).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    val prevTimes = loadAnchors(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath))
+    val outPathFull = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // A SUBSET run (SPARK_GRAFT_BENCH_ONLY) must never overwrite the full
+    // artifact: that silently destroys the anchors every later full run
+    // regates against (ADVICE r14). Subsets ANCHOR against the full
+    // artifact but WRITE to a side path.
+    val outPath = if (only.isDefined) outPathFull + ".subset" else outPathFull
+    val prevTimes = loadAnchors(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPathFull))
     // global waiting budget so a permanently-loaded box can't hang the
     // bench: regating stops silently once the budget is spent
     var regateBudgetMs = sys.env.getOrElse("SPARK_GRAFT_REGATE_BUDGET_SEC",
@@ -291,21 +311,36 @@ object Bench {
     // suspects (a -1 failure is already visible as a failure).
     val resultMin = runs.toMap.view.mapValues(ts =>
       ts.filter(_ >= 0).minOption.getOrElse(-1.0)).toMap
-    val suspects = cleanSpr.filter { case (k, v) =>
+    // two suspect sources, unioned: (a) clean-pair disagreement — this
+    // run's own samples prove the min untrustworthy; (b) ≥2× anchor mover
+    // under load — round-over-round movement below the regate trigger that
+    // a reader would otherwise misread as a regression (VERDICT r14 #4).
+    // Only (a) feeds the GLOBAL noisy flag: anchor movers recur on every
+    // loaded full run, and a flag that trips every round trains readers
+    // to ignore it (the same reasoning that keeps peak load out of it).
+    val pairSuspects = cleanSpr.filter { case (k, v) =>
       v > 2.0 && resultMin.getOrElse(k, -1.0) >= 0.5
-    }.keys.toSeq.sorted
+    }.keys.toSeq
+    val suspects = (pairSuspects ++ anchorSuspects(resultMin.toMap.collect {
+      case (k, v) if v >= 0 => k -> v
+    }, prevTimes, loadMax, gateLimit)).distinct.sorted
     val cores = Runtime.getRuntime.availableProcessors()
     val noisy = loadStart > 2.0 + cores / 16.0 ||
-      sprMedian > 2.0 || suspects.size >= 3
-    val suspectJson = suspects.take(8)
+      sprMedian > 2.0 || pairSuspects.size >= 3
+    // 16-name cap (was 8): the anchor-mover source can legitimately name
+    // several queries on a loaded run; suspect_total makes truncation
+    // visible instead of silent
+    val suspectJson = suspects.take(16)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectOver =
+      if (suspects.size > 16) s""","suspect_total":${suspects.size}""" else ""
     val regatedJson = regated.sorted.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val health =
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
       s""","load_avg_max":${fmt(loadMax)},"cpus":$cores""" +
       s""","gate_wait_sec":${fmt(gateWaitSec)},"gate_timed_out":$gateTimedOut""" +
-      s""","spread_median":${fmt(sprMedian)},"suspect":$suspectJson""" +
+      s""","spread_median":${fmt(sprMedian)},"suspect":$suspectJson$suspectOver""" +
       s""","regated":$regatedJson,"anchors":${prevTimes.size},"noisy":$noisy"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -60,10 +60,7 @@ object Graphs {
     * files, never replays the unrolled multi-join lineage),
     * `localCheckpoint` otherwise (local/test: blocks live outside the
     * CacheManager and the ContextCleaner reclaims them on drop). */
-  private def cutBase(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  private def cutBase(df: DataFrame): DataFrame = graft.core.Lineage.cut(df)
 
   /** Per-round reliable truncation for the UNROLLED iterative ops
     * (pageRank, labelPropagation): in cluster posture, cut the lineage
@@ -254,11 +251,14 @@ object Graphs {
     * term only) — the same simplification both engines compute, so the
     * oracle is exact arithmetic, not an approximation contract.
     *
-    * Scale shape per iteration: the contribution join reuses the
-    * [[contribEdges]] table's src partitioning, so only the NODE-scale
-    * rank vector exchanges (or broadcasts) into it; the one edge-scale
-    * shuffle left per iteration is the inflow aggregation on dst. Nodes,
-    * out-weights and N are computed once. The iteration count
+    * Scale shape per iteration: the [[contribEdges]] join composes
+    * LAZILY into each unrolled iteration — when out-weights broadcast the
+    * edge side never exchanges for it, and when they can't, AQE's stage
+    * reuse runs the identical build subtree ONCE and later iterations
+    * read the reused shuffle files (measured in tools/nobroadcast.json;
+    * the eager-hoist alternative lost in both regimes, see contribEdges).
+    * The one always-edge-scale shuffle per iteration is the inflow
+    * aggregation on dst. Nodes and N are computed once. The iteration count
     * is a fixed plan unroll here (3 plans composed in local posture); when
     * a checkpoint dir is set, every [[CheckpointEvery]]-th round's rank
     * vector is RELIABLY checkpointed, exactly like [[connectedComponents]]
@@ -338,22 +338,41 @@ object Graphs {
   }
 
   /** The out-weight-annotated edge table both PageRank variants iterate
-    * over: (src, dst, w, outw), built ONCE — the join with the out-weight
-    * aggregation used to sit INSIDE the loop, re-paying an edge-scale
-    * join (and, composed, a reshuffle of the edge list on src) every
-    * iteration. No explicit repartition: at scale, where the out-weight
-    * table exceeds the broadcast threshold, the build join itself runs
-    * shuffled on src and the checkpoint PRESERVES that HashPartitioning —
-    * every iteration's contribution join then sees a src-clustered edge
-    * side and exchanges only the node-scale rank vector. (When outw is
-    * small enough to broadcast, so is the rank vector, and the loop joins
-    * are broadcast-side free anyway — forcing an exchange there would be
-    * pure cost.) `w` and `outw` ride as separate columns (not
-    * pre-divided) so the per-edge contribution keeps the exact expression
-    * `pr * w / outw` — bit-identical floats to the oracle's arithmetic. */
-  private def contribEdges(edges: DataFrame): DataFrame =
-    cutBase(edges
-      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")))
+    * over: (src, dst, w, outw) — returned LAZY (the composed join), never
+    * eagerly materialized. This is a measured decision, twice over:
+    *
+    *  - r14 shipped an unconditional hoist + eager lineage cut here and it
+    *    was a 2× local / 1.33× at-10× regression in the broadcastable
+    *    regime (VERDICT r14 #1: idle sf0.1 1.85 s → 3.61 s).
+    *  - r15 then exercised the hoist's own claimed win regime —
+    *    `autoBroadcastJoinThreshold=-1`, where the per-iteration join must
+    *    shuffle — via tools/NoBroadcastProbe, and the hoist LOSES there
+    *    too (tools/nobroadcast.json: sf0.1 2.28 s hoisted vs 1.36 s lazy;
+    *    10× fixture 6.22 s vs 4.35 s). Two reasons, both visible in the
+    *    probed plans: (a) AQE's stage reuse already dedups the identical
+    *    per-iteration build subtree — the outw aggregation and its
+    *    exchange run ONCE and later iterations read the reused shuffle
+    *    files, which is everything the hoist was supposed to buy; and
+    *    (b) the eager checkpoint doesn't even keep its side of the
+    *    bargain — under AQE the coalesced final plan reports
+    *    UnknownPartitioning, so the checkpointed table's src clustering
+    *    is invisible to EnsureRequirements and every iteration RE-SHUFFLES
+    *    the materialized table anyway (14 vs 17 exchanges, but the extra
+    *    materialization outweighs the saved ones).
+    *
+    * `w` and `outw` ride as separate columns (not pre-divided) so the
+    * per-edge contribution keeps the exact expression `pr * w / outw` —
+    * bit-identical floats to the oracle's arithmetic.
+    *
+    * The sys-prop override exists ONLY so tools/NoBroadcastProbe can keep
+    * re-measuring the rejected variant against this one; nothing in the
+    * production or declared-query paths sets it. */
+  private def contribEdges(edges: DataFrame): DataFrame = {
+    val joined = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src"))
+    if (sys.props.get("graft.graphs.contrib").contains("hoist")) cutBase(joined)
+    else joined
+  }
 
   /** L26: PageRank centrality over the customer→supplier order graph
     * (edge weight = lineitems ordered) — 3 damped iterations. Node ids
@@ -461,10 +480,14 @@ object Graphs {
   }
 
   /** The bidirected (u, v) neighbor table both LPA variants iterate over,
-    * built once and partitioned on `v` BEFORE the lineage cut — the
-    * per-round neighbor-label join keys on v, and checkpointing preserves
-    * the physical partitioning, so each round exchanges only the
-    * node-scale label vector (or broadcasts it), never the edge list. */
+    * built ONCE (the union + repartition never re-executes per round —
+    * unlike pageRank's composed unroll, every LPA round materializes for
+    * cutRound/cutLoop, so without the cut each round would re-pay the
+    * build). Caveat learned in r15 (tools/NoBroadcastProbe): under AQE
+    * the checkpoint reports UnknownPartitioning, so the v-clustering is
+    * NOT visible to EnsureRequirements — the win here is recomputation
+    * avoidance, measured neutral-to-better at both scales, not exchange
+    * elision. */
   private def lpaEdges(edges: DataFrame): DataFrame =
     cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))

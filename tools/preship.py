@@ -226,11 +226,28 @@ def main():
     # the full touched-spec closure, and skipping them is how unexecuted
     # changes ship.
     spec_only_main = [f for f in ungated if f not in uncovered]
-    mandatory = sorted(
-        specs_referencing(spec_only_main) |
-        {("graft." + m.group(1))
-         for t in changed_test
-         for m in [re.search(r'([A-Za-z_]\w*)\.scala$', t)] if m})
+    mandatory = set(specs_referencing(spec_only_main)) | {
+        ("graft." + m.group(1))
+        for t in changed_test
+        for m in [re.search(r'([A-Za-z_]\w*)\.scala$', t)] if m}
+    # ADVICE r14: plan-SHAPE pins are value-invisible — the oracle verifies
+    # a registry-gated change's VALUES, but a broadcast→shuffle or
+    # semi→nested-loop regression keeps values identical, so PlanSpec is
+    # the only executable coverage of the shape. It references queries by
+    # their DECLARED NAME (SparkEntry.queries("tq21_...")), which the
+    # type-name matcher above can't see; when it pins any registry key or
+    # type of a changed main file, it joins the mandatory set too.
+    plan_src = spec_srcs.get(f"{TEST}/graft/PlanSpec.scala", "")
+
+    def plan_pinned(f):
+        keys, types = registry_keys(f)
+        return (any(f'"{k}"' in plan_src for k in keys) or
+                any(re.search(r'\b' + re.escape(ty) + r'\b', plan_src)
+                    for ty in types))
+
+    if plan_src and any(plan_pinned(f) for f in changed_main):
+        mandatory.add("graft.PlanSpec")
+    mandatory = sorted(mandatory)
 
     if a.dry_run:
         print("[preship] dry run:")
