@@ -597,12 +597,14 @@ object Graphs {
     * diff join; per-round materialization runs under the CC loop's dual
     * posture. */
   /** The bidirected (u, v) edge table both k-core variants peel over,
-    * built once and partitioned on `u` BEFORE the lineage cut: the degree
-    * build (groupBy u) and every round's removed-set semi-join key on u,
-    * so with HashPartitioning(u) preserved by the checkpoint the degree
-    * aggregation is exchange-free and a non-broadcastable removed set
-    * (round 1 at 100 TB can drop a large fraction of nodes) co-partitions
-    * against the edge base instead of reshuffling it. */
+    * built ONCE before the rounds (the hoist that measurably helped —
+    * l46 10×: 18.93 → 12.83 s in r14). The u-repartition before the cut
+    * does NOT survive the checkpoint under AQE (UnknownPartitioning —
+    * the same finding as contribEdges, tools/NoBroadcastProbe r15), and
+    * an r15 drop-the-repartition experiment measured NEUTRAL within
+    * noise in both directions (sf0.1: l40 3.55→3.19 / l46 2.76→2.42 /
+    * l46b 3.74→4.09; 10×: 16.39→15.58 / 12.75→13.28 / 13.71→14.90), so
+    * it stays as written rather than churn on an unmeasurable delta. */
   private def kcoreEdges(edges: DataFrame): DataFrame =
     cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
