@@ -129,7 +129,17 @@ object TextOps {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, Seq("s"))
+    // SHUFFLE_HASH hint — a 100x-fixture lesson (r15 DecadeRehearsal →
+    // PairJoinProbe): Catalyst's logical size estimate does not grow
+    // through Generate/explode, so the STATIC planner sees the 26M-row
+    // shingle side as broadcastable and plans a BroadcastHashJoin — a
+    // single 19-task probe against one giant hash map, measured 343 s at
+    // 100x (vs 129 s shuffled), and at real corpus scale an
+    // executor-OOM. The hint forces the shape this comment always
+    // documented (shuffle on the 8-byte hash); both join sides are the
+    // SAME exchange, so the shuffle is written once and reused, and
+    // per-partition hash maps stay cache-sized at any corpus size.
+    val inter = a.join(b.hint("shuffle_hash"), Seq("s"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
@@ -803,7 +813,9 @@ object TextOps {
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      // same SHUFFLE_HASH hint as l5JaccardCapped — the static explode
+      // size estimate would broadcast this side too (see l5's comment)
+      .join(sh.select(col("doc_id").as("db"), col("s")).hint("shuffle_hash"), Seq("s"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))

@@ -658,6 +658,40 @@ class PlanSpec extends SparkSpec {
     } finally sys.props.remove("graft.graphs.contrib")
   }
 
+  test("l5 pair join: the exploded shingle side is NEVER statically broadcast — " +
+       "shuffled hash join on the 8-byte hash, one reused exchange") {
+    // r15 DecadeRehearsal finding: Catalyst's logical size estimate does
+    // not grow through Generate/explode, so the static planner saw the
+    // 26M-row (100x) shingle side as broadcastable and planned a
+    // BroadcastHashJoin — a 19-task probe against one giant map, 343 s vs
+    // 58 s hinted (tools/pairjoin logs; at real corpus scale an
+    // executor-OOM). Pin the hinted shape: the s-keyed self-join is a
+    // ShuffledHashJoin, and no broadcast join anywhere has an exploded
+    // (Generate) build side.
+    val plan = executed(graft.ops.TextOps.l5JaccardPairs(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"the l5 pair self-join is not a shuffled hash join:\n$plan")
+    // an AGGREGATE between the explode and the join collapses cardinality
+    // back to a trustworthy size (the per-doc `sizes` table broadcasts
+    // legitimately via AQE's runtime stats) — the trap is a broadcast of
+    // the RAW exploded rows, where the estimate is the lie
+    val bcastWithRawExplode = all.collect {
+      case b: BroadcastHashJoinExec =>
+        val build = collectAll(b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _ => b.right
+        })
+        (b, build.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) &&
+          !build.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.aggregate.BaseAggregateExec]))
+    }.collect { case (b, true) => b }
+    assert(bcastWithRawExplode.isEmpty,
+      s"a broadcast join carries a RAW exploded build side (the static " +
+        s"size-estimate trap):\n$plan")
+  }
+
   test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {
     val plan = executed(graft.SparkEntry.queries("l52_ks_drift")(spark, sfDir))
     val wins = collectAll(plan).collect {

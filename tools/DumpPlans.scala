@@ -166,6 +166,34 @@ object DumpPlans {
         sb.append(f"| $n | $ts%.2f s | $tb%.2f s | $rs | $rb | $e%.2f |\n")
       }
     }
+    // two-decade growth (tools/DecadeRehearsal): exponent STABILITY across
+    // 1x -> 10x -> 100x — a fixed cost that dominates at 10x can hide a
+    // super-linear term that only shows at 100x
+    locally {
+      val p = Paths.get("tools/growth_decades.json")
+      if (Files.exists(p)) {
+        val txt = Files.readString(p)
+        val entry = ("\"([a-z0-9_]+)\":\\{\"t\":\\[([0-9.]+),([0-9.]+),([0-9.]+)\\]," +
+          "\"rows\":\\[([0-9]+),([0-9]+),([0-9]+)\\]," +
+          "\"e1\":(-?[0-9.]+),\"e2\":(-?[0-9.]+)\\}").r
+        val dg = entry.findAllMatchIn(txt).toSeq
+        if (dg.nonEmpty) {
+          sb.append("\n## Measured TWO-DECADE scale growth (sf0.1 -> 10x -> 100x, tools/DecadeRehearsal)\n\n")
+          sb.append("The heaviest graph unrolls + dedup operators rerun on a 100x\n")
+          sb.append("ScaleFixture dir as well: a stable (or falling) exponent across the\n")
+          sb.append("second decade is the evidence the single-decade table can't give —\n")
+          sb.append("a fixed cost that dominates at 10x would hide a super-linear term.\n")
+          sb.append("e1 = ln(t10/t1)/ln 10; e2 = ln(t100/t10)/ln 10.\n\n")
+          sb.append("| query | t sf0.1 | t 10x | t 100x | e 1->10 | e 10->100 |\n")
+          sb.append("|---|---|---|---|---|---|\n")
+          dg.sortBy(m => -m.group(9).toDouble).foreach { m =>
+            sb.append(f"| ${m.group(1)} | ${m.group(2).toDouble}%.2f s | " +
+              f"${m.group(3).toDouble}%.2f s | ${m.group(4).toDouble}%.2f s | " +
+              f"${m.group(8).toDouble}%.2f | ${m.group(9).toDouble}%.2f |\n")
+          }
+        }
+      }
+    }
     // measured STREAMING scale growth (tools/StreamRehearsal): wall-time
     // exponents AND peak state-store footprint — watermark-bounded state
     // is a claim wall time can't prove
