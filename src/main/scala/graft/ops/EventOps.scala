@@ -571,7 +571,11 @@ object EventOps {
     val pb = p.withColumn("b0", floor(col("pts") / band))
       .select(col("user_id"), col("pid"), col("pts"), col("cents"),
         explode(array(col("b0") - 1, col("b0"))).as("bucket"))
-    val pairs = pb.join(t, Seq("user_id", "bucket"))
+    // SHUFFLE_HASH: pb is the purchase stream ×2 via explode — corpus-scale
+    // with the static through-Generate estimate lie (the l5 trap class,
+    // r16 TrapSweep); the banded join shuffles on (user, bucket), where
+    // build maps are bounded by one user-day's purchases.
+    val pairs = pb.hint("shuffle_hash").join(t, Seq("user_id", "bucket"))
       .where(col("tts") > col("pts") - band && col("tts") <= col("pts"))
       .select(col("pid"), col("cents"), col("channel"))
     val wP = Window.partitionBy(col("pid"))
@@ -615,7 +619,9 @@ object EventOps {
     val pb = p.withColumn("b0", floor(col("pts") / band))
       .select(col("user_id"), col("pid"), col("pts"), col("cents"),
         explode(array(col("b0") - 1, col("b0"))).as("bucket"))
-    val pairs = pb.join(t, Seq("user_id", "bucket"))
+    // SHUFFLE_HASH: same banded-pair shape and same exploded-purchase
+    // static-estimate trap as e18 — see linearAttributionFrames.
+    val pairs = pb.hint("shuffle_hash").join(t, Seq("user_id", "bucket"))
       .where(col("tts") > col("pts") - band && col("tts") <= col("pts"))
       .select(col("pid"), col("cents"), col("channel"), col("tts"), col("tid"))
     val wP = Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))

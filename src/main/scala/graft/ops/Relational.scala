@@ -303,7 +303,12 @@ object Relational {
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
     val liCold = li.join(hot, li("l_orderkey") === hot("hk"), "left_anti")
     val oCold = o.join(hot, o("o_orderkey") === hot("hk"), "left_anti")
-    val hotJoined = liHot.join(oHot,
+    // SHUFFLE_HASH: oHot is the hot dim ×S via explode — its static size
+    // estimate is the pre-explode lie (the l5 trap class), and a broadcast
+    // here would erase the very salted-shuffle split this operator exists
+    // to guarantee (hot keys spread across S reducers). The hint pins the
+    // shuffle on (key, salt) that IS the salting pattern.
+    val hotJoined = liHot.join(oHot.hint("shuffle_hash"),
       liHot("l_orderkey") === oHot("o_orderkey") && liHot("salt") === oHot("salt"))
       .select(col("o_orderpriority"), col("l_extendedprice"))
     val coldJoined = liCold.join(oCold, liCold("l_orderkey") === oCold("o_orderkey"))

@@ -139,7 +139,13 @@ object TextOps {
     // documented (shuffle on the 8-byte hash); both join sides are the
     // SAME exchange, so the shuffle is written once and reused, and
     // per-partition hash maps stay cache-sized at any corpus size.
-    val inter = a.join(b.hint("shuffle_hash"), Seq("s"))
+    // measurement-only escape (tools/PairJoinProbe, the Graphs.contribEdges
+    // pattern): -Dgraft.text.pairjoin=trap elides the hint so the probe can
+    // re-measure the rejected static-broadcast posture; never set in
+    // declared/bench paths, and PlanSpec pins the hinted shape.
+    val bSide = if (sys.props.get("graft.text.pairjoin").contains("trap")) b
+                else b.hint("shuffle_hash")
+    val inter = a.join(bSide, Seq("s"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
@@ -186,13 +192,19 @@ object TextOps {
     // canonical global shingle order: rarest first, hash as tie-break —
     // a pure function of the corpus, identical for every doc
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sv"))
-    val pref = ex.join(dfT, Seq("sv"))
+    // SHUFFLE_HASH twice below — `ex` is the exploded per-shingle table,
+    // whose static size estimate is the pre-explode lie (the l5 trap,
+    // r15 PairJoinProbe: 343 s broadcast vs 129 s shuffled at 100x, OOM
+    // at corpus scale). The df attach shuffles on sv (dfT is already
+    // sv-keyed from its aggregate), and the prefix self-join shuffles on
+    // sv with rarest-first buckets bounded by the prefix filter.
+    val pref = ex.join(dfT.hint("shuffle_hash"), Seq("sv"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
       .select(col("sv"), col("doc_id"), col("n"))
     val cand = pref.select(col("sv"), col("doc_id").as("da"), col("n").as("na"))
-      .join(pref.select(col("sv"), col("doc_id").as("db"), col("n").as("nb")),
-        Seq("sv"))
+      .join(pref.select(col("sv"), col("doc_id").as("db"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("sv"))
       .where(col("da") < col("db") &&
         col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
       .select(col("da"), col("db")).distinct()
@@ -224,10 +236,16 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
     val first = posT.where(col("w") === phrase.head)
       .select(col("doc_id"), col("pos"))
+    // SHUFFLE_HASH: each word's position list is a filtered slice of the
+    // posexploded token stream — for a common word it grows linearly with
+    // the corpus, and the static size estimate through Generate is the
+    // pre-explode lie (l5 trap class). Adjacency shuffles on (doc_id, pos);
+    // per-(doc, pos) buckets are single-digit rows at any corpus size.
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, off)) =>
       acc.join(
         posT.where(col("w") === word)
-          .select(col("doc_id"), (col("pos") - off).as("pos")),
+          .select(col("doc_id"), (col("pos") - off).as("pos"))
+          .hint("shuffle_hash"),
         Seq("doc_id", "pos"))
     }.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
@@ -308,9 +326,14 @@ object TextOps {
         .where(col("bn") <= cap).select(col("band"), col("bh"))
       bands0.join(keep, Seq("band", "bh"), "left_semi")
     }
+    // SHUFFLE_HASH: the band table is sig ×(numHashes/rowsPerBand) via
+    // posexplode, and Catalyst's static size estimate does not grow through
+    // Generate — the same lie that broadcast l5's 26M-row shingle side at
+    // 100x (343 s vs 129 s shuffled, r15 PairJoinProbe). The hint pins the
+    // shuffle on (band, bh); per-bucket build maps stay bucket-sized.
     val cand = bands.select(col("band"), col("bh"), col("doc_id").as("da"))
-      .join(bands.select(col("band"), col("bh"), col("doc_id").as("db")),
-        Seq("band", "bh"))
+      .join(bands.select(col("band"), col("bh"), col("doc_id").as("db"))
+        .hint("shuffle_hash"), Seq("band", "bh"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
     val withA = cand.join(
@@ -373,8 +396,14 @@ object TextOps {
     val store = s.read.parquet(shDir)
     // the incremental pass: batch-side signatures only, index probe on
     // (band, bh), exact verification against the stored shingle arrays
+    // SHUFFLE_HASH on the batch side: its band table is batch ×16 via
+    // posexplode — the static estimate doesn't grow through Generate, so
+    // the planner would broadcast "a daily crawl ×16" (TB-scale in
+    // production) against the history index. Shuffling on (band, bh)
+    // co-partitions the probe with the index's own layout instead.
     val cand = bandsOf(sigOf(batch))
       .select(col("band"), col("bh"), col("doc_id").as("new_id"))
+      .hint("shuffle_hash")
       .join(idx.select(col("band"), col("bh"), col("doc_id").as("old_id")),
         Seq("band", "bh"))
       .select(col("new_id"), col("old_id")).distinct()
@@ -1063,7 +1092,14 @@ object TextOps {
       df.withColumn("t", toks(col("text")))
         .select(col("doc_id"), explode(shingles(col("t"), n)).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val evalSh = sh(eval).select(col("s"), col("doc_id").as("eval_id"))
+    // distinct() before the broadcast: the eval side is benchmark-suite-
+    // sized BY CONTRACT (the author-asserted broadcast below), but its
+    // exploded shingle rows carry the static through-Generate estimate lie
+    // (the l5 trap class). The aggregate dedups repeated shingles — a
+    // semantic no-op under the count_distinct rollup — shrinks the
+    // broadcast payload to the true distinct (s, eval_id) set, and puts a
+    // shuffle boundary under the exchange so its size is runtime-measured.
+    val evalSh = sh(eval).select(col("s"), col("doc_id").as("eval_id")).distinct()
     sh(train).join(broadcast(evalSh), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("eval_id")).as("n_eval_hits"),
@@ -1248,7 +1284,11 @@ object TextOps {
     val slots = (1 to win).map(k =>
       tok.select(col("doc_id"), (col("pos") + k).as("pos"), col("w").as("wa")))
       .reduce(_ union _)
-    val pairs = slots.join(tok.withColumnRenamed("w", "wb"), Seq("doc_id", "pos"))
+    // SHUFFLE_HASH: both sides are the posexploded token stream (slots is
+    // it ×win) — corpus-scale with the static through-Generate estimate
+    // lie (l5 trap class); the pair join must shuffle on (doc_id, pos).
+    val pairs = slots.join(
+      tok.withColumnRenamed("w", "wb").hint("shuffle_hash"), Seq("doc_id", "pos"))
     val counts = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
     counts
       .withColumn("ca", sum(col("n_ab")).over(Window.partitionBy(col("wa"))))
@@ -1331,8 +1371,12 @@ object TextOps {
   val l33EditDedup: Q = (s, d) => {
     val docs = Tables.documentsWide(s, d)
     val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // SHUFFLE_HASH: the shingle table is corpus ×shingles via explode — the
+    // static-estimate-through-Generate lie (l5 trap class, r15); the
+    // self-join must shuffle on the 8-byte hash, never broadcast.
     val cand = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")).hint("shuffle_hash"),
+        Seq("s"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= 5)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -597,9 +598,22 @@ object TpcH {
     * tiebreak is deterministic. The (order, supplier) aggregate feeds BOTH
     * the per-order rollup and the late-line branch — cut once
     * ([[graft.core.Lineage.cut]]) so the post-shuffle aggregation doesn't
-    * run twice (ADVICE r14; only the shuffle files were being reused). */
-  val tq21WaitingSupplier: Q = (s, d) => {
-    val lines = graft.core.Lineage.cut(Tables.lineitem(s, d)
+    * run twice (ADVICE r14; only the shuffle files were being reused).
+    *
+    * The eager cut truncates the DECLARED query's executed plan at an RDD
+    * scan (and runs the aggregate's job at construction time — the price
+    * of materializing once; a lazy cut would compute the subtree once per
+    * branch AND a third time for the checkpoint itself). Plan-shape pins
+    * over the PRE-cut lineage therefore use [[tq21WaitingSupplierUncut]],
+    * the identical query with the cut elided (ADVICE r15). */
+  val tq21WaitingSupplier: Q = tq21With(graft.core.Lineage.cut)
+
+  /** tq21 with the lineage cut elided — full pre-cut lineage visible to
+    * plan assertions; NOT declared (the cut version is the shipped one). */
+  private[graft] val tq21WaitingSupplierUncut: Q = tq21With(identity)
+
+  private def tq21With(cut: DataFrame => DataFrame): Q = (s, d) => {
+    val lines = cut(Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),

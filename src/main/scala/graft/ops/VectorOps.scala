@@ -367,7 +367,13 @@ object VectorOps {
       .select(col("label"), col("cell"), col("vec_id").as("ida"))
     val indexSide = probes.where(col("pk") === 1)
       .select(col("label"), col("cell"), col("vec_id").as("idb"))
-    val cand = queriesSide.join(indexSide, Seq("label", "cell"))
+    // SHUFFLE_HASH: both sides are the ×K posexploded probe table (window-
+    // filtered, no aggregate), so the static size estimate is the
+    // pre-explode lie (the l5 trap class) — at corpus scale the planner
+    // would broadcast every vector's cell assignment. The candidate join
+    // shuffles on (label, cell); per-cell build maps are cell-sized.
+    val cand = queriesSide.join(indexSide.hint("shuffle_hash"),
+        Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
       .select(col("ida"), col("idb")).distinct()
     val va = base.select(col("vec_id").as("ida"), col("embedding").as("va"),
@@ -602,7 +608,12 @@ object VectorOps {
     // every index vector lives in exactly ONE cell, so a candidate pair
     // appears at most once across probed cells — no dedup exchange needed
     val wAdc = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
-    val adcTop = probes.join(index, Seq("label", "cell"))
+    // SHUFFLE_HASH on the 20-byte/row index side: `probes` is the ×K
+    // posexploded cell ranking, whose static size estimate is the
+    // pre-explode lie (the l5 trap class) — the planner would broadcast
+    // the whole corpus's probe table. Shuffled on (label, cell), build
+    // maps hold one cell's codes.
+    val adcTop = probes.join(index.hint("shuffle_hash"), Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
       .join(broadcast(queryAttrs), Seq("ida"))
       .withColumn("cosApprox",

@@ -583,6 +583,25 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       s"correlated-exists shape leaked into tq21's plan:\n$p21")
+    // the declared query's Lineage.cut truncates its executed plan at an
+    // RDD scan, so the pins above start at the checkpoint boundary. The
+    // PRE-cut lineitem⨝orders + (order, supplier) aggregate subplan is
+    // pinned on the cut-elided twin (ADVICE r15): scan filters pushed,
+    // no cartesian/nested-loop, and the shared aggregate present.
+    val pU = executed(graft.ops.TpcH.tq21WaitingSupplierUncut(spark, sfDir))
+    val allU = collectAll(pU)
+    assert(!allU.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"correlated-exists shape in tq21's pre-cut lineage:\n$pU")
+    assert(allU.exists {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.size == 2 // the shared (order, supplier) agg
+      case _ => false
+    }, s"missing the (order, supplier) aggregate in tq21's pre-cut lineage:\n$pU")
+    assert(pU.toString.contains("PushedFilters: [IsNotNull(o_orderstatus), " +
+      "EqualTo(o_orderstatus,F)"),
+      s"orders status filter not pushed in tq21's pre-cut lineage:\n$pU")
     // tq22: the no-recent-orders check is a LEFT ANTI hash join; the 1-row
     // stats cross is the only nested-loop (broadcast, single row)
     val p22 = executed(graft.SparkEntry.queries("tq22_global_sales")(spark, sfDir))
@@ -621,7 +640,16 @@ class PlanSpec extends SparkSpec {
     val lazyDf = graft.ops.Graphs.pageRank(edges, 0.85, 2)
     assert(outwScans(collectAll(executed(lazyDf))).isEmpty,
       "eager contribEdges materialization resurfaced in the default posture")
-    val lazyRows = lazyDf.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val lazyRows = lazyDf.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // join strategy / partitioning changes reorder the dst inflow sum's
+    // floating-point accumulation, so posture comparisons use a tight
+    // RELATIVE tolerance, not exact Double equality (ADVICE r15)
+    def sameRanks(rows: Array[(String, Double)], what: String): Unit = {
+      assert(rows.length == lazyRows.size && rows.forall { case (n, v) =>
+        lazyRows.get(n).exists(w =>
+          math.abs(v - w) <= 1e-12 * math.max(math.abs(v), math.abs(w)))
+      }, s"$what changed pageRank values")
+    }
     // no-broadcast posture (autoBroadcastJoinThreshold=-1, the regime a
     // 100 TB out-weight table forces): STILL lazy — AQE stage reuse runs
     // the identical build subtree once and later iterations read the
@@ -643,8 +671,8 @@ class PlanSpec extends SparkSpec {
       assert(reused.nonEmpty,
         s"no shuffle stage is reused across iterations — each iteration " +
           s"re-built the edge table:\n${all.head}")
-      assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-        == lazyRows, "broadcast posture changed pageRank values")
+      sameRanks(df.collect().map(r => (r.getString(0), r.getDouble(1))),
+        "the no-broadcast posture")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // the measurement-only override (tools/NoBroadcastProbe) must stay a
     // pure materialization choice: identical ranks, hoisted or not
@@ -653,8 +681,8 @@ class PlanSpec extends SparkSpec {
       val hoisted = graft.ops.Graphs.pageRank(edges, 0.85, 2)
       assert(outwScans(collectAll(executed(hoisted))).nonEmpty,
         "the probe's hoist override no longer materializes the edge table")
-      assert(hoisted.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
-        == lazyRows, "the probe's hoist override changed pageRank values")
+      sameRanks(hoisted.collect().map(r => (r.getString(0), r.getDouble(1))),
+        "the probe's hoist override")
     } finally sys.props.remove("graft.graphs.contrib")
   }
 
@@ -690,6 +718,45 @@ class PlanSpec extends SparkSpec {
     assert(bcastWithRawExplode.isEmpty,
       s"a broadcast join carries a RAW exploded build side (the static " +
         s"size-estimate trap):\n$plan")
+  }
+
+  test("ALL declared queries: no STATIC broadcast of a raw exploded side — " +
+       "the through-Generate size-estimate trap (r15: 343 s vs 129 s at " +
+       "100x, OOM at corpus scale) is forbidden in every plan") {
+    // Catalyst's logical size estimate does not grow through Generate/
+    // explode, so the static planner can broadcast a side whose true size
+    // is corpus-scale. The gate: in the INITIAL (pre-execution) physical
+    // plan, no BroadcastExchange may reach a GenerateExec without passing
+    // through an aggregate. The static plan is the right place to look —
+    // AQE broadcast CONVERSIONS use the real exchanged byte size and
+    // self-correct at scale, and an intervening aggregate both collapses
+    // cardinality and puts a runtime-measured shuffle under the exchange.
+    // (tools/TrapSweep.scala is the standalone probe twin of this gate;
+    // r16 swept 14 hits fixed across TextOps/EventOps/Relational/VectorOps.)
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def rawExplodeReachable(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: GenerateExec => true
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        rawExplodeReachable(q.plan)
+      case _ => p.children.exists(rawExplodeReachable)
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, sfDir).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan // initial plan
+          case p => p
+        }
+        val traps = collectAll(plan).collect {
+          case b: BroadcastExchangeExec if rawExplodeReachable(b.child) => b
+        }
+        if (traps.isEmpty) None
+        else Some(s"$name (${traps.size} broadcast(s)):\n${traps.head}")
+    }
+    assert(offenders.isEmpty,
+      s"statically-broadcast raw exploded side in:\n${offenders.mkString("\n")}")
   }
 
   test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {

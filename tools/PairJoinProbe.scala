@@ -1,17 +1,26 @@
-// Stage-level profile of the l5 inverted-index pair join at one dir —
+// Stage-level profile of the inverted-index pair-join family at one dir —
 // the DecadeRehearsal/DedupProbe r15 finding: candidate volume is exactly
 // linear (sum df^2: 27.9M at 10x -> 279M at 100x, max df 25 at both) yet
-// wall time grows 36x for 10x data. This prints per-stage duration,
-// shuffle read/write, and SPILL so the pathology names itself.
+// wall time grew 36x for 10x data until the static-broadcast-of-an-exploded-
+// side trap was fixed. Prints per-stage duration, shuffle read/write, and
+// SPILL so the pathology names itself, and records per-query totals to
+// tools/pairjoin.json (the auditable artifact behind the comments' numbers,
+// VERDICT r15 #7).
+//
+// Queries: l5 (inverted-index Jaccard) and l45 (prefix-filtered PPJoin) by
+// default; `trap` re-measures l5 with the shuffle_hash hint ELIDED
+// (-Dgraft.text.pairjoin=trap) — the rejected static-broadcast posture.
 //   SPARK_DRIVER_MEM=64g sbt 'set Compile/unmanagedSourceDirectories += file("tools")' \
-//     'runMain graft.tools.PairJoinProbe /tmp/graft_sf100'
+//     'runMain graft.tools.PairJoinProbe /tmp/graft_sf100 l5,l45,trap'
 package graft.tools
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 object PairJoinProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/graft_sf100")
+    val picks = args.lift(1).getOrElse("l5,l45,trap").split(",").toSeq
     val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTITIONS", "320").toInt
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,10 +45,42 @@ object PairJoinProbe {
     })
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     graft.core.Caches.releaseAll(spark)
-    println(s"== pair join at $d (shuffle.partitions=$parts)")
-    val t0 = System.nanoTime()
-    val n = graft.ops.TextOps.l5JaccardPairs(spark, d).count()
-    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+    var done = List.empty[String]
+    def flush(): Unit = Files.writeString(Paths.get("tools/pairjoin.json"),
+      done.reverse.mkString(
+        s"""{"dir":"$d","shuffle_partitions":$parts,"queries":{""", ",", "}}\n"))
+    picks.foreach { pick =>
+      val (label, fn): (String, () => Long) = pick match {
+        case "l5" => ("l5_jaccard_shuffled",
+          () => graft.ops.TextOps.l5JaccardPairs(spark, d).count())
+        case "l45" => ("l45_prefix_shuffled",
+          () => graft.ops.TextOps.l45PrefixJoin(spark, d).count())
+        case "trap" => ("l5_jaccard_broadcast_trap", { () =>
+          sys.props("graft.text.pairjoin") = "trap"
+          try graft.ops.TextOps.l5JaccardPairs(spark, d).count()
+          finally sys.props.remove("graft.text.pairjoin")
+        })
+        case other => (other, () => sys.error(s"unknown pick $other"))
+      }
+      println(s"== $label at $d (shuffle.partitions=$parts)")
+      val t0 = System.nanoTime()
+      val res = try Right(fn()) catch { case ex: Throwable =>
+        graft.core.Caches.releaseAll(spark)
+        Left(ex.getClass.getSimpleName)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      res match {
+        case Right(n) =>
+          println(f"total $dt%.2f s ($n pairs)")
+          done ::= f""""$label":{"sec":$dt%.2f,"pairs":$n}"""
+        case Left(err) =>
+          println(f"FAILED after $dt%.2f s: $err")
+          done ::= f""""$label":{"sec":-1,"error":"$err"}"""
+      }
+      graft.core.Caches.releaseAll(spark)
+      flush()
+    }
+    println("wrote tools/pairjoin.json")
     spark.stop()
   }
 }
