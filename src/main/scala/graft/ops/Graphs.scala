@@ -175,8 +175,21 @@ object Graphs {
       else df.persist()
 
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    val edges = pairs.select(col("da"), col("db")).unionByName(
-      pairs.select(col("db").as("da"), col("da").as("db"))).persist()
+    val tStart = System.nanoTime()
+    def el = f"${(System.nanoTime() - tStart) / 1e9}%.1fs"
+    // Both edge directions from ONE pass over `pairs`: the former
+    // union-of-two-selects re-executed the entire upstream pair plan per
+    // branch at persist-materialization time (exchange reuse only saves
+    // the shuffles) — r16 DedupProbe measured the l5e dedup-groups query
+    // at 129.6 s vs 53.6 s for the identical pair join alone at the 100x
+    // fixture, with the CC loop itself converging in 2 rounds; the
+    // duplicated upstream execution WAS the superlinear "CC" term in the
+    // r15 decade table (l49/l5f e2 ~ 1.12). The explode emits each pair
+    // in both orientations map-side, so the pair plan runs exactly once.
+    val edges = pairs.select(explode(array(
+        struct(col("da").as("da"), col("db").as("db")),
+        struct(col("db").as("da"), col("da").as("db")))).as("e"))
+      .select(col("e.da").as("da"), col("e.db").as("db")).persist()
     // Round 1 fused with vertex discovery: initial labels are the ids
     // themselves, so round 1's neighborhood-min over initial labels is just
     // min(db) per da — ONE groupBy over the edge list, no join, no separate
@@ -191,7 +204,7 @@ object Graphs {
     var frontier = cached.where(col("component") < col("prev"))
       .select(col("id"), col("component"))
     var changed = cached.where(col("component") < col("prev")).count()
-    if (debug) System.err.println(s"[cc] round=1 changed=$changed")
+    if (debug) System.err.println(s"[cc] round=1 changed=$changed t=$el")
     // The frontier's exact row count is known (it IS `changed`), so hint
     // broadcast whenever it provably fits: the per-round edges⋈frontier
     // join then probes the CACHED edge partitions in place — no exchange,
@@ -216,7 +229,7 @@ object Graphs {
         round)
       // labels are monotone decreasing: changed ⟺ strictly smaller
       changed = next.where(col("component") < col("prev")).count()
-      if (debug) System.err.println(s"[cc] round=$round changed=$changed")
+      if (debug) System.err.println(s"[cc] round=$round changed=$changed t=$el")
       frontier = next.where(col("component") < col("prev"))
         .select(col("id"), col("component"))
       labels = next.select(col("id"), col("component"))

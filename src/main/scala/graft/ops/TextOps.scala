@@ -133,12 +133,14 @@ object TextOps {
     // PairJoinProbe): Catalyst's logical size estimate does not grow
     // through Generate/explode, so the STATIC planner sees the 26M-row
     // shingle side as broadcastable and plans a BroadcastHashJoin — a
-    // single 19-task probe against one giant hash map, measured 343 s at
-    // 100x (vs 129 s shuffled), and at real corpus scale an
-    // executor-OOM. The hint forces the shape this comment always
-    // documented (shuffle on the 8-byte hash); both join sides are the
-    // SAME exchange, so the shuffle is written once and reused, and
-    // per-partition hash maps stay cache-sized at any corpus size.
+    // single 19-task probe against one giant hash map, and at real corpus
+    // scale an executor-OOM. Measured at 100x in tools/pairjoin.json
+    // (r16, 320 shuffle partitions): 57 s hinted vs 300 s in the
+    // broadcast-trap posture (-Dgraft.text.pairjoin=trap), 5.2x. The hint
+    // forces the shape this comment always documented (shuffle on the
+    // 8-byte hash); both join sides are the SAME exchange, so the shuffle
+    // is written once and reused, and per-partition hash maps stay
+    // cache-sized at any corpus size.
     // measurement-only escape (tools/PairJoinProbe, the Graphs.contribEdges
     // pattern): -Dgraft.text.pairjoin=trap elides the hint so the probe can
     // re-measure the rejected static-broadcast posture; never set in

@@ -44,6 +44,12 @@ object DecadeRehearsal {
     // are the GC-heavy ones) loses the least; the artifact is rewritten
     // after every pick for the same reason
     val picks: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      // the pair-join family, post r16 shuffle_hash sweep — the second-
+      // decade exponents of the very operators the exploded-broadcast
+      // fix re-planned (VERDICT r15 #6); cheapest-first like the rest
+      "l5b_minhash_lsh" -> graft.SparkEntry.queries("l5b_minhash_lsh"),
+      "l34_source_overlap" -> graft.SparkEntry.queries("l34_source_overlap"),
+      "l45_prefix_join" -> graft.SparkEntry.queries("l45_prefix_join"),
       "l49_dedup_keep_best" -> graft.SparkEntry.queries("l49_dedup_keep_best"),
       "l5f_dedup_apply" -> graft.SparkEntry.queries("l5f_dedup_apply"),
       "l5c_simhash_pairs" -> ((s: SparkSession, d: String) =>

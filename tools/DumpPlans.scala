@@ -173,8 +173,11 @@ object DumpPlans {
       val p = Paths.get("tools/growth_decades.json")
       if (Files.exists(p)) {
         val txt = Files.readString(p)
-        val entry = ("\"([a-z0-9_]+)\":\\{\"t\":\\[([0-9.]+),([0-9.]+),([0-9.]+)\\]," +
-          "\"rows\":\\[([0-9]+),([0-9]+),([0-9]+)\\]," +
+        // t groups accept -?: DecadeRehearsal writes -1.00 for a FAILED
+        // tier, and a failure must render as a visible FAIL row, never
+        // silently drop from the evidence table (ADVICE r15)
+        val entry = ("\"([a-z0-9_]+)\":\\{\"t\":\\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\\]," +
+          "\"rows\":\\[(-?[0-9]+),(-?[0-9]+),(-?[0-9]+)\\]," +
           "\"e1\":(-?[0-9.]+),\"e2\":(-?[0-9.]+)\\}").r
         val dg = entry.findAllMatchIn(txt).toSeq
         if (dg.nonEmpty) {
@@ -186,11 +189,66 @@ object DumpPlans {
           sb.append("e1 = ln(t10/t1)/ln 10; e2 = ln(t100/t10)/ln 10.\n\n")
           sb.append("| query | t sf0.1 | t 10x | t 100x | e 1->10 | e 10->100 |\n")
           sb.append("|---|---|---|---|---|---|\n")
+          def tcell(v: Double) = if (v < 0) "**FAIL**" else f"$v%.2f s"
+          def ecell(prev: Double, cur: Double, e: Double) =
+            if (prev < 0 || cur < 0) "—" else f"$e%.2f"
           dg.sortBy(m => -m.group(9).toDouble).foreach { m =>
-            sb.append(f"| ${m.group(1)} | ${m.group(2).toDouble}%.2f s | " +
-              f"${m.group(3).toDouble}%.2f s | ${m.group(4).toDouble}%.2f s | " +
-              f"${m.group(8).toDouble}%.2f | ${m.group(9).toDouble}%.2f |\n")
+            val Seq(t1, t10, t100) =
+              Seq(2, 3, 4).map(g => m.group(g).toDouble)
+            sb.append(s"| ${m.group(1)} | ${tcell(t1)} | ${tcell(t10)} | " +
+              s"${tcell(t100)} | ${ecell(t1, t10, m.group(8).toDouble)} | " +
+              s"${ecell(t10, t100, m.group(9).toDouble)} |\n")
           }
+        }
+      }
+    }
+    // second-decade exponent attribution (tools/DecadeAttrib, r16): per
+    // query of the r15 e2~1.1 cluster, WHICH term grew — partition-setting
+    // overhead, spill, or a real data term
+    locally {
+      val p = Paths.get("tools/decade_attrib.json")
+      if (Files.exists(p)) {
+        val txt = Files.readString(p)
+        val entry = ("\"([a-z0-9_]+)\":\\{\"t\":\\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\\]," +
+          "\"spill_mb\":\\[([0-9]+),([0-9]+),([0-9]+)\\]," +
+          "\"shuffle_write_mb\":\\[([0-9]+),([0-9]+),([0-9]+)\\]," +
+          "\"e2_mixed\":(-?[0-9.]+),\"e2_pure\":(-?[0-9.]+)\\}").r
+        val at = entry.findAllMatchIn(txt).toSeq
+        if (at.nonEmpty) {
+          sb.append("\n## Second-decade exponent ATTRIBUTION (tools/DecadeAttrib, r16)\n\n")
+          sb.append("The r15 two-decade run computed e2 across a partition-setting change\n")
+          sb.append("(10x tier at 32 shuffle partitions, 100x at 320). This isolates the\n")
+          sb.append("variable: the 10x tier re-timed at BOTH settings, e2_pure computed at\n")
+          sb.append("a fixed 320/320, with per-run spill and shuffle-write totals.\n\n")
+          sb.append("| query | t10@32 | t10@320 | t100@320 | e2 mixed | e2 pure | spill MB (3 cells) | shuffle MB |\n")
+          sb.append("|---|---|---|---|---|---|---|---|\n")
+          at.foreach { m =>
+            sb.append(s"| ${m.group(1)} | ${m.group(2)} s | ${m.group(3)} s | " +
+              s"${m.group(4)} s | ${m.group(11)} | ${m.group(12)} | " +
+              s"${m.group(5)}/${m.group(6)}/${m.group(7)} | " +
+              s"${m.group(8)}/${m.group(9)}/${m.group(10)} |\n")
+          }
+          sb.append("""
+Findings (r16, measured — /tmp logs cited in the commit):
+- **l46b**: the r15 e2 = 1.10 was the partition-setting change, not data —
+  at a fixed 320/320 the second decade is SUBLINEAR (e2_pure 0.59; the 10x
+  tier itself pays 2.3x going 32 -> 320 partitions: per-peel-round fixed
+  task overhead times ~dozens of rounds).
+- **l40**: e2_pure 1.16 with 7 GB of disk spill at the 100x tier and zero
+  at 10x — single-JVM memory pressure, not a plan defect; a cluster's
+  aggregate memory scales with the data while this rig's 64 GB does not.
+- **l49/l5f**: e2_pure ~ 1.2 with exactly-linear shuffle volumes
+  (176 -> 1864 MB) and zero spill. Phase isolation (tools/DedupProbe +
+  GRAFT_CC_DEBUG) found the term: connectedComponents built its
+  bidirectional edge list as a union of two selects over the pair plan,
+  which re-executed the ENTIRE upstream pair join once per branch at
+  persist-materialization (the CC loop itself converges in 2 rounds).
+  FIXED in r16 (single-pass explode in Graphs.connectedComponents):
+  l5e at the 100x tier 129.6 -> 108.3 s in matched back-to-back runs;
+  the residual over the bare pair join (~55 s) is persist +
+  localCheckpoint materialization and single-JVM variance (repeated
+  identical runs spread 108-145 s at this tier).
+""")
         }
       }
     }
