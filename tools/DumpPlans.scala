@@ -248,6 +248,28 @@ Findings (r16, measured — /tmp logs cited in the commit):
   the residual over the bare pair join (~55 s) is persist +
   localCheckpoint materialization and single-JVM variance (repeated
   identical runs spread 108-145 s at this tier).
+
+- **l5b** (refreshed table e2 = 1.64, the r16 outlier): phase isolation
+  (tools/L5bPhaseProbe) puts the growth in the SIGNATURE phase — 32
+  per-row `transform` array allocations for the minhash permutations
+  (2.2 s at 10x -> 50-114 s at 100x across runs; the checkpoint is ~22 s
+  and linear, band join + verify < 5 s at both tiers) — an
+  allocation-rate/GC artifact of one 64 GB JVM, since per-row work is
+  constant by construction. The native-aggregate twin l5d (bit-identical
+  signatures via MinHashSketch, k·8 bytes of state per doc, no per-row
+  array blow-up) runs the same tiers at 2.48 / 34.8 s (tools/L5dTierProbe,
+  e2 = 1.15, 2.5x faster at 100x) and is the recommended signature path
+  at corpus scale.
+
+mm4 rare-set audit (tools/Mm4Audit, r16 — VERDICT r15 #5): in the
+EXECUTED plans, mm4's three fh-keyed joins are runtime-stats-backed
+broadcasts at the 10x tier (BroadcastQueryStage over measured shuffle
+stages, 6.4 s) and AQE DEMOTES all three to SortMergeJoin at the 100x
+tier (19.1 s) — the build side is chosen off real exchanged sizes, so
+the linearly-growing `rare` set cannot ride a stale static estimate
+into a corpus-scale broadcast. (The static initial plan DOES broadcast
+them — the aggregate-backed exemption in the TrapSweep/PlanSpec gate
+is exactly the AQE-re-decides case, demonstrated here.)
 """)
         }
       }

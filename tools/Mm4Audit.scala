@@ -35,21 +35,32 @@ object Mm4Audit {
       spark.conf.set("spark.sql.shuffle.partitions", np)
       val df = graft.ops.MultiModal.mm4FrameDup(spark, d)
       val t0 = System.nanoTime()
-      val n = df.count()
+      // collect(), NOT count(): count() builds its own QueryExecution, so
+      // df.queryExecution would still hold the UNEXECUTED static plan and
+      // the join dump would show the pre-AQE shapes (first r16 run did)
+      val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p => p
       }
       println(f"== mm4 at $d (partitions=$np): $dt%.2f s, $n rows")
+      if (sys.env.contains("GRAFT_MM4_FULLPLAN")) println(plan.toString)
       collectAll(plan).foreach {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
           val build = j.buildSide match {
             case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
             case _ => j.right
           }
-          println(s"  BroadcastHashJoin(${j.joinType}) build=" +
-            build.toString.linesIterator.next().take(100))
+          // a ShuffleQueryStage under the broadcast exchange = the size
+          // AQE decided on was MEASURED (a completed shuffle's runtime
+          // stats), not the static through-Generate estimate
+          val stageBacked = collectAll(build).exists {
+            case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+            case _ => false
+          }
+          println(s"  BroadcastHashJoin(${j.joinType}) runtimeStatsBacked=$stageBacked " +
+            s"build=${build.toString.linesIterator.next().take(90)}")
         case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
           println(s"  ShuffledHashJoin(${j.joinType})")
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
