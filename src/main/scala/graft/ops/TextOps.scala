@@ -126,21 +126,38 @@ object TextOps {
         .where(col("df") <= cap).select(col("s"))
       sh0.join(keep, Seq("s"), "left_semi")
     }
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
+    // ONE tokenize pass (r16, tools/L5ShareProbe): without this explicit
+    // s-keyed repartition, the pair-join exchange (keyed s) and the sizes
+    // rollup (keyed doc_id) each re-run tokenize→shingle→hash — the
+    // CPU-dominant stage — because their shuffle keys differ and no
+    // exchange is shared. All three consumers now read ONE reused
+    // exchange, trading the second tokenize pass for one extra
+    // 16-byte-row shuffle under sizes: measured 1.61→1.23 s at sf0.1,
+    // 5.64→4.66 s at 10x, 52.5→48.0 s at 100x (min-of-2, wins at every
+    // tier). This shares only the EXCHANGE — lazy, consumers' stages
+    // still run concurrently (a persist() barrier here was measured
+    // SLOWER, see the NOTE above).
+    val shR = sh.repartition(col("s"))
+    val sizes = shR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shR.select(col("doc_id").as("da"), col("s"))
+    val b = shR.select(col("doc_id").as("db"), col("s"))
     // SHUFFLE_HASH hint — a 100x-fixture lesson (r15 DecadeRehearsal →
     // PairJoinProbe): Catalyst's logical size estimate does not grow
     // through Generate/explode, so the STATIC planner sees the 26M-row
     // shingle side as broadcastable and plans a BroadcastHashJoin — a
     // single 19-task probe against one giant hash map, and at real corpus
-    // scale an executor-OOM. Measured at 100x in tools/pairjoin.json
-    // (r16, 320 shuffle partitions): 57 s hinted vs 300 s in the
-    // broadcast-trap posture (-Dgraft.text.pairjoin=trap), 5.2x. The hint
-    // forces the shape this comment always documented (shuffle on the
-    // 8-byte hash); both join sides are the SAME exchange, so the shuffle
-    // is written once and reused, and per-partition hash maps stay
-    // cache-sized at any corpus size.
+    // scale an executor-OOM. Measured at 100x, 320 shuffle partitions
+    // (r16): 57 s hinted vs 300 s in the un-hinted static-broadcast
+    // posture, 5.2x — that was BEFORE the repartition(s) sharing above.
+    // With the shared exchange, the would-be broadcast side sits on a
+    // runtime-measured shuffle stage, so AQE demotes the broadcast even
+    // un-hinted (tools/pairjoin.json, fresh-JVM runs: 58.5 s hinted vs
+    // 76.8 s trap posture) — the hint is now defense in depth for the
+    // regime where the exchange is absent or replanned. It forces the
+    // shape this comment always documented (shuffle on the 8-byte hash);
+    // both join sides are the SAME exchange, so the shuffle is written
+    // once and reused, and per-partition hash maps stay cache-sized at
+    // any corpus size.
     // measurement-only escape (tools/PairJoinProbe, the Graphs.contribEdges
     // pattern): -Dgraft.text.pairjoin=trap elides the hint so the probe can
     // re-measure the rejected static-broadcast posture; never set in
@@ -842,6 +859,9 @@ object TextOps {
     val sh = docs.withColumn("t", toks(col("text")))
       .select(col("doc_id"), explode(shingles(col("t"))).as("s0"))
       .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      // same s-keyed exchange sharing as l5JaccardCapped (r16,
+      // tools/L5ShareProbe) — one tokenize pass for all three consumers
+      .repartition(col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("da"), col("s"))
       // same SHUFFLE_HASH hint as l5JaccardCapped — the static explode
