@@ -113,7 +113,18 @@ object TextOps {
     * exact Jaccard over the capped shingle space — the standard web-dedup
     * approximation (a shingle in >cap docs carries ~no signal for τ ≥ 0.3).
     * `None` (the declared oracle query) is the exact semantics. */
-  def l5JaccardCapped(maxShingleDf: Option[Long]): Q = (s, d) => {
+  def l5JaccardCapped(maxShingleDf: Option[Long]): Q =
+    l5JaccardCapped(maxShingleDf, pairJoinTrapPosture = false)
+
+  /** l5 core with the measurement-only trap escape as an explicit parameter
+    * (ADVICE r16: the old -Dgraft.text.pairjoin=trap sys.props escape was
+    * consulted by the DECLARED query at plan-construction time, so a leaked
+    * or concurrently-set property could silently revert l5 to the OOM-prone
+    * static-broadcast posture). Only tools/PairJoinProbe passes `true`, to
+    * re-measure the rejected posture; the declared/bench paths call the
+    * public overload above, which cannot be perturbed by process state. */
+  private[graft] def l5JaccardCapped(
+      maxShingleDf: Option[Long], pairJoinTrapPosture: Boolean): Q = (s, d) => {
     // NOTE: the shingle table feeds three subplans (both join sides and the
     // per-doc sizes); persisting it was measured SLOWER cold (the
     // materialization barrier defeats concurrent stage execution), so the
@@ -136,8 +147,12 @@ object TextOps {
     // 5.64→4.66 s at 10x, 52.5→48.0 s at 100x (min-of-2, wins at every
     // tier). This shares only the EXCHANGE — lazy, consumers' stages
     // still run concurrently (a persist() barrier here was measured
-    // SLOWER, see the NOTE above).
-    val shR = sh.repartition(col("s"))
+    // SLOWER, see the NOTE above). UNCAPPED path only (ADVICE r16): on the
+    // capped path `sh` is already the output of an s-keyed left_semi join
+    // whose input exchanges are reused, so tokenize already runs once there
+    // and an extra repartition(s) would add a full re-shuffle of the
+    // shingle table that the measured wins never covered.
+    val shR = if (maxShingleDf.isEmpty) sh.repartition(col("s")) else sh
     val sizes = shR.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shR.select(col("doc_id").as("da"), col("s"))
     val b = shR.select(col("doc_id").as("db"), col("s"))
@@ -158,12 +173,12 @@ object TextOps {
     // both join sides are the SAME exchange, so the shuffle is written
     // once and reused, and per-partition hash maps stay cache-sized at
     // any corpus size.
-    // measurement-only escape (tools/PairJoinProbe, the Graphs.contribEdges
-    // pattern): -Dgraft.text.pairjoin=trap elides the hint so the probe can
-    // re-measure the rejected static-broadcast posture; never set in
-    // declared/bench paths, and PlanSpec pins the hinted shape.
-    val bSide = if (sys.props.get("graft.text.pairjoin").contains("trap")) b
-                else b.hint("shuffle_hash")
+    // measurement-only escape: `pairJoinTrapPosture` (a package-private
+    // parameter only tools/PairJoinProbe passes) elides the hint so the
+    // probe can re-measure the rejected static-broadcast posture; the
+    // declared/bench paths can't reach it, and PlanSpec pins the hinted
+    // shape.
+    val bSide = if (pairJoinTrapPosture) b else b.hint("shuffle_hash")
     val inter = a.join(bSide, Seq("s"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
@@ -1115,12 +1130,13 @@ object TextOps {
         .select(col("doc_id"), explode(shingles(col("t"), n)).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("s"))
     // distinct() before the broadcast: the eval side is benchmark-suite-
-    // sized BY CONTRACT (the author-asserted broadcast below), but its
-    // exploded shingle rows carry the static through-Generate estimate lie
-    // (the l5 trap class). The aggregate dedups repeated shingles — a
-    // semantic no-op under the count_distinct rollup — shrinks the
-    // broadcast payload to the true distinct (s, eval_id) set, and puts a
-    // shuffle boundary under the exchange so its size is runtime-measured.
+    // sized BY CONTRACT (the author-asserted broadcast below, which Spark
+    // honors regardless of measured size — AQE does not demote an explicit
+    // hint). What the aggregate buys: it dedups repeated shingles — a
+    // semantic no-op under the count_distinct rollup — shrinking the
+    // broadcast payload to the true distinct (s, eval_id) set, and it
+    // satisfies the no-raw-explode-under-broadcast gate (the exploded rows
+    // no longer sit directly beneath the exchange).
     val evalSh = sh(eval).select(col("s"), col("doc_id").as("eval_id")).distinct()
     sh(train).join(broadcast(evalSh), Seq("s"))
       .groupBy(col("doc_id"))

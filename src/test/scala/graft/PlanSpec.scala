@@ -21,9 +21,15 @@ class PlanSpec extends SparkSpec {
   }
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     // AQE wraps materialized stages in QueryStageExec (childless); recurse
-    // into the staged plan to see the real operators.
+    // into the staged plan to see the real operators. ReusedExchangeExec and
+    // InMemoryTableScanExec are likewise leaves that HIDE a subtree (the
+    // reused exchange's original plan / the cached plan) — recurse into both,
+    // or a broadcast above a reused shuffle is invisible (ADVICE r16).
     val kids = p match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
       case _ => p.children ++ p.subqueries
     }
     p +: kids.flatMap(collectAll)
@@ -736,24 +742,44 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // the gate is vacuous if no broadcast is ever planned — pin the session
+    // posture it assumes (ADVICE r16)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      .replaceAll("[^-0-9]", "").toLong > 0,
+      "broadcast threshold is disabled — the trap gate would be vacuously green")
     def rawExplodeReachable(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => false
       case _: GenerateExec => true
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         rawExplodeReachable(q.plan)
+      // leaves hiding a subtree (ADVICE r16): a reused exchange's original
+      // plan and a cached relation's plan are exactly where the l5-shaped
+      // repartition(s)+explode subtree lives when the trap is present
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        rawExplodeReachable(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        rawExplodeReachable(c.relation.cachedPlan)
       case _ => p.children.exists(rawExplodeReachable)
     }
+    // Try per query so ONE build failure reports alongside the trap hits
+    // instead of aborting the sweep unnamed (ADVICE r16)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
-        val plan = q(spark, sfDir).queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan // initial plan
-          case p => p
+        scala.util.Try {
+          val plan = q(spark, sfDir).queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan // initial plan
+            case p => p
+          }
+          collectAll(plan).collect {
+            case b: BroadcastExchangeExec if rawExplodeReachable(b.child) => b
+          }
+        } match {
+          case scala.util.Success(traps) if traps.isEmpty => None
+          case scala.util.Success(traps) =>
+            Some(s"$name (${traps.size} broadcast(s)):\n${traps.head}")
+          case scala.util.Failure(ex) =>
+            Some(s"$name FAILED to plan: ${ex.getClass.getSimpleName}: ${ex.getMessage}")
         }
-        val traps = collectAll(plan).collect {
-          case b: BroadcastExchangeExec if rawExplodeReachable(b.child) => b
-        }
-        if (traps.isEmpty) None
-        else Some(s"$name (${traps.size} broadcast(s)):\n${traps.head}")
     }
     assert(offenders.isEmpty,
       s"statically-broadcast raw exploded side in:\n${offenders.mkString("\n")}")

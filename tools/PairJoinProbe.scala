@@ -8,8 +8,9 @@
 // VERDICT r15 #7).
 //
 // Queries: l5 (inverted-index Jaccard) and l45 (prefix-filtered PPJoin) by
-// default; `trap` re-measures l5 with the shuffle_hash hint ELIDED
-// (-Dgraft.text.pairjoin=trap) — the rejected static-broadcast posture.
+// default; `trap` re-measures l5 with the shuffle_hash hint ELIDED (via the
+// package-private l5JaccardCapped trap parameter) — the rejected
+// static-broadcast posture.
 //   SPARK_DRIVER_MEM=64g sbt 'set Compile/unmanagedSourceDirectories += file("tools")' \
 //     'runMain graft.tools.PairJoinProbe /tmp/graft_sf100 l5,l45,trap'
 package graft.tools
@@ -55,11 +56,11 @@ object PairJoinProbe {
           () => graft.ops.TextOps.l5JaccardPairs(spark, d).count())
         case "l45" => ("l45_prefix_shuffled",
           () => graft.ops.TextOps.l45PrefixJoin(spark, d).count())
-        case "trap" => ("l5_jaccard_broadcast_trap", { () =>
-          sys.props("graft.text.pairjoin") = "trap"
-          try graft.ops.TextOps.l5JaccardPairs(spark, d).count()
-          finally sys.props.remove("graft.text.pairjoin")
-        })
+        case "trap" => ("l5_jaccard_broadcast_trap",
+          // the package-private trap-posture parameter (ADVICE r16) — the
+          // declared query no longer consults process-global state
+          () => graft.ops.TextOps
+            .l5JaccardCapped(None, pairJoinTrapPosture = true)(spark, d).count())
         case other => (other, () => sys.error(s"unknown pick $other"))
       }
       println(s"== $label at $d (shuffle.partitions=$parts)")

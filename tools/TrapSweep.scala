@@ -20,8 +20,14 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 
 object TrapSweep {
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // QueryStageExec, ReusedExchangeExec, and InMemoryTableScanExec are
+    // leaves that HIDE a subtree — recurse into each, or a broadcast above
+    // a reused shuffle / cached plan is invisible (ADVICE r16)
     val kids = p match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(c.relation.cachedPlan)
       case _ => p.children ++ p.subqueries
     }
     p +: kids.flatMap(collectAll)
@@ -34,6 +40,10 @@ object TrapSweep {
     case _: GenerateExec => true
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
       rawExplodeReachable(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      rawExplodeReachable(r.child)
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      rawExplodeReachable(c.relation.cachedPlan)
     case _ => p.children.exists(rawExplodeReachable)
   }
 
