@@ -331,7 +331,7 @@ object TextOps {
     * (The l5 inverted-index path deliberately does NOT persist its exploded
     * shingle table: that one is shuffle-bound, and the barrier was measured
     * slower; this one is compute-bound and wins.) */
-  private def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private[graft] def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     tokenized(s, d, wide = true)
       .select(col("doc_id"), shingles(col("t")).as("sh"))
       .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
@@ -341,7 +341,7 @@ object TextOps {
     * Candidates collide in any band; the few survivors are exactly verified
     * by intersecting the per-doc hashed-shingle ARRAYS in place — no
     * explode, no extra shuffle of the full inverted index. */
-  private def minhashBandsVerify(
+  private[graft] def minhashBandsVerify(
       docs: DataFrame, sig: DataFrame, numHashes: Int, rowsPerBand: Int,
       maxBucket: Option[Long] = None): DataFrame = {
     val bands0 = sig.select(
@@ -398,11 +398,11 @@ object TextOps {
   val l27IncrementalDedup: Q = (s, d) => {
     val numHashes = 32
     val docs = hashedShingleDocs(s, d)
-    def sigOf(in: DataFrame): DataFrame = in.select(
-      col("doc_id"), col("hs"),
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
-      }: _*).as("sig"))
+    // signatures via the native sketch aggregate (r17, with l5b/l5d —
+    // bit-identical to the array form, see minhashSigSketch): the history
+    // index build is the 100 TB-side pass, exactly where the array form's
+    // per-row 32-transform allocation cost was measured to blow up
+    def sigOf(in: DataFrame): DataFrame = minhashSigSketch(s, in)
     def bandsOf(sig: DataFrame): DataFrame = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numHashes / 2 - 1)), b =>
@@ -458,36 +458,66 @@ object TextOps {
   private val indexBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** l5b core with the optional hot-bucket cap (see minhashBandsVerify). */
-  def l5bMinhashLshCapped(maxBucket: Option[Long]): Q = (s, d) => {
-    val numHashes = 32
-    // Shingle strings are hashed to longs ONCE; the 32 "permutations" mix
-    // the precomputed long (xxhash64 over an 8-byte input) instead of
-    // re-hashing every shingle string per permutation — 32× less string
-    // hashing, identical minhash statistics.
-    val docs = hashedShingleDocs(s, d)
-    val sig = docs.select(
-      col("doc_id"), col("hs"),
+  /** Per-doc 32-slot minhash signatures via the native
+    * [[graft.functions.MinHashSketch]] TypedImperativeAggregate over
+    * exploded shingle rows: each shingle is hashed k ways ONCE map-side
+    * into a primitive long[] buffer and only k·8 bytes per doc cross the
+    * shuffle — no per-row k-element array allocations. This is the
+    * DECLARED signature path for l5b/l5d since r17: phase isolation
+    * (tools/L5bPhaseProbe, PLANS.md) put l5b's second-decade growth in
+    * the 32 per-row `transform` allocations of the array-expression form
+    * (2.2 s at 10x → 50-114 s at 100x, an allocation-rate/GC artifact),
+    * while this sketch ran the same tiers at 2.48 / 34.8 s
+    * (tools/L5dTierProbe — 2.5× faster at 100x, e2 1.64 → 1.15). */
+  private[graft] def minhashSigSketch(
+      s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSketch.register(s)
+    docs.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("minhash_sketch(h)").as("sig"))
+  }
+
+  /** The array-EXPRESSION signature form (array_min over 32 transform
+    * lambdas) — the original l5b formulation, retained ONLY as the
+    * bit-identity witness: ScalaTest asserts its signatures equal
+    * [[minhashSigSketch]]'s slot for slot, which is what licenses the
+    * declared queries to ride the faster sketch while hash-checking
+    * against the same exact-pair oracle. Not used by any declared path. */
+  private[graft] def minhashSigArrayForm(
+      docs: DataFrame, numHashes: Int = 32): DataFrame =
+    docs.select(
+      col("doc_id"),
       array((0 until numHashes).map { i =>
         array_min(transform(col("hs"), h => xxhash64(lit(i), h)))
       }: _*).as("sig"))
-    minhashBandsVerify(docs, sig, numHashes, rowsPerBand = 2, maxBucket)
+
+  /** l5b core with the optional hot-bucket cap (see minhashBandsVerify).
+    * Signatures route through the native sketch aggregate (r17, VERDICT
+    * r16 #2) — bit-identical to the array form by construction (same
+    * xxhash64(i, h) mixing; asserted slot-for-slot in ScalaTest), so the
+    * output is unchanged and the driver's exact-pair oracle is the
+    * regression gate. */
+  def l5bMinhashLshCapped(maxBucket: Option[Long]): Q = (s, d) => {
+    // Shingle strings are hashed to longs ONCE (hashedShingleDocs); the 32
+    // "permutations" mix the precomputed long (xxhash64 over an 8-byte
+    // input) inside the sketch's update loop — 32× less string hashing,
+    // identical minhash statistics.
+    val docs = hashedShingleDocs(s, d)
+    minhashBandsVerify(docs, minhashSigSketch(s, docs),
+      numHashes = 32, rowsPerBand = 2, maxBucket)
   }
 
-  /** L5d: the SAME minhash-LSH near-dup search with signatures computed by
-    * the native [[graft.functions.MinHashSketch]] TypedImperativeAggregate
-    * over EXPLODED shingle rows — the formulation for corpora whose per-doc
-    * shingle sets are too large to materialize as row arrays: each shingle
-    * is hashed k ways once map-side and only k·8 bytes per doc cross the
-    * shuffle. Signatures are bit-identical to l5b's (same xxhash64 mixing;
-    * asserted in ScalaTest), so both paths return the same pairs. */
+  /** L5d: the same minhash-LSH search declared from the sketch-aggregate
+    * formulation's own registry slot. Since r17 l5b and l5d share the
+    * [[minhashSigSketch]] signature path (the array-expression form l5b
+    * used to carry is the slower twin at scale — see minhashSigSketch's
+    * numbers — and survives only as the equivalence witness), so the two
+    * declared queries are plan-identical; both stay declared because each
+    * ID is a SURVEY §2 operator with its own oracle history. */
   val l5dMinhashAgg: Q = (s, d) => {
-    graft.functions.MinHashSketch.register(s)
     val docs = hashedShingleDocs(s, d)
-    val sig = docs.select(col("doc_id"), explode(col("hs")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(expr("minhash_sketch(h)").as("sig"))
-    minhashBandsVerify(docs, sig, numHashes = 32, rowsPerBand = 2)
+    minhashBandsVerify(docs, minhashSigSketch(s, docs),
+      numHashes = 32, rowsPerBand = 2)
   }
 
   /** L5c: SimHash (64-bit, from xxhash64 token hashes) + near-pair search by

@@ -396,13 +396,30 @@ class ApproxOpsSpec extends SparkSpec {
         s"extra=${(pref -- exact).take(5)}")
   }
 
-  test("l5d native minhash aggregate produces l5b's exact signatures and pairs") {
-    // the TypedImperativeAggregate must be bit-identical to the array-expr
-    // path: same xxhash64(i, h) mixing, so same signatures -> same output
+  test("native minhash sketch == array-expression form, slot for slot — " +
+       "the bit-identity that licenses the declared l5b/l5d sketch path (r17)") {
+    // Since r17 the DECLARED l5b routes signatures through MinHashSketch
+    // (2.5x faster at 100x, tools/L5dTierProbe); the array-expression form
+    // survives only as this witness. The TypedImperativeAggregate must be
+    // bit-identical: same xxhash64(i, h) mixing, so same 32-slot vectors.
+    val docs = TextOps.hashedShingleDocs(spark, sfDir)
+    val arr = TextOps.minhashSigArrayForm(docs)
+      .select(col("doc_id"), col("sig").as("sa"))
+    val ske = TextOps.minhashSigSketch(spark, docs)
+      .select(col("doc_id"), col("sig").as("sk"))
+    val joined = arr.join(ske, Seq("doc_id"), "full_outer")
+    val total = joined.count()
+    val bad = joined.where(col("sa").isNull || col("sk").isNull ||
+      col("sa") =!= col("sk")).count()
+    assert(total > 0 && bad == 0,
+      s"$bad/$total docs with sketch signatures != array-form signatures")
+    // and the end-to-end reroute is output-invariant: the declared l5b
+    // (sketch path) emits exactly the pairs the array-form path did
     val b = pairSet(TextOps.l5bMinhashLsh(spark, sfDir), "da", "db")
-    val dAgg = pairSet(TextOps.l5dMinhashAgg(spark, sfDir), "da", "db")
-    assert(b.nonEmpty && dAgg == b,
-      s"agg-path pairs != array-path pairs; only-agg=${(dAgg -- b).take(3)} only-array=${(b -- dAgg).take(3)}")
+    val arrPairs = pairSet(TextOps.minhashBandsVerify(
+      docs, TextOps.minhashSigArrayForm(docs), 32, 2, None), "da", "db")
+    assert(b.nonEmpty && arrPairs == b,
+      s"sketch-path pairs != array-path pairs; only-sketch=${(b -- arrPairs).take(3)} only-array=${(arrPairs -- b).take(3)}")
   }
 
   test("l12 rolling hash: codegen matches reference implementation, pinned") {

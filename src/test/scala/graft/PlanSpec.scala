@@ -785,6 +785,24 @@ class PlanSpec extends SparkSpec {
       s"statically-broadcast raw exploded side in:\n${offenders.mkString("\n")}")
   }
 
+  test("l5b: the DECLARED plan computes signatures via the native " +
+       "minhash_sketch aggregate — not the 32-transform array form (r17)") {
+    // VERDICT r16 #2: the array-expression form's per-row 32-element
+    // transform allocations were the measured second-decade growth term
+    // (50-114 s at 100x vs the sketch's 34.8 s, tools/L5bPhaseProbe /
+    // L5dTierProbe); bit-identity with the sketch is asserted in
+    // ApproxOpsSpec, and this pins that the declared query actually RIDES
+    // the sketch.
+    val plan = executed(graft.SparkEntry.queries("l5b_minhash_lsh")(spark, sfDir))
+    val hasSketch = collectAll(plan).exists {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.exists(
+          _.aggregateFunction.isInstanceOf[graft.functions.MinHashSketch])
+      case _ => false
+    }
+    assert(hasSketch, s"no MinHashSketch aggregate in l5b's plan:\n$plan")
+  }
+
   test("l52 KS drift: every cumulative window is source-keyed — the pooled CDF never goes through a global window") {
     val plan = executed(graft.SparkEntry.queries("l52_ks_drift")(spark, sfDir))
     val wins = collectAll(plan).collect {
