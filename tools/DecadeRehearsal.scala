@@ -1,16 +1,21 @@
-// Two-decade scale rehearsal (r15): the 10x growth table answers "does
-// the plan survive one order of magnitude"; this tool answers the harder
-// question the 100 TB posture actually rests on — is the growth EXPONENT
-// STABLE across decades, or does a fixed cost that dominated at 10x hide
-// a super-linear term that only shows at 100x? Runs a representative
-// subset of the most expensive batch operators at sf0.1, the 10x dir,
-// and the 100x dir (both ScaleFixture-synthesized), and records per-tier
-// wall times plus per-decade exponents e1 = ln(t10/t1)/ln(10),
-// e2 = ln(t100/t10)/ln(10) to tools/growth_decades.json (DumpPlans
-// renders it into PLANS.md next to the single-decade table).
-//   SPARK_DRIVER_MEM=32g sbt \
-//     'set Compile/unmanagedSourceDirectories += file("tools")' \
-//     'runMain graft.tools.DecadeRehearsal /root/testdata/sf0.1 /tmp/graft_sf1 /tmp/graft_sf100'
+// Two-decade scale rehearsal (r15, fork-per-cell since r17): the 10x growth
+// table answers "does the plan survive one order of magnitude"; this tool
+// answers the harder question the 100 TB posture actually rests on — is the
+// growth EXPONENT STABLE across decades, or does a fixed cost that dominated
+// at 10x hide a super-linear term that only shows at 100x?
+//
+// r17 method fix (VERDICT r16 #1): every CELL (query × tier) runs in its own
+// forked JVM. The r15/r16 sequence-in-one-JVM method was proven to inflate
+// late 100x picks ~2.2x by JVM age (tools/pairjoin.json: l45 198.6 s aged vs
+// 88.8 s fresh), and the 32→320 shuffle-partition change between the 10x and
+// 100x tiers alone moved l46b's e2 from 1.10 to 0.59 (decade_attrib.json).
+// So this tool now measures FOUR cells per pick — 1x@32, 10x@32, 10x@320,
+// 100x@320 — each min-of-2 inside a fresh JVM, and reports BOTH
+//   e2 ("mixed", 10x@32 → 100x@320 — the deployment posture, partitions
+//       scaled with data exactly as a real cluster rollout would) and
+//   e2_pure (10x@320 → 100x@320 — FIXED setting, the clean growth exponent).
+//   sbt 'set Compile/unmanagedSourceDirectories += file("tools")' compile
+//   SPARK_DRIVER_MEM=64g tools/run.sh graft.tools.DecadeRehearsal
 // (build the dirs first with graft.tools.ScaleFixture, factors 10 / 100)
 package graft.tools
 
@@ -18,88 +23,126 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 object DecadeRehearsal {
-  def main(args: Array[String]): Unit = {
-    val dirs = Seq(
-      args.headOption.getOrElse("/root/testdata/sf0.1"),
-      args.lift(1).getOrElse("/tmp/graft_sf1"),
-      args.lift(2).getOrElse("/tmp/graft_sf100"))
-    // per-tier shuffle-partition sizing — the knob a real deployment turns
-    // as data grows, and the first 100x lesson this tool taught: at 32
-    // partitions the 100x LPA aggregate concentrates ~7.5M groups per
-    // task and dies with AGGREGATE_OUT_OF_MEMORY in a 32 GB JVM; at 320,
-    // per-task state shrinks 10x and AQE coalesces whatever is surplus.
-    // The 1x and 10x tiers run at the production setting (32): the first
-    // r15 run used 96 at 10x and DOUBLED l26/l35 there (24.96 s vs the
-    // 32-partition ScaleRehearsal's ~13.9 s) — localCheckpoint blocks
-    // keep their partition count, so over-partitioning the small tiers
-    // distorts the very exponents this tool measures.
-    val tierPartitions = Seq(32, 32, 320)
+  // the highest-exponent graph unrolls + the dedup family's heavy hitters —
+  // the operators whose 100 TB claims lean hardest on the growth evidence
+  // (the full 11-pick set stays with ScaleRehearsal; this subset is what a
+  // second decade is affordable for). Cheapest-first so an early failure
+  // loses the least; the artifact is rewritten after every pick.
+  private val pickNames = Seq(
+    "l5b_minhash_lsh", "l34_source_overlap", "l45_prefix_join",
+    "l49_dedup_keep_best", "l5f_dedup_apply", "l5c_simhash_pairs",
+    "l35_triangles", "l46b_kcore_deep", "l26_pagerank", "l40_label_prop")
+
+  private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    name match {
+      // rehearsal name that verifies a differently-named pick's plan
+      case "l5c_simhash_pairs" => (s, d) => graft.ops.TextOps.l5cSimhash(s, d)
+      case n => graft.SparkEntry.queries(n)
+    }
+
+  // cells: (json key, dir index, shuffle partitions). 1x/10x run the
+  // production setting (32 — over-partitioning the small tiers doubled
+  // l26/l35 in the first r15 run); 100x at 320 (at 32 the 100x LPA
+  // aggregate concentrates ~7.5M groups per task and dies with
+  // AGGREGATE_OUT_OF_MEMORY); 10x ALSO at 320 for the fixed-setting pair.
+  private val cells = Seq(("t1", 0, 32), ("t10", 1, 32),
+    ("t10_320", 1, 320), ("t100", 2, 320))
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("--cell")) runCell(args(1), args(2).toInt, args.drop(3))
+    else runParent(args)
+
+  /** Child mode: ONE query at ONE (dir, partitions) cell, min of two runs,
+    * in a JVM that has done nothing else but the standard sf0.001 warmup
+    * (JIT/classload parity with Bench and PairJoinProbe's fresh-JVM runs). */
+  private def runCell(name: String, cellIdx: Int, dirs: Array[String]): Unit = {
+    val (_, dirIdx, np) = cells(cellIdx)
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
-    // the highest-exponent graph unrolls + the dedup family's heavy
-    // hitters — the operators whose 100 TB claims lean hardest on the
-    // growth evidence (the full 11-pick set stays with ScaleRehearsal;
-    // this subset is what a second decade is affordable for)
-    // cheapest-first so a late-pick JVM freeze (the 100x graph unrolls
-    // are the GC-heavy ones) loses the least; the artifact is rewritten
-    // after every pick for the same reason
-    val picks: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
-      // the pair-join family, post r16 shuffle_hash sweep — the second-
-      // decade exponents of the very operators the exploded-broadcast
-      // fix re-planned (VERDICT r15 #6); cheapest-first like the rest
-      "l5b_minhash_lsh" -> graft.SparkEntry.queries("l5b_minhash_lsh"),
-      "l34_source_overlap" -> graft.SparkEntry.queries("l34_source_overlap"),
-      "l45_prefix_join" -> graft.SparkEntry.queries("l45_prefix_join"),
-      "l49_dedup_keep_best" -> graft.SparkEntry.queries("l49_dedup_keep_best"),
-      "l5f_dedup_apply" -> graft.SparkEntry.queries("l5f_dedup_apply"),
-      "l5c_simhash_pairs" -> ((s: SparkSession, d: String) =>
-        graft.ops.TextOps.l5cSimhash(s, d)),
-      "l35_triangles" -> graft.SparkEntry.queries("l35_triangles"),
-      "l46b_kcore_deep" -> graft.SparkEntry.queries("l46b_kcore_deep"),
-      "l26_pagerank" -> graft.SparkEntry.queries("l26_pagerank"),
-      "l40_label_prop" -> graft.SparkEntry.queries("l40_label_prop"))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     graft.core.Caches.releaseAll(spark)
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        d: String): (Double, Long) = {
+    spark.conf.set("spark.sql.shuffle.partitions", np)
+    val fn = queryOf(name)
+    def once(): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = fn(spark, d).count()
+      val n = fn(spark, dirs(dirIdx)).count()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.core.Caches.releaseAll(spark)
       (dt, n)
     }
-    def e(tb: Double, ts: Double): Double = math.log(tb / ts) / math.log(10.0)
+    val out = try {
+      val a = once(); val b = once()
+      f"""{"t":${math.min(a._1, b._1)}%.2f,"rows":${a._2}}"""
+    } catch { case ex: Throwable =>
+      s"""{"t":-1,"rows":-1,"err":"${ex.getClass.getSimpleName}"}"""
+    }
+    println(s"CELL $out")
+    spark.stop()
+  }
+
+  /** Parent mode: forks one JVM per (pick, cell) and assembles
+    * tools/growth_decades.json. The parent never starts Spark. */
+  private def runParent(args: Array[String]): Unit = {
+    val dirs = Seq(
+      args.headOption.getOrElse("/root/testdata/sf0.1"),
+      args.lift(1).getOrElse("/tmp/graft_sf1"),
+      args.lift(2).getOrElse("/tmp/graft_sf100"))
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")
+    val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic").map("java.base/" + _) ++
+      Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar").map("java.base/" + _))
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def forkCell(name: String, cellIdx: Int): (Double, Long) = {
+      val cmd = (Seq("java") ++ opens ++ Seq(s"-Xmx$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.tools.DecadeRehearsal", "--cell", name, cellIdx.toString) ++ dirs)
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val proc = pb.start()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      var cell: Option[(Double, Long)] = None
+      val T = """.*"t":(-?[0-9.]+),"rows":(-?[0-9]+).*""".r
+      lines.foreach {
+        case l if l.startsWith("CELL ") => l match {
+          case T(t, r) => cell = Some((t.toDouble, r.toLong))
+          case _ => println(s"    unparsable: $l")
+        }
+        case l if l.contains("ERROR") || l.contains("Exception") => println(s"    $l")
+        case _ => ()
+      }
+      val rc = proc.waitFor()
+      if (rc != 0 && cell.isEmpty) println(s"    cell JVM exited rc=$rc")
+      cell.getOrElse((-1.0, -1L))
+    }
+    def e(tb: Double, ts: Double): Double =
+      if (tb > 0 && ts > 0) math.log(tb / ts) / math.log(10.0) else -1.0
     var done = List.empty[String]
     def flush(): Unit = Files.writeString(Paths.get("tools/growth_decades.json"),
-      done.reverse.mkString("""{"tiers":[1,10,100],"queries":{""", ",", "}}\n"))
-    picks.foreach { case (name, fn) =>
-      // min of two runs per tier, like Bench/ScaleRehearsal; a tier that
-      // throws records -1 (and poisons the exponents to -1) instead of
-      // killing the whole rehearsal
-      val tiers = dirs.zip(tierPartitions).map { case (d, np) =>
-        spark.conf.set("spark.sql.shuffle.partitions", np)
-        try {
-          val a = time(fn, d); val b = time(fn, d)
-          (math.min(a._1, b._1), a._2)
-        } catch { case ex: Throwable =>
-          graft.core.Caches.releaseAll(spark)
-          println(s"$name FAILED at $d: ${ex.getClass.getSimpleName}")
-          (-1.0, -1L)
-        }
+      done.reverse.mkString(
+        """{"tiers":[1,10,100],"fresh_jvm_per_cell":true,""" +
+          """"tier_partitions":[32,32,320],"pure_partitions":320,"queries":{""",
+        ",", "}}\n"))
+    pickNames.foreach { name =>
+      val t0 = System.nanoTime()
+      val res = cells.indices.map { i =>
+        val r = forkCell(name, i)
+        println(f"  ${cells(i)._1}%-8s t=${r._1}%8.2f s rows=${r._2}")
+        r
       }
-      val ts = tiers.map(_._1)
-      val (e1, e2) = (
-        if (ts(0) > 0 && ts(1) > 0) e(ts(1), ts(0)) else -1.0,
-        if (ts(1) > 0 && ts(2) > 0) e(ts(2), ts(1)) else -1.0)
-      println(f"$name%-22s t=${ts(0)}%6.2f / ${ts(1)}%7.2f / ${ts(2)}%8.2f s" +
-        f"  rows=${tiers(0)._2}%d/${tiers(1)._2}%d/${tiers(2)._2}%d" +
-        f"  e1=$e1%5.2f e2=$e2%5.2f")
-      done ::= (f""""$name":{"t":[${ts(0)}%.2f,${ts(1)}%.2f,${ts(2)}%.2f],""" +
-        s""""rows":[${tiers.map(_._2).mkString(",")}],""" +
-        f""""e1":$e1%.2f,"e2":$e2%.2f}""")
+      val Seq(c1, c10, c10p, c100) = res.toSeq
+      val (e1, e2m, e2p) =
+        (e(c10._1, c1._1), e(c100._1, c10._1), e(c100._1, c10p._1))
+      println(f"$name%-22s t=${c1._1}%6.2f / ${c10._1}%7.2f / ${c10p._1}%7.2f@320" +
+        f" / ${c100._1}%8.2f s  e1=$e1%5.2f e2_mixed=$e2m%5.2f e2_pure=$e2p%5.2f" +
+        f"  (${(System.nanoTime() - t0) / 6e10}%.1f min)")
+      done ::= (f""""$name":{"t":[${c1._1}%.2f,${c10._1}%.2f,${c100._1}%.2f],""" +
+        s""""rows":[${c1._2},${c10._2},${c100._2}],""" +
+        f""""e1":$e1%.2f,"e2":$e2m%.2f,""" +
+        f""""t10_320":${c10p._1}%.2f,"e2_pure":$e2p%.2f}""")
       flush()
     }
-    println("wrote tools/growth_decades.json")
-    spark.stop()
+    println("wrote tools/growth_decades.json (fresh JVM per cell)")
   }
 }

@@ -178,26 +178,54 @@ object DumpPlans {
         // silently drop from the evidence table (ADVICE r15)
         val entry = ("\"([a-z0-9_]+)\":\\{\"t\":\\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\\]," +
           "\"rows\":\\[(-?[0-9]+),(-?[0-9]+),(-?[0-9]+)\\]," +
-          "\"e1\":(-?[0-9.]+),\"e2\":(-?[0-9.]+)\\}").r
+          "\"e1\":(-?[0-9.]+),\"e2\":(-?[0-9.]+)" +
+          "(?:,\"t10_320\":(-?[0-9.]+),\"e2_pure\":(-?[0-9.]+))?\\}").r
         val dg = entry.findAllMatchIn(txt).toSeq
+        val fresh = txt.contains("\"fresh_jvm_per_cell\":true")
         if (dg.nonEmpty) {
           sb.append("\n## Measured TWO-DECADE scale growth (sf0.1 -> 10x -> 100x, tools/DecadeRehearsal)\n\n")
           sb.append("The heaviest graph unrolls + dedup operators rerun on a 100x\n")
           sb.append("ScaleFixture dir as well: a stable (or falling) exponent across the\n")
           sb.append("second decade is the evidence the single-decade table can't give —\n")
           sb.append("a fixed cost that dominates at 10x would hide a super-linear term.\n")
-          sb.append("e1 = ln(t10/t1)/ln 10; e2 = ln(t100/t10)/ln 10.\n\n")
-          sb.append("| query | t sf0.1 | t 10x | t 100x | e 1->10 | e 10->100 |\n")
-          sb.append("|---|---|---|---|---|---|\n")
+          if (fresh) {
+            sb.append("Every CELL (query x tier) runs in its OWN forked JVM (r17 — the\n")
+            sb.append("sequence-in-one-JVM method was proven to inflate late 100x picks\n")
+            sb.append("~2.2x by JVM age, tools/pairjoin.json), at fixed per-tier partition\n")
+            sb.append("settings 32/32/320 plus a 10x@320 cell for the fixed-setting pair.\n")
+            sb.append("e1 = ln(t10/t1)/ln 10 (both @32);\n")
+            sb.append("e2 mixed = ln(t100@320/t10@32)/ln 10 — the DEPLOYMENT exponent,\n")
+            sb.append("partitions scaled with data as a rollout would;\n")
+            sb.append("e2 PURE = ln(t100@320/t10@320)/ln 10 — the clean growth exponent\n")
+            sb.append("at one documented setting (the number scale claims rest on).\n\n")
+            sb.append("| query | t sf0.1 | t 10x | t 10x@320 | t 100x | e 1->10 | e2 mixed | e2 PURE |\n")
+            sb.append("|---|---|---|---|---|---|---|---|\n")
+          } else {
+            sb.append("e1 = ln(t10/t1)/ln 10; e2 = ln(t100/t10)/ln 10.\n\n")
+            sb.append("| query | t sf0.1 | t 10x | t 100x | e 1->10 | e 10->100 |\n")
+            sb.append("|---|---|---|---|---|---|\n")
+          }
           def tcell(v: Double) = if (v < 0) "**FAIL**" else f"$v%.2f s"
           def ecell(prev: Double, cur: Double, e: Double) =
             if (prev < 0 || cur < 0) "—" else f"$e%.2f"
-          dg.sortBy(m => -m.group(9).toDouble).foreach { m =>
+          def sortKey(m: scala.util.matching.Regex.Match) =
+            -(if (fresh && m.group(11) != null) m.group(11).toDouble
+              else m.group(9).toDouble)
+          dg.sortBy(sortKey).foreach { m =>
             val Seq(t1, t10, t100) =
               Seq(2, 3, 4).map(g => m.group(g).toDouble)
-            sb.append(s"| ${m.group(1)} | ${tcell(t1)} | ${tcell(t10)} | " +
-              s"${tcell(t100)} | ${ecell(t1, t10, m.group(8).toDouble)} | " +
-              s"${ecell(t10, t100, m.group(9).toDouble)} |\n")
+            if (fresh && m.group(10) != null) {
+              val t10p = m.group(10).toDouble
+              sb.append(s"| ${m.group(1)} | ${tcell(t1)} | ${tcell(t10)} | " +
+                s"${tcell(t10p)} | ${tcell(t100)} | " +
+                s"${ecell(t1, t10, m.group(8).toDouble)} | " +
+                s"${ecell(t10, t100, m.group(9).toDouble)} | " +
+                s"${ecell(t10p, t100, m.group(11).toDouble)} |\n")
+            } else {
+              sb.append(s"| ${m.group(1)} | ${tcell(t1)} | ${tcell(t10)} | " +
+                s"${tcell(t100)} | ${ecell(t1, t10, m.group(8).toDouble)} | " +
+                s"${ecell(t10, t100, m.group(9).toDouble)} |\n")
+            }
           }
         }
       }
@@ -229,14 +257,69 @@ object DumpPlans {
               s"${m.group(8)}/${m.group(9)}/${m.group(10)} |\n")
           }
           sb.append("""
-Findings (r16, measured — /tmp logs cited in the commit):
+### r17 ADJUDICATION of the dedup-family e2 ~ 1.2-1.4 cluster (VERDICT r16 #1)
+
+The fresh-JVM-per-cell remeasure at fixed partitions (the table above's
+method) first CONFIRMED the cluster was real — with JVM age and the
+partition setting ruled out by construction, the dedup family still
+measured e2_pure 1.19-1.39 on the single-file fixtures while the graph
+family came back clean (l26 0.47, l40 0.85, l46b 0.86, l35 0.97). Phase
+attribution with GC/CPU/run task metrics (tools/L34PhaseProbe) then
+showed the growth was NOT work: l34's total task CPU scaled linearly
+(20.0 -> 194.7 cpu-s for 10x data), spill zero, GC <= 3.4 s — but mean
+parallelism COLLAPSED from ~13.7 busy cores at 10x to ~3.2 at 100x.
+
+Root cause: tools/ScaleFixture inherited ONE partition from the
+single-file source dirs, so every synthesized tier was one parquet file
+with ONE ROW GROUP (pyarrow-verified: 500k rows, 1 row group at 100x) —
+and a parquet scan cannot split inside a row group, so the scan-side map
+stage (tokenize -> shingle -> hash, the dedup family's CPU-dominant
+phase) ran as ONE TASK at every tier: a serial term growing ~n that
+Amdahl's law turns into a rising wall-clock exponent. The graph family
+dodged it because its cost is iterative rounds over checkpointed,
+properly-partitioned intermediates — the one serial scan is amortized.
+ScaleFixture now writes ONE FILE PER COPY (range-partitioned by copy):
+file count grows with the corpus — exactly how production data lands —
+and the table above is measured on that layout.
+
+Before/after at the 100x tier, same fresh-JVM-per-cell method (before =
+single-file layout, run earlier the same day r17; after = the table):
+l5b 39.15 s -> 5.61 s (e2_pure 1.19 -> 0.44); l34 83.70 -> 18.19
+(1.39 -> 0.74); l45 97.00 -> 49.38 (1.19 -> 0.93); l49 93.56 -> 43.11
+(1.23 -> 1.01); l5f 77.41 -> 31.98 (1.19 -> 0.87). The entire cluster
+moved to <= 1.0 from one harness fix with zero plan changes. This also
+corrects r16's l5b attribution below: the "allocation-rate/GC artifact"
+was the serial scan stage (GC measured negligible once instrumented);
+the sketch reroute stays justified — fewer allocations per row in ANY
+regime, 2.5x measured in the serial regime — but the exponent itself
+was the fixture's.
+
+The 100 TB reading: the cluster was never a plan defect — every dedup
+plan's shuffle/join/aggregate structure scales linearly in task CPU —
+it was the test harness starving the plan of input splits. A real
+corpus arrives as many files/row groups by construction.
+
+Findings (r16, measured — /tmp logs cited in the commit; l5b's
+attribution CORRECTED by the r17 finding above):
 - **l46b**: the r15 e2 = 1.10 was the partition-setting change, not data —
   at a fixed 320/320 the second decade is SUBLINEAR (e2_pure 0.59; the 10x
   tier itself pays 2.3x going 32 -> 320 partitions: per-peel-round fixed
   task overhead times ~dozens of rounds).
-- **l40**: e2_pure 1.16 with 7 GB of disk spill at the 100x tier and zero
-  at 10x — single-JVM memory pressure, not a plan defect; a cluster's
-  aggregate memory scales with the data while this rig's 64 GB does not.
+- **l40** (r17 probe, VERDICT r16 #3 — the separating experiment): the
+  100x spill is the ONE-RIG MEMORY CEILING, and the partition knob, not
+  memory, is what moves wall time. On the corrected multi-file layout
+  the restored 32-way scan parallelism puts ~32 concurrent per-round
+  aggregates in one 64 GB heap: the fixed-320 cell sits at the cliff
+  (one run OOM'd — the FAIL row above — and the surviving probe run took
+  269.5 s with 5.8 GB spill), while 640 partitions — per-task state
+  halved, the exact knob a deployment turns as data grows — ran
+  168.7 s (tools/l40_spill.json; e2 vs the 18.6 s 10x tier = 0.96,
+  linear). Spill BYTES rose at 640 (36 GB) while time fell 1.6x — the
+  spill is sort/agg working-set traffic the OS absorbs, not the
+  bottleneck; the bottleneck is peak aggregate state vs heap, which
+  horizontal scale (more partitions, or a cluster's per-node memory)
+  removes. The per-round (node,label) key space itself is linear in the
+  data — no plan defect.
 - **l49/l5f**: e2_pure ~ 1.2 with exactly-linear shuffle volumes
   (176 -> 1864 MB) and zero spill. Phase isolation (tools/DedupProbe +
   GRAFT_CC_DEBUG) found the term: connectedComponents built its
@@ -249,17 +332,31 @@ Findings (r16, measured — /tmp logs cited in the commit):
   localCheckpoint materialization and single-JVM variance (repeated
   identical runs spread 108-145 s at this tier).
 
-- **l5b** (refreshed table e2 = 1.64, the r16 outlier): phase isolation
-  (tools/L5bPhaseProbe) puts the growth in the SIGNATURE phase — 32
+- **l34** (r17, VERDICT r16 #4 — the never-probed pair-family member):
+  fully attributed by tools/L34PhaseProbe. On the single-file layout its
+  e2_pure was the WORST in the family (1.39, 83.7 s at 100x) with
+  linear task CPU (20.0 -> 194.7 cpu-s), zero spill, GC <= 3.4 s, and
+  mean parallelism collapsed to ~3 cores — the serial-scan artifact in
+  its purest form, since l34's cost is almost entirely the scan-side
+  tokenize/shingle/distinct. On the corrected layout the same probe
+  shows ~23 busy cores and the full query drops to 18.2 s fresh-JVM
+  (e2_pure 0.74); phase CPU splits ~linearly across distinct (source,h)
+  build and the bounded self-join, both shuffling linear byte volumes
+  (78 MB at 10x -> 605 MB at 100x).
+- **l5b** (r16 table e2 = 1.64, the outlier): phase isolation
+  (tools/L5bPhaseProbe) put the growth in the SIGNATURE phase — 32
   per-row `transform` array allocations for the minhash permutations
   (2.2 s at 10x -> 50-114 s at 100x across runs; the checkpoint is ~22 s
   and linear, band join + verify < 5 s at both tiers) — an
   allocation-rate/GC artifact of one 64 GB JVM, since per-row work is
-  constant by construction. The native-aggregate twin l5d (bit-identical
-  signatures via MinHashSketch, k·8 bytes of state per doc, no per-row
-  array blow-up) runs the same tiers at 2.48 / 34.8 s (tools/L5dTierProbe,
-  e2 = 1.15, 2.5x faster at 100x) and is the recommended signature path
-  at corpus scale.
+  constant by construction. FIXED in r17: the DECLARED l5b (and l27's
+  history-index build) now route signatures through the native
+  MinHashSketch TypedImperativeAggregate — bit-identical by construction
+  (same xxhash64(i, h) mixing; asserted slot-for-slot in ApproxOpsSpec,
+  plan pinned in PlanSpec), measured 2.48 / 34.8 s at the same tiers
+  before the switch (tools/L5dTierProbe, 2.5x faster at 100x). The
+  two-decade table above is post-reroute evidence: l5b's cells are the
+  sketch path, fresh-JVM.
 
 mm4 rare-set audit (tools/Mm4Audit, r16 — VERDICT r15 #5): in the
 EXECUTED plans, mm4's three fh-keyed joins are runtime-stats-backed

@@ -47,9 +47,32 @@ object PairJoinProbe {
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     graft.core.Caches.releaseAll(spark)
     var done = List.empty[String]
-    def flush(): Unit = Files.writeString(Paths.get("tools/pairjoin.json"),
-      done.reverse.mkString(
-        s"""{"dir":"$d","shuffle_partitions":$parts,"queries":{""", ",", "}}\n"))
+    // MERGE with the existing artifact (r17): the honest method is ONE pick
+    // per JVM invocation (r16 proved same-JVM sequences invert comparisons:
+    // a warm third pick "beats" a cold first one) — so each invocation
+    // measures its picks fresh and carries forward previously-recorded
+    // entries it didn't re-measure. fresh_jvm_per_query is only claimed
+    // when every invocation contributing to the file ran a single pick.
+    val out = Paths.get("tools/pairjoin.json")
+    val prior: Map[String, String] = if (Files.exists(out)) {
+      val txt = Files.readString(out)
+      """"([a-z0-9_]+)":(\{"sec":[^}]*\})""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } else Map.empty
+    val priorFresh = !Files.exists(out) ||
+      Files.readString(out).contains(""""fresh_jvm_per_query":true""")
+    def flush(): Unit = {
+      val mine = done.reverse.map { e =>
+        val k = e.takeWhile(_ != ':').stripPrefix("\"").stripSuffix("\"")
+        k -> e.dropWhile(_ != ':').drop(1)
+      }
+      val merged = (prior ++ mine).toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+      val fresh = priorFresh && picks.size == 1
+      Files.writeString(out, merged.mkString(
+        s"""{"dir":"$d","shuffle_partitions":$parts,""" +
+          s""""fresh_jvm_per_query":$fresh,"queries":{""", ",", "}}\n"))
+    }
     picks.foreach { pick =>
       val (label, fn): (String, () => Long) = pick match {
         case "l5" => ("l5_jaccard_shuffled",

@@ -47,9 +47,22 @@ object ScaleFixture {
     def rep(name: String)(f: DataFrame => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val outDf = f(base.crossJoin(ks))
-      outDf.select(base.columns.map(col).toIndexedSeq: _*)
+      // ONE FILE PER COPY (r17): the source sf dirs are single-file, so the
+      // crossJoin inherited ONE partition and every synthesized tier was
+      // written as a single file with a single row group — which serialized
+      // the entire scan-side map stage (tokenize/shingle/hash for the dedup
+      // family) onto ONE task at EVERY tier. That fixture artifact was the
+      // dedup family's "superlinear" second decade: linear task CPU, but a
+      // serial term growing from a sliver of wall at 10x to dominant at
+      // 100x (tools/L34PhaseProbe r17: avg parallelism 13.7 cores at 10x
+      // -> 3.2 at 100x, GC/spill ~0). Range-partitioning by copy writes
+      // `copies` files of CONSTANT size — exactly how a real corpus grows
+      // (file count tracks data; splits parallelize the scan by
+      // construction) and what the replication semantics above model.
+      outDf.repartitionByRange(copies, col("k"))
+        .select(base.columns.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"wrote $out/$name.parquet (${copies}x)")
+      println(s"wrote $out/$name.parquet (${copies}x, $copies files)")
     }
     def shift(c: String): Column = col(c) + col("k") * off
     rep("orders")(df => df

@@ -261,6 +261,9 @@ def main():
         elif mandatory:
             print(f"  sbt 'testOnly {' '.join(mandatory)}'  # mandatory "
                   f"even under --skip-tests")
+        if any(f.startswith(f"{MAIN}/graft/ops/") for f in changed_main):
+            print(f"  sbt 'runMain graft.tools.TrapSweep {a.sf}'  "
+                  f"# ops/ changed -> exploded-broadcast sweep")
         return 0
 
     what = "src+test" + ("+tools" if changed_tools else "")
@@ -294,6 +297,24 @@ def main():
                           cwd=REPO)
         if r.returncode != 0:
             print("[preship] FAIL: spec failure")
+            return 1
+
+    # VERDICT r16 stretch #7: an ops/ change re-plans declared queries, so
+    # run the standalone exploded-broadcast sweep (tools/TrapSweep) over
+    # ALL declared static plans. This is the same predicate as PlanSpec's
+    # all-queries gate but with per-query error isolation and timings, and
+    # it runs even under --skip-tests (a hint dropped in refactoring is
+    # exactly the silent, value-invisible regression class).
+    if any(f.startswith(f"{MAIN}/graft/ops/") for f in changed_main):
+        print("[preship] ops/ changed — running the exploded-broadcast "
+              "trap sweep over all declared plans ...")
+        r = subprocess.run(
+            ["sbt", "-batch",
+             'set Compile/unmanagedSourceDirectories += file("tools")',
+             f"runMain graft.tools.TrapSweep {a.sf}"], cwd=REPO)
+        if r.returncode != 0:
+            print("[preship] FAIL: trap sweep flagged a statically-"
+                  "broadcast raw exploded side (or a query failed to plan)")
             return 1
     print("[preship] gate PASSED — safe to commit")
     return 0
