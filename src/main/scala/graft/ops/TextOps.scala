@@ -166,10 +166,13 @@ object TextOps {
     // posture, 5.2x — that was BEFORE the repartition(s) sharing above.
     // With the shared exchange, the would-be broadcast side sits on a
     // runtime-measured shuffle stage, so AQE demotes the broadcast even
-    // un-hinted (tools/pairjoin.json, fresh-JVM runs: 58.5 s hinted vs
-    // 76.8 s trap posture) — the hint is now defense in depth for the
-    // regime where the exchange is absent or replanned. It forces the
-    // shape this comment always documented (shuffle on the 8-byte hash);
+    // un-hinted (tools/pairjoin.json, fresh-JVM runs: r16 single-file
+    // fixture 58.5 s hinted vs 76.8 s trap; r17 multi-file fixture
+    // 28.2 s hinted vs 50.2 s trap — 1.8x, the hint stays load-bearing
+    // on a realistically-partitioned corpus) — the hint is defense in
+    // depth for the regime where the exchange is absent or replanned. It
+    // forces the shape this comment always documented (shuffle on the
+    // 8-byte hash);
     // both join sides are the SAME exchange, so the shuffle is written
     // once and reused, and per-partition hash maps stay cache-sized at
     // any corpus size.

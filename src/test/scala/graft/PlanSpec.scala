@@ -19,6 +19,38 @@ class PlanSpec extends SparkSpec {
       case p => p
     }
   }
+  /** A Generate is reachable from here without an intervening aggregate —
+    * i.e. a broadcast's size estimate here is the pre-explode lie (the
+    * shared predicate of the all-queries trap gate and its regression
+    * test; twin of tools/TrapSweep.rawExplodeReachable). */
+  private def rawExplodeReachable(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+    case _: org.apache.spark.sql.execution.GenerateExec => true
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      rawExplodeReachable(q.plan)
+    // leaves hiding a subtree (ADVICE r16): a reused exchange's original
+    // plan and a cached relation's plan are exactly where the l5-shaped
+    // repartition(s)+explode subtree lives when the trap is present
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      rawExplodeReachable(r.child)
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      rawExplodeReachable(c.relation.cachedPlan)
+    case _ => p.children.exists(rawExplodeReachable)
+  }
+
+  /** Statically-planned broadcasts of a raw exploded side in `df`'s
+    * INITIAL (pre-execution) physical plan. */
+  private def staticTraps(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // initial plan
+      case p => p
+    }
+    collectAll(plan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if rawExplodeReachable(b.child) => b
+    }
+  }
+
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
     // AQE wraps materialized stages in QueryStageExec (childless); recurse
     // into the staged plan to see the real operators. ReusedExchangeExec and
@@ -747,32 +779,12 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       .replaceAll("[^-0-9]", "").toLong > 0,
       "broadcast threshold is disabled — the trap gate would be vacuously green")
-    def rawExplodeReachable(p: SparkPlan): Boolean = p match {
-      case _: BaseAggregateExec => false
-      case _: GenerateExec => true
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        rawExplodeReachable(q.plan)
-      // leaves hiding a subtree (ADVICE r16): a reused exchange's original
-      // plan and a cached relation's plan are exactly where the l5-shaped
-      // repartition(s)+explode subtree lives when the trap is present
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        rawExplodeReachable(r.child)
-      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        rawExplodeReachable(c.relation.cachedPlan)
-      case _ => p.children.exists(rawExplodeReachable)
-    }
     // Try per query so ONE build failure reports alongside the trap hits
     // instead of aborting the sweep unnamed (ADVICE r16)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         scala.util.Try {
-          val plan = q(spark, sfDir).queryExecution.executedPlan match {
-            case a: AdaptiveSparkPlanExec => a.executedPlan // initial plan
-            case p => p
-          }
-          collectAll(plan).collect {
-            case b: BroadcastExchangeExec if rawExplodeReachable(b.child) => b
-          }
+          staticTraps(q(spark, sfDir))
         } match {
           case scala.util.Success(traps) if traps.isEmpty => None
           case scala.util.Success(traps) =>
@@ -783,6 +795,25 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"statically-broadcast raw exploded side in:\n${offenders.mkString("\n")}")
+  }
+
+  test("the trap gate SEES a known-bad plan: l5's unhinted trap posture " +
+       "is flagged even when the explode hides under a reused exchange (ADVICE r16)") {
+    // Positive control for the detector itself. The trap posture (shuffle_
+    // hash hint elided via the package-private measurement parameter) is
+    // the shape that ran 343 s vs 129 s at 100x and OOMs at corpus scale;
+    // with the shared repartition(s) exchange, one join side's subtree is
+    // a ReusedExchangeExec — the exact leaf the pre-r17 gate could not see
+    // through. If this stops flagging, the gate has gone blind, not the
+    // plan clean.
+    val trapped = graft.ops.TextOps
+      .l5JaccardCapped(None, pairJoinTrapPosture = true)(spark, sfDir)
+    assert(staticTraps(trapped).nonEmpty,
+      "the gate no longer flags l5's known-bad static-broadcast posture " +
+        s"— detector regression:\n${trapped.queryExecution.executedPlan}")
+    // and the DECLARED l5 plan stays clean under the same detector
+    assert(staticTraps(graft.ops.TextOps.l5JaccardPairs(spark, sfDir)).isEmpty,
+      "declared l5 plan carries a static raw-explode broadcast")
   }
 
   test("l5b: the DECLARED plan computes signatures via the native " +
