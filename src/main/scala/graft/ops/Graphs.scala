@@ -484,9 +484,18 @@ object Graphs {
     val nodes = bi.select(col("u").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node"))
     for (r <- 1 to rounds) {
-      // argmax by (count desc, label asc) as a HASH aggregation:
-      // max(struct(c, -label)) picks the highest count, then the lowest
-      // label — no per-node sort, and the partial agg combines map-side
+      // argmax by (count desc, label asc): max(struct(c, -label)) picks
+      // the highest count, then the lowest label; the partial agg still
+      // combines map-side. Plans as a SortAggregate (a struct max is not
+      // hash-aggregable) — an r17 experiment packed (count, label) into
+      // one BIGINT to make this a HashAggregate and was REJECTED on
+      // measurement: the struct path won all three fresh-JVM pairs at the
+      // 100x tier (307/124/201 s vs packed 347/178/288 s) and spilled
+      // LESS (tools/l40_argmax.json, tools/L40ArgmaxProbe). The sort is
+      // not the bottleneck: the SortAggregate streams its sorted input
+      // with bounded memory and hands the next round already-ordered
+      // rows, while the hash map adds per-task state exactly where the
+      // tier is memory-bound (the l40_spill.json cliff).
       labels = cutRound(lpaRound(bi, labels), r, rounds)
     }
     labels.select(col("node"), col("lab").as("community"))

@@ -329,7 +329,7 @@ class PlanSpec extends SparkSpec {
     assert(bad.size <= 2, s"unkeyed join beyond the 1-row count cross in triangle plan:\n$plan")
   }
 
-  test("l40 label propagation: keyed equi-joins only, hash-agg argmax — no window, no unkeyed join") {
+  test("l40 label propagation: keyed equi-joins only, aggregate argmax — no window, no unkeyed join") {
     val plan = executed(graft.SparkEntry.queries("l40_label_prop")(spark, sfDir))
     val all = collectAll(plan)
     val bad = all.filter(p =>
@@ -337,7 +337,7 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(bad.isEmpty, s"unkeyed join in LPA plan:\n$plan")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      s"per-round argmax should be max(struct(c, -label)) hash aggregation, not a window sort:\n$plan")
+      s"per-round argmax should be max(struct(c, -label)) aggregation, not a window sort:\n$plan")
   }
 
   test("l41 DSIR: gram-keyed equi-joins; only the 1-row stats cross is unkeyed") {

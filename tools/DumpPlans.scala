@@ -102,7 +102,7 @@ object DumpPlans {
       "tq22_global_sales" -> "TPC-H Q22 (adapted): the no-recent-orders check is a LEFT ANTI hash join on custkey (PlanSpec-pinned); the above-average-balance threshold is a 1-row stats BROADCAST cross compared in EXACT integer arithmetic (acctbal_cents * n_pos > sum_cents), so the qualifying set is engine-independent; the final rollup's key space is the 6 country codes.",
       "l46b_kcore_deep" -> "The PEELING k-core twin of l46 (k=75, inside the fixture's degree distribution at every SF): the same once-built u-partitioned edge base and node-scale per-round state, but each of the 3 rounds actually removes nodes (sf0.001 cascade: 200 -> 176 -> 143 -> 54 survivors), so the measured cost and the 10x exponent price real peel work — decrement counts via semi-join on the removed set, degree table updated by anti-join + left join, edges never rewritten.",
       "kcore_converged" -> "Run-to-convergence k-core (registry converge=true): the SAME per-round shape as l46 (one degree aggregation + two node-scale semi-joins) but each round materializes for the free edge-count stop signal; shown is the final round's plan over the previous round's checkpoint-backed edge base — lineage never deepens past one round.",
-      "label_prop_converged" -> "Run-to-convergence LPA (registry converge=true): per round the l40 shape (edge join + struct-MAX argmax hash agg) plus one node-keyed changed-count join (integer rows); shown is the final round over the prior round's checkpoint — the unroll never composes.",
+      "label_prop_converged" -> "Run-to-convergence LPA (registry converge=true): per round the l40 shape (edge join + struct-MAX argmax SortAggregate — the r17 packed-long HashAggregate variant measured slower, tools/l40_argmax.json) plus one node-keyed changed-count join (integer rows); shown is the final round over the prior round's checkpoint — the unroll never composes.",
       "pagerank_converged" -> "Run-to-convergence PageRank (registry converge=true): per round the l26 shape (edge contribution join + dst inflow agg) plus the node-keyed L1-delta join; rank vectors live as round checkpoints, so the plan stays one-round deep at any iteration count.",
       "l52_ks_drift" -> "Two-sample KS length drift: one (source, length) count shuffle reduces the corpus to grid rows; CDFs are source-keyed cumulative windows; the pooled cumulative REAGGREGATES per-source cumulatives by length — no global window anywhere.")
     // the declared SparkEntry entries for the ANN family are property
@@ -320,6 +320,19 @@ attribution CORRECTED by the r17 finding above):
   horizontal scale (more partitions, or a cluster's per-node memory)
   removes. The per-round (node,label) key space itself is linear in the
   data — no plan defect.
+- **l40 argmax encoding** (r17 follow-up, tested and REJECTED): the plan
+  read found the per-round argmax `max(struct(c, -label))` planned as a
+  SortAggregate (a struct max is not hash-aggregable), so a packed-long
+  variant — `(c << labelBits) | (mask - label)`, bit-identical argmax as
+  a codegen'd HashAggregate — was built and A/B'd fresh-JVM-per-cell at
+  320 partitions (tools/L40ArgmaxProbe, tools/l40_argmax.json). The
+  struct path won all three 100x pairs (307/124/201 s vs packed
+  347/178/288 s; within-pair +13%/+43%/+43% against packed) and spilled
+  LESS (3.8-5.1 GB vs 5.2-5.5 GB); sf0.1 was a wash. Reading: the
+  SortAggregate streams its sorted input with bounded memory and hands
+  the next round ordered rows, while the hash map adds per-task state
+  exactly where this tier is memory-bound. The declared plan keeps the
+  struct max; the rejected posture stays re-measurable in the probe.
 - **l49/l5f**: e2_pure ~ 1.2 with exactly-linear shuffle volumes
   (176 -> 1864 MB) and zero spill. Phase isolation (tools/DedupProbe +
   GRAFT_CC_DEBUG) found the term: connectedComponents built its
