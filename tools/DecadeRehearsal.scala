@@ -28,15 +28,39 @@ object DecadeRehearsal {
   // (the full 11-pick set stays with ScaleRehearsal; this subset is what a
   // second decade is affordable for). Cheapest-first so an early failure
   // loses the least; the artifact is rewritten after every pick.
+  // `--picks a,b,c` runs ONLY the named queries and MERGES into the
+  // existing artifact (the PairJoinProbe rule: re-measure what you name,
+  // carry forward what you don't) — added r17 to extend the table to the
+  // event-analytics family without re-paying the graph family's hours.
   private val pickNames = Seq(
     "l5b_minhash_lsh", "l34_source_overlap", "l45_prefix_join",
     "l49_dedup_keep_best", "l5f_dedup_apply", "l5c_simhash_pairs",
-    "l35_triangles", "l46b_kcore_deep", "l26_pagerank", "l40_label_prop")
+    "l35_triangles", "l46b_kcore_deep", "l26_pagerank", "l40_label_prop",
+    // r17: the e-family (user-keyed windows/sessionization over the
+    // replicated event stream) — scale evidence previously only existed
+    // for the dedup/graph/streaming families
+    "e1_sessionize", "e9_anomaly", "e15_ewma", "e17_session_funnel",
+    // r17: the vector/ANN family over the label-shifted embedding
+    // replication (disjoint per-copy label universes — pair volume linear
+    // by construction); l7c/l7f are the declared annSummary queries, so
+    // each cell runs approx AND its brute reference
+    "l6_cosine_pairs", "l6b_embed_dedup", "l7_knn_brute",
+    "l7c_knn_ivf", "l7f_knn_ivfpq")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
       // rehearsal name that verifies a differently-named pick's plan
       case "l5c_simhash_pairs" => (s, d) => graft.ops.TextOps.l5cSimhash(s, d)
+      // e15 is a pure window PROJECTION — under the harness's count()
+      // Catalyst prunes the unused window expression entirely (verified:
+      // no Window in the optimized count plan), so the bare pick times
+      // only the gap-fill. Summing the ewma keeps the window on the plan
+      // and adds one scalar aggregate — the cell then measures the real
+      // per-user windowed pass.
+      case "e15_ewma" => (s, d) =>
+        graft.SparkEntry.queries("e15_ewma")(s, d)
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("ewma256")))
       case n => graft.SparkEntry.queries(n)
     }
 
@@ -118,13 +142,35 @@ object DecadeRehearsal {
     }
     def e(tb: Double, ts: Double): Double =
       if (tb > 0 && ts > 0) math.log(tb / ts) / math.log(10.0) else -1.0
+    val picksArg = args.indexOf("--picks") match {
+      case -1 => None
+      case i => Some(args(i + 1).split(",").toSeq)
+    }
+    val runPicks = picksArg.getOrElse(pickNames)
+    // merge: entries in the existing artifact that this invocation does not
+    // re-measure are carried forward verbatim (PairJoinProbe's rule), so a
+    // --picks subset run never erases the rest of the table
+    val out = Paths.get("tools/growth_decades.json")
+    val prior: Map[String, String] = if (Files.exists(out)) {
+      val txt = Files.readString(out)
+      """"([a-z0-9_]+)":(\{"t":\[[^}]*\})""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } else Map.empty
     var done = List.empty[String]
-    def flush(): Unit = Files.writeString(Paths.get("tools/growth_decades.json"),
-      done.reverse.mkString(
+    def flush(): Unit = {
+      val mine = done.reverse.map { e =>
+        val k = e.takeWhile(_ != ':').stripPrefix("\"").stripSuffix("\"")
+        k -> e.dropWhile(_ != ':').drop(1)
+      }
+      val merged = (prior ++ mine).toSeq
+        .sortBy { case (k, _) => (pickNames.indexOf(k), k) }
+        .map { case (k, v) => s""""$k":$v""" }
+      Files.writeString(out, merged.mkString(
         """{"tiers":[1,10,100],"fresh_jvm_per_cell":true,""" +
           """"tier_partitions":[32,32,320],"pure_partitions":320,"queries":{""",
         ",", "}}\n"))
-    pickNames.foreach { name =>
+    }
+    runPicks.foreach { name =>
       val t0 = System.nanoTime()
       val res = cells.indices.map { i =>
         val r = forkCell(name, i)

@@ -188,6 +188,12 @@ object DumpPlans {
           sb.append("ScaleFixture dir as well: a stable (or falling) exponent across the\n")
           sb.append("second decade is the evidence the single-decade table can't give —\n")
           sb.append("a fixed cost that dominates at 10x would hide a super-linear term.\n")
+          sb.append("r17 extends the table to the EVENT-ANALYTICS family (e1/e9/e15/e17:\n")
+          sb.append("user-keyed windows + sessionization over the replicated stream) —\n")
+          sb.append("previously only dedup/graph/streaming had scale evidence. e15 is a\n")
+          sb.append("pure window projection, so its cell SUMS the ewma (a bare count()\n")
+          sb.append("lets Catalyst prune the unused window entirely — verified on the\n")
+          sb.append("optimized plan — and would time only the gap-fill).\n")
           if (fresh) {
             sb.append("Every CELL (query x tier) runs in its OWN forked JVM (r17 — the\n")
             sb.append("sequence-in-one-JVM method was proven to inflate late 100x picks\n")

@@ -85,10 +85,24 @@ object ScaleFixture {
     rep("events")(df => df
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id")))
-    // tiny enums + embeddings pass through unreplicated so every source
-    // table exists in the synthesized dir (nation/region stay valid via
-    // the dims' unshifted *_nationkey payloads)
-    for (t <- Seq("nation", "region", "embeddings")) {
+    // embeddings (r17): vec_id AND label shifted per copy — every l6/l7
+    // pair/kNN join blocks on (label, cell), so disjoint per-copy label
+    // universes make each copy reproduce the original's pair/neighbor
+    // structure EXACTLY (the documents token-salting guarantee, by key
+    // disjointness instead of hash bijection): pair volume and per-block
+    // join sizes grow exactly linearly, which is what a scale rehearsal
+    // must hold fixed. Vectors themselves are byte-identical per copy —
+    // fine for plan scaling, but global geometry statistics (e.g. IVF
+    // centroid spread) see 100 identical clouds, not new density.
+    // label stays int32-safe: 10 source labels, shift 1000/copy.
+    rep("embeddings")(df => df
+      .withColumn("vec_id", shift("vec_id"))
+      .withColumn("label",
+        (col("label") + col("k").cast("int") * lit(1000)).cast("int")))
+    // tiny enums pass through unreplicated so every source table exists
+    // in the synthesized dir (nation/region stay valid via the dims'
+    // unshifted *_nationkey payloads)
+    for (t <- Seq("nation", "region")) {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"wrote $out/$t.parquet (1x passthrough)")
