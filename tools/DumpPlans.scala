@@ -189,11 +189,17 @@ object DumpPlans {
           sb.append("second decade is the evidence the single-decade table can't give —\n")
           sb.append("a fixed cost that dominates at 10x would hide a super-linear term.\n")
           sb.append("r17 extends the table to the EVENT-ANALYTICS family (e1/e9/e15/e17:\n")
-          sb.append("user-keyed windows + sessionization over the replicated stream) —\n")
-          sb.append("previously only dedup/graph/streaming had scale evidence. e15 is a\n")
-          sb.append("pure window projection, so its cell SUMS the ewma (a bare count()\n")
-          sb.append("lets Catalyst prune the unused window entirely — verified on the\n")
-          sb.append("optimized plan — and would time only the gap-fill).\n")
+          sb.append("user-keyed windows + sessionization over the replicated stream) and\n")
+          sb.append("the VECTOR/ANN family (l6/l6b/l7/l7c/l7f over the label-shifted\n")
+          sb.append("embedding replication — disjoint per-copy label universes keep pair\n")
+          sb.append("volume exactly linear by construction) — previously only dedup/\n")
+          sb.append("graph/streaming had scale evidence. e15 is a pure window projection,\n")
+          sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
+          sb.append("unused window entirely — verified on the optimized plan — and would\n")
+          sb.append("time only the gap-fill). Reading the ANN rows: l6/l7/l7c ride fixed\n")
+          sb.append("overhead (sublinear); l7f's e2~1.05 is honest LINEARITY — its ADC\n")
+          sb.append("scan + PQ training are CPU-proportional terms that outgrow the fixed\n")
+          sb.append("costs sooner, and both are embarrassingly parallel at cluster scale.\n")
           if (fresh) {
             sb.append("Every CELL (query x tier) runs in its OWN forked JVM (r17 — the\n")
             sb.append("sequence-in-one-JVM method was proven to inflate late 100x picks\n")
