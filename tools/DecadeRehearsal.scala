@@ -45,7 +45,11 @@ object DecadeRehearsal {
     // by construction); l7c/l7f are the declared annSummary queries, so
     // each cell runs approx AND its brute reference
     "l6_cosine_pairs", "l6b_embed_dedup", "l7_knn_brute",
-    "l7c_knn_ivf", "l7f_knn_ivfpq")
+    "l7c_knn_ivf", "l7f_knn_ivfpq",
+    // r17: the relational TPC-H core's three heaviest declared queries —
+    // the multi-join + agg family Catalyst plans natively; replication
+    // closes every FK so dim joins see 100x facts against 100x dims
+    "tq2_min_cost_supplier", "tq9_product_profit", "tq21_waiting_supplier")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
