@@ -325,8 +325,10 @@ attribution CORRECTED by the r17 finding above):
   memory, is what moves wall time. On the corrected multi-file layout
   the restored 32-way scan parallelism puts ~32 concurrent per-round
   aggregates in one 64 GB heap: the fixed-320 cell sits at the cliff
-  (one run OOM'd — the FAIL row above — and the surviving probe run took
-  269.5 s with 5.8 GB spill), while 640 partitions — per-task state
+  (one early run OOM'd — briefly the table's one FAIL — while seven
+  later fresh-JVM runs of the identical cell completed at 124-307 s
+  with ~4-6 GB spill; the row above is the min-of-2 remeasure, e2_pure
+  0.82), while 640 partitions — per-task state
   halved, the exact knob a deployment turns as data grows — ran
   168.7 s (tools/l40_spill.json; e2 vs the 18.6 s 10x tier = 0.96,
   linear). Spill BYTES rose at 640 (36 GB) while time fell 1.6x — the
