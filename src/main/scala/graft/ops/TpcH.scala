@@ -66,7 +66,10 @@ object TpcH {
 
   /** TQ3 (TPC-H Q3): shipping priority — top-10 unshipped BUILDING-segment
     * orders by discounted revenue as of 1998-03-15. The star join
-    * broadcasts the filtered customer dim; revenue ranks as an exact
+    * joins the filtered customer dim unhinted (runtime-stat broadcast
+    * when small, custkey shuffle at corpus scale — customer GROWS with
+    * SF, so a static hint would force a corpus-scale driver broadcast);
+    * revenue ranks as an exact
     * BIGINT so the top-10 cut is deterministic (orderkey tiebreak). */
   val tq3ShippingPriority: Q = (s, d) => {
     val cust = Tables.customer(s, d)
@@ -80,7 +83,7 @@ object TpcH {
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
     lines
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("rev_e4")).as("revenue_e4"))
       .orderBy(col("revenue_e4").desc, col("l_orderkey"))
@@ -102,10 +105,12 @@ object TpcH {
   /** TQ5 (TPC-H Q5): local supplier volume — revenue per nation from
     * orders where the customer and the line's supplier share the nation,
     * restricted to one region and a one-year order window. The classic
-    * snowflake: region→nation→{customer, supplier} dims all broadcast;
+    * snowflake: region→nation stay hinted broadcasts (bounded enums);
+    * customer/supplier join unhinted — AQE broadcasts them off runtime
+    * stats at fixture scale and shuffles at corpus scale;
     * the only big exchange is the orders⋈lineitem fact join; the
     * c_nationkey = s_nationkey "local" constraint lands as an equi-filter
-    * AFTER both broadcasts, never as a join-order problem. */
+    * AFTER both dim joins, never as a join-order problem. */
   val tq5LocalSupplier: Q = (s, d) => {
     val nat = Tables.nation(s, d)
       .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
@@ -124,8 +129,8 @@ object TpcH {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -133,7 +138,8 @@ object TpcH {
   }
 
   /** TQ10 (TPC-H Q10): returned-item reporting — the top-20 customers by
-    * revenue lost to returns in a quarter. Fact join + broadcast dims;
+    * revenue lost to returns in a quarter. Fact join + dims (nation
+    * hinted — bounded; customer unhinted, it scales with SF);
     * integer revenue makes the top-20 cut deterministic (custkey
     * tiebreak). */
   val tq10ReturnedItems: Q = (s, d) => {
@@ -148,8 +154,8 @@ object TpcH {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey")).agg(sum(col("rev_e4")).as("revenue_e4"))
     rev
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name"))),
@@ -184,7 +190,8 @@ object TpcH {
   }
 
   /** TQ14 (TPC-H Q14): promotion effect — the share of one month's
-    * revenue that came from PROMO-type parts. The part dim broadcasts
+    * revenue that came from PROMO-type parts. The part dim joins
+    * unhinted (part scales with SF — runtime stats pick the strategy)
     * (the fact side never shuffles); promo and total revenue accumulate
     * as exact 1e-4-unit BIGINTs in ONE aggregation pass (conditional
     * sum, not two scans), and only the final percentage divides the two
@@ -197,7 +204,7 @@ object TpcH {
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
       .select(col("l_partkey"),
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("is_promo"), col("rev_e4")).otherwise(0L))
           .as("promo_rev_e4"),
@@ -211,7 +218,7 @@ object TpcH {
     * line counts), with customer identity. The quantity rollup happens
     * FIRST on the fact table alone (map-side partials on the natural
     * l_orderkey clustering) and only the few surviving orders join out
-    * to orders + the broadcast customer dim; ranking by integer
+    * to orders + the customer dim (unhinted — SF-scaling); ranking by integer
     * total-price cents with an orderkey tiebreak keeps the top-100 cut
     * deterministic cross-engine. */
   val tq18LargeVolume: Q = (s, d) => {
@@ -224,8 +231,8 @@ object TpcH {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           round(col("o_totalprice") * 100).cast("long").as("total_cents")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name"))),
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("total_cents"), col("sum_qty"))
@@ -236,10 +243,12 @@ object TpcH {
   /** TQ7 (TPC-H Q7): volume shipping — revenue flowing between two
     * nations per (supplier nation, customer nation, ship year) over a
     * two-year window, cross-nation flows only. Both nation-filtered dims
-    * broadcast (each keeps ~1/25 of its table); the only big exchange is
-    * the orders⋈lineitem fact join, and the supplier-side broadcast
-    * PREcedes it so non-qualifying lines never reach the shuffle. The
-    * inequality (supp ≠ cust nation) is a post-broadcast equi-filter. */
+    * join unhinted (each keeps ~1/25 of a table that SCALES with SF, so
+    * runtime stats pick broadcast at fixture scale and a keyed shuffle at
+    * corpus scale); the only guaranteed big exchange is the
+    * orders⋈lineitem fact join, and the supplier-side dim join PREcedes
+    * it so non-qualifying lines never reach the shuffle. The inequality
+    * (supp ≠ cust nation) is a post-join equi-filter. */
   val tq7VolumeShipping: Q = (s, d) => {
     val nat = Tables.nation(s, d)
       .where(col("n_name").isin("NATION_11", "NATION_12"))
@@ -256,10 +265,10 @@ object TpcH {
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).cast("long").as("l_year"),
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(sum(col("rev_e4")).as("revenue_e4"))
@@ -288,7 +297,8 @@ object TpcH {
     * revenue over one quarter is the maximum (ALL ties, like the spec's
     * view + subquery form). Revenue per supplier aggregates FIRST on the
     * fact table (one suppkey exchange, map-side partials); the 1-row max
-    * and the supplier dim both broadcast. Integer 1e-4 revenue makes the
+    * broadcasts (hinted — truly bounded) and the SF-scaling supplier dim
+    * joins unhinted. Integer 1e-4 revenue makes the
     * max-set deterministic cross-engine. */
   val tq15TopSupplier: Q = (s, d) => {
     val rev = li(s, d)
@@ -300,8 +310,8 @@ object TpcH {
     val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
     rev
       .join(broadcast(mx), col("total_rev_e4") === col("mx"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_name"))),
+      .join(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
   }
@@ -312,21 +322,21 @@ object TpcH {
     * selects the part family). The 0.2·avg comparison runs in EXACT
     * integer arithmetic (qty·5·cnt < Σqty ⟺ qty < 0.2·avg, cnt > 0), so
     * the qualifying set is partition- and engine-independent; only the
-    * final /7.0 divides. Scale: the brand dim broadcasts into both
-    * consumers of the filtered lines — the per-part average is an
-    * aggregate over the ~0.2% brand slice, broadcast back as the probe's
+    * final /7.0 divides. Scale: the brand part-slice joins unhinted into
+    * both consumers of the filtered lines — the per-part average is an
+    * aggregate over the ~0.2% brand slice, rejoined as the probe's
     * build side. */
   val tq17SmallQuantity: Q = (s, d) => {
     val brandParts = Tables.part(s, d)
       .where(col("p_brand") === "Brand#13").select(col("p_partkey"))
     def lines = li(s, d)
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         col("ext_cents"))
     val pq = lines.groupBy(col("l_partkey"))
       .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
     lines
-      .join(broadcast(pq), Seq("l_partkey"))
+      .join(pq, Seq("l_partkey"))
       .where(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
       .agg(sum(col("ext_cents")).as("rev_cents"),
         count(lit(1)).as("n_lines"))
@@ -336,10 +346,10 @@ object TpcH {
   /** TQ2 (TPC-H Q2, adapted): minimum-cost supplier — for each ECONOMY
     * part of size ≤ 15, which EUROPE supplier offers it at the regional
     * minimum supplycost. The spec's correlated-min subquery becomes an
-    * aggregate-and-rejoin on ps_partkey: the EUROPE supplier dim
-    * broadcasts into partsupp, the per-part min aggregates on the SAME
-    * ps_partkey partitioning the rejoin probes (one exchange, reused),
-    * and the part dim broadcasts last. Money in cents-longs; the top-100
+    * aggregate-and-rejoin on ps_partkey: the EUROPE supplier dim joins
+    * into partsupp unhinted (supplier scales with SF), the per-part min
+    * aggregates on the SAME ps_partkey partitioning the rejoin probes
+    * (one exchange, reused), and the part dim joins last, also unhinted. Money in cents-longs; the top-100
     * cut carries a (p_partkey, s_suppkey) tiebreak so it is deterministic
     * cross-engine. */
   val tq2MinCostSupplier: Q = (s, d) => {
@@ -353,7 +363,7 @@ object TpcH {
         round(col("s_acctbal") * 100).cast("long").as("s_acctbal_cents"),
         col("n_name"))
     val psEu = Tables.partsupp(s, d)
-      .join(broadcast(euSupp), col("ps_suppkey") === col("s_suppkey"))
+      .join(euSupp, col("ps_suppkey") === col("s_suppkey"))
     val minCost = psEu.groupBy(col("ps_partkey"))
       .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
       .withColumnRenamed("ps_partkey", "mk")
@@ -363,7 +373,7 @@ object TpcH {
     psEu
       .join(minCost, col("ps_partkey") === col("mk") &&
         col("ps_supplycost_cents") === col("min_cost_cents"))
-      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .join(prt, col("ps_partkey") === col("p_partkey"))
       .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("ps_supplycost_cents"))
@@ -378,8 +388,9 @@ object TpcH {
     * 0.1%. The threshold comparison runs in EXACT integer arithmetic
     * (value·1000 > total ⟺ share > 1/1000), so the qualifying set is
     * engine- and partitioning-independent. Scale: the nation-filtered
-    * supplier dim broadcasts; per-part values aggregate on one
-    * ps_partkey exchange; the 1-row grand total broadcasts back as a
+    * supplier dim joins unhinted (SF-scaling); per-part values aggregate
+    * on one ps_partkey exchange; the 1-row grand total broadcasts back
+    * (hinted — truly bounded) as a
     * nested-loop build side (the tq15 max pattern). */
   val tq11ImportantStock: Q = (s, d) => {
     val natSupp = Tables.supplier(s, d)
@@ -388,7 +399,7 @@ object TpcH {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val natPs = Tables.partsupp(s, d)
-      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost_cents") * col("ps_availqty")).as("val_cents"))
     val total = natPs.agg(sum(col("val_cents")).as("total_cents"))
@@ -403,9 +414,10 @@ object TpcH {
     * the interesting parts, excluding flagged suppliers. The spec's
     * comment-based complaint filter has no fixture column, so the
     * excluded class is re-expressed as suppliers with a NEGATIVE account
-    * balance — same shape: a NOT-IN subquery on supplier, executed as a
-    * broadcast anti-join so the big partsupp side never shuffles for the
-    * exclusion. The distinct-supplier count shuffles once on the
+    * balance — same shape: a NOT-IN subquery on supplier, executed as an
+    * unhinted anti-join (runtime stats broadcast the flagged-supplier set
+    * at fixture scale; at corpus scale the exclusion shuffles on the key
+    * like any SF-scaling side). The distinct-supplier count shuffles once on the
     * three-column group key. */
   val tq16PartsSupplier: Q = (s, d) => {
     val flagged = Tables.supplier(s, d).where(col("s_acctbal") < 0)
@@ -415,8 +427,8 @@ object TpcH {
         col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.partsupp(s, d)
-      .join(broadcast(flagged), Seq("ps_suppkey"), "left_anti")
-      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+      .join(flagged, Seq("ps_suppkey"), "left_anti")
+      .join(prt, col("ps_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
   }
@@ -428,7 +440,8 @@ object TpcH {
     * comparison runs as exact integers (2·availqty > Σqty). Scale: the
     * year's shipments aggregate FIRST on the fact table's natural
     * (partkey, suppkey) key — map-side partials, one exchange — then the
-    * broadcast part filter cuts partsupp before the aggregate join; the
+    * part filter (unhinted, SF-scaling) cuts partsupp before the
+    * aggregate join; the
     * supplier side is a semi-join, so each supplier emits once no matter
     * how many qualifying parts it stocks. */
   val tq20PartPromotion: Q = (s, d) => {
@@ -440,7 +453,7 @@ object TpcH {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
     val candidates = Tables.partsupp(s, d)
-      .join(broadcast(widgetParts), col("ps_partkey") === col("p_partkey"))
+      .join(widgetParts, col("ps_partkey") === col("p_partkey"))
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .where(col("ps_availqty").cast("long") * 2 > col("sum_qty"))
@@ -455,11 +468,13 @@ object TpcH {
 
   /** TQ8 (TPC-H Q8): national market share — per order year, the share of
     * AMERICA-region customers' ECONOMY-part purchase volume supplied by
-    * one nation. Classic snowflake: every dim (region-filtered customer
-    * nations, type-filtered part, supplier→nation) broadcasts; the only
-    * big exchange is the orders⋈lineitem fact join, and the part filter
-    * broadcasts into the FACT SCAN side so non-qualifying lines never
-    * reach it. Numerator and denominator accumulate as exact 1e-4-unit
+    * one nation. Classic snowflake: the bounded enums (region-filtered
+    * nation lists) stay hinted broadcasts; the SF-scaling dims (customer,
+    * type-filtered part, supplier→nation) join unhinted so runtime stats
+    * broadcast them at fixture scale and shuffle them at corpus scale.
+    * The only guaranteed big exchange is the orders⋈lineitem fact join,
+    * and the part filter meets the FACT SCAN side first so
+    * non-qualifying lines never reach it. Numerator and denominator accumulate as exact 1e-4-unit
     * BIGINTs in one conditional-sum pass; only the final share divides
     * the two exact integers as doubles. */
   val tq8MarketShare: Q = (s, d) => {
@@ -485,10 +500,10 @@ object TpcH {
     li(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("vol_e4"))
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_5", col("vol_e4"))
@@ -504,15 +519,15 @@ object TpcH {
     * make the spec's %green% an `endsWith` family match). Profit runs
     * entirely in exact 1e-4-dollar BIGINTs (rev_e4 − cost_cents·qty·100),
     * so per-nation sums are bit-identical on any partitioning. Scale: the
-    * part-family filter broadcasts into BOTH big sides — the fact scan
-    * and the partsupp catalog — before their one composite-key exchange;
-    * orders joins on the fact's natural orderkey; supplier→nation
-    * broadcasts last. */
+    * part-family filter meets BOTH big sides — the fact scan and the
+    * partsupp catalog — before their one composite-key exchange (all
+    * SF-scaling sides unhinted, runtime-stat strategy); orders joins on
+    * the fact's natural orderkey; supplier→nation joins last. */
   val tq9ProductProfit: Q = (s, d) => {
     val boltParts = Tables.part(s, d)
       .where(col("p_name").endsWith("bolt")).select(col("p_partkey"))
     val ps = Tables.partsupp(s, d)
-      .join(broadcast(boltParts), col("ps_partkey") === col("p_partkey"))
+      .join(boltParts, col("ps_partkey") === col("p_partkey"))
       .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost_cents"))
     val suppNat = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
@@ -520,7 +535,7 @@ object TpcH {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
     li(s, d)
-      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+      .join(boltParts, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("long").as("qty"),
         (col("ext_cents") * (lit(100L) - col("disc_pct"))).as("rev_e4"))
@@ -529,7 +544,7 @@ object TpcH {
       .join(Tables.orders(s, d).select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), col("o_year"))
       .agg(sum(col("rev_e4") - col("ps_supplycost_cents") * col("qty")
         * lit(100L)).as("profit_e4"))
@@ -565,14 +580,15 @@ object TpcH {
     * (brand, size band, quantity band) predicates — the spec's classic
     * OR-of-bands pushdown test (its container/shipmode terms have no
     * fixture columns; brand+size+quantity carry the disjunctive shape).
-    * The part dim broadcasts, the disjunction evaluates post-broadcast
-    * in one pass, and revenue accumulates as an exact 1e-4 BIGINT. */
+    * The part dim joins unhinted (SF-scaling), the disjunction
+    * evaluates post-join in one pass, and revenue accumulates as an
+    * exact 1e-4 BIGINT. */
   val tq19DiscountedRevenue: Q = (s, d) =>
     li(s, d)
       .select(col("l_partkey"), col("l_quantity"), col("ext_cents"),
         col("disc_pct"))
-      .join(broadcast(Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      .join(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey"))
       .where(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -594,7 +610,8 @@ object TpcH {
     * this supplier is the late one — which is the SAME predicate without
     * the double correlated self-join: two keyed aggregations on the
     * order key the fact table is naturally clustered by, then one
-    * broadcast supplier/nation join. Top-100 by numwait with a suppkey
+    * supplier/nation name-attach join (supplier side unhinted; the inner
+    * one-nation filter keeps its bounded nation broadcast). Top-100 by numwait with a suppkey
     * tiebreak is deterministic. The (order, supplier) aggregate feeds BOTH
     * the per-order rollup and the late-line branch — cut once
     * ([[graft.core.Lineage.cut]]) so the post-shuffle aggregation doesn't
@@ -628,11 +645,11 @@ object TpcH {
     lines.where(col("late") === 1L)
       .join(perOrder, Seq("l_orderkey"), "left_semi")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(s, d)
+      .join(Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
           .where(col("n_name") === "NATION_3").select(col("n_nationkey"))),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"))),
+        .select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))

@@ -194,8 +194,10 @@ object VectorOps {
       }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
     // Candidate generation moves ONLY ids through the bucket join and the
     // union-of-tables dedup (the wide embedding arrays would dominate the
-    // shuffle otherwise); vectors are re-attached afterwards from the
-    // (small, broadcastable) embeddings table for exact ranking.
+    // shuffle otherwise); vectors re-attach afterwards by unhinted id
+    // joins — AQE broadcasts the payload side off runtime stats at
+    // fixture scale and shuffles it at corpus scale (r17: a static
+    // broadcast() hint would be honored at any size).
     //
     // The index is MATERIALIZED once (eager localCheckpoint): both sides of
     // the candidate self-join read it, and without the checkpoint each side
@@ -218,7 +220,7 @@ object VectorOps {
     val vb = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
       norm(col("embedding")).as("nb"))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
@@ -358,7 +360,8 @@ object VectorOps {
 
     // index side: each vector in its single best cell; query side: probe
     // the nprobe nearest cells. Ids only through the join; vectors
-    // re-attached by broadcast for exact ranking (same shape as l7b).
+    // re-attached by unhinted id joins for exact ranking (same shape as
+    // l7b: runtime-stat broadcast when small, id shuffle at corpus scale).
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cell"))
     val probes = base.select(col("vec_id"), col("label"),
         posexplode(dots(cents)).as(Seq("cell", "dot")))
@@ -381,7 +384,7 @@ object VectorOps {
     val vb = base.select(col("vec_id").as("idb"), col("embedding").as("vb"),
       col("nrm").as("nb"))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
@@ -409,8 +412,12 @@ object VectorOps {
     * one re-attach join — fine because queries are a small set re-attached
     * once, while INDEX vectors are the 100 TB side and dominate the
     * candidate join's |queries|×|candidates| row volume, where only codes
-    * travel. (The broadcast() on the re-attach is a fixture-scale hint; at
-    * production scale that join shuffles on ida like any other.) The ADC
+    * travel. (The re-attach joins carry NO static broadcast hint — r17:
+    * an explicit broadcast() is always honored, so a hinted corpus-scale
+    * payload side would be forced onto the driver at any data size; with
+    * the hint dropped, AQE broadcasts off runtime stats at fixture scale
+    * and the join shuffles on the id at corpus scale — the mm4-validated
+    * self-correcting shape.) The ADC
     * ordering prunes to a 12-candidate short list that exact cosine
     * re-ranks (ADC+R — see the inline note). Declared as an
     * [[annSummary]] property query; recall floor vs l7 brute asserted in
@@ -472,7 +479,7 @@ object VectorOps {
     // per-pair ADC sum as ONE compact kernel (pq_adc_score) — the
     // per-candidate hot path; same left-to-right order as the M-element_at
     // chain it replaces
-    val scored = cand.join(broadcast(queriesSide), Seq("ida"))
+    val scored = cand.join(queriesSide, Seq("ida"))
       .withColumn("dotApprox",
         call_function("pq_adc_score", col("tbl"), col("code"), lit(M)))
       .withColumn("cosApprox", col("dotApprox") / (col("na") * col("nb")))
@@ -483,8 +490,10 @@ object VectorOps {
     // can order), while "keep a true neighbor in the ADC top-12" stays
     // easy at every fixture scale (recall ≥ 0.9 at all three SFs). Cost
     // shape at 100 TB: ids-only through the candidate window, then one
-    // narrow C-rows-per-query fetch join per side (broadcast is the
-    // fixture-scale hint; at production scale it shuffles on the id).
+    // narrow C-rows-per-query fetch join per side, unhinted — AQE
+    // broadcasts off runtime stats when small, shuffles on the id when
+    // the payload side is corpus-scale (r17; a static broadcast() here
+    // would be honored at ANY size).
     val rerankC = 12
     val wAdc = Window.partitionBy(col("ida")).orderBy(col("cosApprox").desc, col("idb"))
     val adcTop = scored
@@ -496,7 +505,7 @@ object VectorOps {
     val vb = base.select(col("vec_id").as("idb"), col("v").as("vb"))
       .withColumn("nb2", sqrt(dot(col("vb"), col("vb"))))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    adcTop.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    adcTop.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb2")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
@@ -615,7 +624,7 @@ object VectorOps {
     // maps hold one cell's codes.
     val adcTop = probes.join(index.hint("shuffle_hash"), Seq("label", "cell"))
       .where(col("ida") =!= col("idb"))
-      .join(broadcast(queryAttrs), Seq("ida"))
+      .join(queryAttrs, Seq("ida"))
       .withColumn("cosApprox",
         (col("qc") + adcSum(col("tbl"), col("code"))) / (col("na") * col("nbhat")))
       .withColumn("rkApprox", row_number().over(wAdc))
@@ -629,14 +638,15 @@ object VectorOps {
     // only has to keep a true neighbor within the top-C now, not put it
     // first. Cost shape at 100 TB: the re-rank join touches C rows per
     // query — ids only through the candidate window, then one narrow
-    // fetch join per side (broadcast is the fixture-scale hint; at
-    // production scale it shuffles on the id like l7d's re-attach).
+    // fetch join per side, unhinted like l7d's re-attach (r17: AQE
+    // broadcasts off runtime stats when small; a static broadcast()
+    // would be honored at any size).
     val va = assigned.select(col("vec_id").as("ida"), col("v").as("va"),
       col("nrm").as("na"))
     val vb = assigned.select(col("vec_id").as("idb"), col("v").as("vb"),
       col("nrm").as("nb"))
     val w = Window.partitionBy(col("ida")).orderBy(col("cos").desc, col("idb"))
-    adcTop.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    adcTop.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= 3)
@@ -785,7 +795,8 @@ object VectorOps {
     * paper's whole point, never corpus×corpus — so pair volume is
     * Σ_cell size²/2 ≈ n²/2K with data-adaptive cells; ids + centroid
     * similarity travel through the pair join, vectors re-attach by
-    * broadcast at fixture scale (a co-partitioned id join at 100 TB);
+    * unhinted id joins (runtime-stat broadcast at fixture scale, a
+    * co-partitioned id shuffle at 100 TB — r17);
     * if a cluster outgrows its budget the l6c hyperplane sub-cell cap
     * applies unchanged.
     *
@@ -821,7 +832,7 @@ object VectorOps {
       col("embedding").as("va"), col("nrm").as("na"))
     val vb = assigned.select(col("vec_id").as("idb"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    val pairs = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    val pairs = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .select(col("ida"), col("idb"), col("ca"), col("cb"))
@@ -871,7 +882,7 @@ object VectorOps {
       col("embedding").as("va"), col("nrm").as("na"))
     val vb = assigned.select(col("vec_id").as("idb"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    val dropped = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    val dropped = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
@@ -993,7 +1004,7 @@ object VectorOps {
       col("embedding").as("va"), col("nrm").as("na"))
     val vb = assigned.select(col("vec_id").as("idb"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    val dropped = cand.join(broadcast(va), Seq("ida")).join(broadcast(vb), Seq("idb"))
+    val dropped = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),

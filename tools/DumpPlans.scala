@@ -337,6 +337,24 @@ attribution CORRECTED by the r17 finding above):
   horizontal scale (more partitions, or a cluster's per-node memory)
   removes. The per-round (node,label) key space itself is linear in the
   data — no plan defect.
+- **Static-broadcast audit of corpus-scale sides** (r17,
+  tools/broadcast_audit.json): 34 explicit broadcast() hints on sides
+  that GROW with the corpus — the l7 family's vector-payload re-attach
+  joins (the index IS the corpus), l7d/l7f query-side ADC tables (every
+  vector is a query), l36/semDedup pair re-attach, and TpcH's
+  customer/supplier/part dims and their filtered/derived frames — were
+  dropped, because an explicit hint is ALWAYS honored (the r16 l17
+  finding): at 100 TB each of those sites would force a corpus-scale
+  driver broadcast. Unhinted, static scan estimates and AQE broadcast
+  them at fixture scale (PLANS.md diff: joins overwhelmingly stay BHJ at
+  sf0.01; 3 fact-derived-aggregate sides go SMJ — the correct keyed
+  shuffle at scale) and shuffle them on the join key at corpus scale.
+  Nation/region enums, eval sets, hot-key samples, and 1-row stats keep
+  their hints — truly bounded. Priced-in fixture costs (fresh-JVM A/B):
+  +0.2-0.6 s on l7c/l7f/l36; the 100x tier re-measured for all six
+  affected decade rows (tq2/tq21 improved, l7c pays the honest
+  no-free-broadcast price and stays sublinear at e2_pure 0.87).
+  Correctness 224/224 after the change.
 - **l40 argmax encoding** (r17 follow-up, tested and REJECTED): the plan
   read found the per-round argmax `max(struct(c, -label))` planned as a
   SortAggregate (a struct max is not hash-aggregable), so a packed-long
