@@ -292,22 +292,28 @@ object StreamingOps {
     all.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
   }
 
-  /** T7: stream-static join — streaming events against the customer dim
-    * (broadcast), aggregated by market segment.
+  /** T7: stream-static join — streaming events against the customer dim,
+    * aggregated by market segment.
     *
     * The static side of a stream-static join is RE-EXECUTED every
     * micro-batch (Spark re-plans the batch side for snapshot freshness), so
     * the dim is persisted for the query's lifetime: each micro-batch
-    * re-broadcasts from the in-memory copy instead of re-scanning parquet.
+    * re-reads the in-memory copy instead of re-scanning parquet.
     * Round-1 bench flagged t7 at 10.1 s driver-side; measured locally the
     * query is ~1.3 s with micro-batch startup dominating — the persist
     * removes the only per-batch re-execution and is the correct shape for a
-    * long-running deployment where the dim is consulted every batch. */
+    * long-running deployment where the dim is consulted every batch.
+    * The join carries NO static broadcast hint (r17 audit: customer SCALES
+    * with SF, and an explicit hint is always honored — at corpus scale it
+    * would force the whole dim through the driver every micro-batch);
+    * per-batch planning broadcasts the cached dim off its stats at fixture
+    * scale and a real deployment's outgrown dim shuffles keyed instead,
+    * which stream-static inner joins support. */
   val t7StreamStaticJoin: Q = (s, d) => {
     val dimSrc = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")).persist()
     try {
-      val dim = broadcast(dimSrc)
+      val dim = dimSrc
       val agg = eventsStream(s, d)
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
