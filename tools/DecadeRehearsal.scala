@@ -49,7 +49,12 @@ object DecadeRehearsal {
     // r17: the relational TPC-H core's three heaviest declared queries —
     // the multi-join + agg family Catalyst plans natively; replication
     // closes every FK so dim joins see 100x facts against 100x dims
-    "tq2_min_cost_supplier", "tq9_product_profit", "tq21_waiting_supplier")
+    "tq2_min_cost_supplier", "tq9_product_profit", "tq21_waiting_supplier",
+    // r17: the profiling/observability family — p7 carries the repo's one
+    // remaining non-hash aggregate shape (string min/max SortAggregates
+    // under the count-distinct Expand), p9's FK anti-joins probe the
+    // replicated dims, p11's PSI reduces the stream to bin-grid rows
+    "p7_profile", "p9_expectations", "p11_psi_drift")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {

@@ -192,10 +192,12 @@ object DumpPlans {
           sb.append("user-keyed windows + sessionization over the replicated stream) and\n")
           sb.append("the VECTOR/ANN family (l6/l6b/l7/l7c/l7f over the label-shifted\n")
           sb.append("embedding replication — disjoint per-copy label universes keep pair\n")
-          sb.append("volume exactly linear by construction), and the RELATIONAL core's\n")
+          sb.append("volume exactly linear by construction), the RELATIONAL core's\n")
           sb.append("three heaviest (tq2/tq9/tq21 — FK-closed replication, so dim joins\n")
-          sb.append("see 100x facts against 100x dims; tq21's ~1.06 is the fact-scale\n")
-          sb.append("exists/anti self-probe, honest linearity) — previously only dedup/\n")
+          sb.append("see 100x facts against 100x dims), and the PROFILING/observability\n")
+          sb.append("family (p7/p9/p11 — p7 carries the repo's one remaining non-hash\n")
+          sb.append("aggregate shape, string min/max SortAggregates under the Expand,\n")
+          sb.append("measured a non-issue at e2_pure 0.13) — previously only dedup/\n")
           sb.append("graph/streaming had scale evidence. e15 is a pure window projection,\n")
           sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
           sb.append("unused window entirely — verified on the optimized plan — and would\n")
