@@ -54,7 +54,11 @@ object DecadeRehearsal {
     // remaining non-hash aggregate shape (string min/max SortAggregates
     // under the count-distinct Expand), p9's FK anti-joins probe the
     // replicated dims, p11's PSI reduces the stream to bin-grid rows
-    "p7_profile", "p9_expectations", "p11_psi_drift")
+    "p7_profile", "p9_expectations", "p11_psi_drift",
+    // r17: the join-strategy operators themselves — j7's single-shuffle
+    // as-of window, j8's sampled hot-key salt split, j9's runtime bloom
+    // semi-join reduction; their entire reason to exist is scale behavior
+    "j7_asof_join", "j8_salted_join", "j9_bloom_join")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
