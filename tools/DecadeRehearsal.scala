@@ -58,7 +58,12 @@ object DecadeRehearsal {
     // r17: the join-strategy operators themselves — j7's single-shuffle
     // as-of window, j8's sampled hot-key salt split, j9's runtime bloom
     // semi-join reduction; their entire reason to exist is scale behavior
-    "j7_asof_join", "j8_salted_join", "j9_bloom_join")
+    "j7_asof_join", "j8_salted_join", "j9_bloom_join",
+    // r17: the window family — w5 is the plain Window row_number cut,
+    // w5c the TopKRewrite rule's sketch-aggregate plan (DIFFERENT
+    // declared queries — coverage rows, not a controlled A/B; the rule's
+    // own fire/no-Window contract is pinned in PlanSpec)
+    "w5_topk_per_group", "w5c_topk_rewrite")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {

@@ -197,10 +197,13 @@ object DumpPlans {
           sb.append("see 100x facts against 100x dims), the PROFILING/observability\n")
           sb.append("family (p7/p9/p11 — p7 carries the repo's one remaining non-hash\n")
           sb.append("aggregate shape, string min/max SortAggregates under the Expand,\n")
-          sb.append("measured a non-issue at e2_pure 0.13), and the JOIN-STRATEGY\n")
+          sb.append("measured a non-issue at e2_pure 0.13), the JOIN-STRATEGY\n")
           sb.append("operators (j7 as-of 0.35 — the single-shuffle window shape holds;\n")
-          sb.append("j8 salted ~1.01 and j9 bloom ~0.97 — honest fact-scale linearity)\n")
-          sb.append("— previously only dedup/graph/streaming had scale evidence. e15 is a pure window projection,\n")
+          sb.append("j8 salted ~1.01 and j9 bloom ~0.97 — honest fact-scale linearity),\n")
+          sb.append("and the WINDOW top-k family (w5 plain row_number cut 0.28, w5c\n")
+          sb.append("TopKRewrite sketch plan 0.44 — different declared queries, coverage\n")
+          sb.append("rows not an A/B) — previously only dedup/graph/streaming had scale\n")
+          sb.append("evidence. e15 is a pure window projection,\n")
           sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
           sb.append("unused window entirely — verified on the optimized plan — and would\n")
           sb.append("time only the gap-fill). Reading the ANN rows: l6/l7/l7c ride fixed\n")
