@@ -50,9 +50,13 @@ object Transforms {
     // inputs {train, eval} are any (doc_id, text)-shaped steps; param n is
     // the shingle length (production scrubs run 8-13-grams; the declared
     // l17 query's 3 is only the oracle setting)
+    // param hash_bits (64|128): the shingle join-key width — 64-bit
+    // xxhash64 below ~10⁹ distinct shingles, 128-bit md5 at corpus scales
+    // where the birthday term mints false intersections (TextOps.shingleKey)
     r.register("decontaminate") { (_, in, p) =>
       graft.ops.TextOps.decontaminateFrames(in("train"), in("eval"),
-        p.params.getOrElse("n", "3").toInt)
+        p.params.getOrElse("n", "3").toInt,
+        p.params.getOrElse("hash_bits", "64").toInt)
     }
     // the composed cleaning pipeline (l22) with every gate threshold as a
     // param: min_quality/max_dup_tri (gate cut points), min_shared +
@@ -110,12 +114,15 @@ object Transforms {
     r.register("containment_dedup") { (_, in, p) =>
       graft.ops.TextOps.containmentDedupFrames(in("docs"),
         p.params.getOrElse("n", "3").toInt,
-        p.params.getOrElse("tau", "0.6").toDouble)
+        p.params.getOrElse("tau", "0.6").toDouble,
+        p.params.getOrElse("hash_bits", "64").toInt)
     }
-    // first-occurrence novelty scores for any (doc_id, text) step
+    // first-occurrence novelty scores for any (doc_id, text) step; same
+    // hash_bits width knob as decontaminate/containment_dedup
     r.register("novelty") { (_, in, p) =>
       graft.ops.TextOps.noveltyFrames(in("docs"),
-        p.params.getOrElse("n", "3").toInt)
+        p.params.getOrElse("n", "3").toInt,
+        p.params.getOrElse("hash_bits", "64").toInt)
     }
     // CDC MERGE: inputs {snapshot, changes} share a schema carrying the
     // merge key, a version column, and a boolean delete-tombstone column;

@@ -479,20 +479,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("tq5 snowflake: dims broadcast — at most one shuffle-side join for the fact") {
+  // The TPC-H dim sides are UNHINTED since the r17 broadcast audit
+  // (tools/broadcast_audit.json): customer/supplier/part scale with SF, so
+  // an explicit broadcast() would force a driver broadcast at any size.
+  // What these tests pin is therefore SCALE-CONDITIONAL: at the sf0.001
+  // fixture Spark's own size estimates broadcast the dims (asserted below);
+  // at sf0.01+ the audit records tq5/tq8/tq17 each legitimately gaining a
+  // SortMergeJoin — the intended corpus-scale shape. The strict counts are
+  // guarded on the fixture so moving sfDir degrades to the scale-invariant
+  // checks (no cartesian/nested-loop) instead of failing a stale pin.
+  private val estimateBroadcastFixture = sfDir.contains("sf0.001")
+
+  test("tq5 snowflake: unhinted dims broadcast off estimates at sf0.001 — one shuffled fact join; shuffles at scale by design") {
     val plan = executed(graft.SparkEntry.queries("tq5_local_supplier")(spark, sfDir))
     val all = collectAll(plan)
-    val bcast = all.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-    assert(bcast >= 3, s"expected customer/supplier/nation broadcasts:\n$plan")
-    val smj = all.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
-    val shj = all.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
-    assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
+    if (estimateBroadcastFixture) {
+      val bcast = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      assert(bcast >= 3, s"expected customer/supplier/nation broadcasts:\n$plan")
+      val smj = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      val shj = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+      assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
+    }
+    assert(!all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"unkeyed join in tq5:\n$plan")
   }
 
-  test("tq7 volume shipping: nation-filtered dims broadcast — only the fact join shuffles") {
+  test("tq7 volume shipping: unhinted nation-filtered dims broadcast off estimates at sf0.01 — only the fact join shuffles") {
     // sf0.01: the two-nation flow is EMPTY at sf0.001 and AQE collapses
     // the whole plan to EmptyRelation — nothing to assert there
     val plan = executed(graft.SparkEntry.queries("tq7_volume_shipping")(
@@ -508,14 +525,21 @@ class PlanSpec extends SparkSpec {
     assert(smj + shj <= 1, s"more than the one fact join shuffled:\n$plan")
   }
 
-  test("tq17 small-quantity: the per-part average broadcasts back — no shuffled join") {
+  test("tq17 small-quantity: per-part averages broadcast off estimates at sf0.001 — shuffles keyed at scale (audit: SMJ from sf0.01)") {
     val plan = executed(graft.SparkEntry.queries("tq17_small_quantity")(spark, sfDir))
     val all = collectAll(plan)
-    val smj = all.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
-    val shj = all.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
-    assert(smj + shj == 0, s"brand dim and per-part averages must broadcast:\n$plan")
+    if (estimateBroadcastFixture) {
+      val smj = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+      val shj = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+      assert(smj + shj == 0,
+        s"estimates should broadcast the brand dim and per-part averages at sf0.001:\n$plan")
+    }
+    assert(!all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"unkeyed join in tq17:\n$plan")
   }
 
   test("tq4 exists: the lateness check is a keyed semi join — orders never expand per late line") {
@@ -537,7 +561,7 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"lag inequality escaped the equi key in tq4:\n$plan")
   }
 
-  test("tq14/tq18: part and customer dims broadcast; tq18's quantity rollup precedes every join") {
+  test("tq14/tq18: unhinted part/customer dims broadcast off estimates at sf0.001; tq18's quantity rollup precedes every join") {
     val p14 = executed(graft.SparkEntry.queries("tq14_promo_effect")(spark, sfDir))
     assert(collectAll(p14).exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
@@ -561,29 +585,33 @@ class PlanSpec extends SparkSpec {
     assert(aggNoJoinBelow, s"tq18's quantity rollup should run before any join:\n$p18")
   }
 
-  test("tq8/tq9: every dim broadcasts — only the fact-side joins shuffle") {
+  test("tq8/tq9: unhinted dims broadcast off estimates at sf0.001 — only fact-side joins shuffle (tq8 gains SMJ from sf0.01, by design)") {
     // tq8 snowflake: part/customer-keys/supplier-nation broadcast; the one
     // big exchange is orders x lineitem
     val p8 = executed(graft.SparkEntry.queries("tq8_market_share")(spark, sfDir))
     val all8 = collectAll(p8)
-    assert(all8.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
-      s"expected part/customer/supplier-nation broadcasts in tq8:\n$p8")
-    val shuffled8 = all8.count(p =>
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
-    assert(shuffled8 <= 1, s"more than the one fact join shuffled in tq8:\n$p8")
+    if (estimateBroadcastFixture) {
+      assert(all8.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
+        s"expected part/customer/supplier-nation broadcasts in tq8:\n$p8")
+      val shuffled8 = all8.count(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+      assert(shuffled8 <= 1, s"more than the one fact join shuffled in tq8:\n$p8")
+    }
     // tq9: the part-family filter broadcasts into BOTH big sides; at most
     // the fact x partsupp and fact x orders joins shuffle
     val p9 = executed(graft.SparkEntry.queries("tq9_product_profit")(spark, sfDir))
     val all9 = collectAll(p9)
-    assert(all9.count(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
-      s"expected bolt-part (x2) and supplier-nation broadcasts in tq9:\n$p9")
-    val shuffled9 = all9.count(p =>
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
-      p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
-    assert(shuffled9 <= 2, s"more than the partsupp+orders fact joins shuffled in tq9:\n$p9")
+    if (estimateBroadcastFixture) {
+      assert(all9.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 3,
+        s"expected bolt-part (x2) and supplier-nation broadcasts in tq9:\n$p9")
+      val shuffled9 = all9.count(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+      assert(shuffled9 <= 2, s"more than the partsupp+orders fact joins shuffled in tq9:\n$p9")
+    }
     (all8 ++ all9).foreach(p => assert(
       !p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec],
       s"cartesian product in tq8/tq9"))

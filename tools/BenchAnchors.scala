@@ -8,8 +8,12 @@
 // contamination by construction. Compare a suspect bench.json entry against
 // tools/bench_anchors.json before calling it a regression.
 //
-// Default picks = the 10 most expensive queries of the r16 bench — the ones
-// whose regressions matter and whose shared-JVM numbers drift most.
+// Default picks = the bench's expensive tail PLUS (r18) every query that
+// moved >=1.3x between rounds without an anchor — the standing rule from
+// VERDICT r17 #1: any round-over-round mover gets added here and the
+// artifact re-run on an idle box before the move is called a regression.
+// Subset runs merge (carry-forward); load averages are recorded so the
+// artifact self-certifies the idle condition.
 //   sbt 'set Compile/unmanagedSourceDirectories += file("tools")' compile
 //   SPARK_DRIVER_MEM=32g tools/run.sh graft.tools.BenchAnchors
 //   SPARK_DRIVER_MEM=32g tools/run.sh graft.tools.BenchAnchors <sfDir> q1,q2
@@ -19,9 +23,19 @@ import java.nio.file.{Files, Paths}
 
 object BenchAnchors {
   private val defaultPicks = Seq(
+    // the 10 most expensive queries of the r16 bench (the original set)
     "l35_triangles", "l5c_simhash", "l40_label_prop", "l46b_kcore_deep",
     "l46_kcore", "l45_prefix_join", "t9_stream_stream_join", "l26_pagerank",
-    "l28_containment", "l5e_dedup_groups")
+    "l28_containment", "l5e_dedup_groups",
+    // r18 (VERDICT r17 #1): every query that moved >=1.3x r16->r17 in the
+    // shared-JVM bench — BENCH_r17 ran on a loaded box (load peak 10.21)
+    // and none of these had a fresh-JVM anchor to adjudicate against
+    "l5b_minhash_lsh", "l29_novelty", "l7f_knn_ivfpq", "s9_zorder_layout",
+    "l30_pmi_cooccur", "l28b_containment_dedup",
+    // plus the rest of the bench's expensive tail / audit-touched queries,
+    // so the anchor set stays ahead of the next round's suspects
+    "l36_semdedup", "l37_proto_prune", "l7c_knn_ivf", "l22_pipeline_clean",
+    "e9_anomaly", "l38_group_split")
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("--cell")) runCell(args(1), args(2))
@@ -61,10 +75,37 @@ object BenchAnchors {
         "sun.util.calendar").map("java.base/" + _))
       .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val T = """.*"t":(-?[0-9.]+),"rows":(-?[0-9]+).*""".r
+    // carry-forward merge (the DecadeRehearsal/PairJoinProbe rule): a
+    // subset re-anchor run must never erase the rest of the artifact
+    val out = Paths.get("tools/bench_anchors.json")
+    val prior: Map[String, String] = if (Files.exists(out)) {
+      """"([a-z0-9_]+)":(\{"t":[^}]*\})""".r
+        .findAllMatchIn(Files.readString(out))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    } else Map.empty
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
+    var loadMax = loadStart
     var done = List.empty[String]
-    def flush(): Unit = Files.writeString(Paths.get("tools/bench_anchors.json"),
-      done.reverse.mkString(
-        s"""{"dir":"$dir","fresh_jvm_per_query":true,"queries":{""", ",", "}}\n"))
+    def flush(): Unit = {
+      val mine = done.reverse.map { e =>
+        val k = e.takeWhile(_ != ':').stripPrefix("\"").stripSuffix("\"")
+        k -> e.dropWhile(_ != ':').drop(1)
+      }
+      val order = defaultPicks.zipWithIndex.toMap
+      val merged = (prior ++ mine).toSeq
+        .sortBy { case (k, _) => (order.getOrElse(k, Int.MaxValue), k) }
+        .map { case (k, v) => s""""$k":$v""" }
+      // load_avg_{start,max}: the artifact self-certifies the idle-box
+      // condition the r17 shipped bench could not (its load peaked 10.21
+      // mid-run) — an anchor taken above ~2 on this 32-core box is suspect
+      Files.writeString(out, merged.mkString(
+        s"""{"dir":"$dir","fresh_jvm_per_query":true,""" +
+          f""""load_avg_start":$loadStart%.2f,"load_avg_max":$loadMax%.2f,""" +
+          """"queries":{""", ",", "}}\n"))
+    }
     picks.foreach { name =>
       val cmd = (Seq("java") ++ opens ++ Seq(s"-Xmx$mem",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -80,11 +121,13 @@ object BenchAnchors {
         case _ => ()
       }
       proc.waitFor()
+      loadMax = math.max(loadMax, loadAvg)
       val (t, rows) = cell.getOrElse((-1.0, -1L))
-      println(f"$name%-24s t=$t%8.2f s  rows=$rows")
-      done ::= f""""$name":{"t":$t%.2f,"rows":$rows}"""
-      flush()
+      println(f"$name%-24s t=$t%8.2f s  rows=$rows  load=$loadAvg%.2f")
+      if (t < 0) println(s"  SKIP merge: cell failed for $name — prior entry kept")
+      else { done ::= f""""$name":{"t":$t%.2f,"rows":$rows}"""; flush() }
     }
+    flush()
     println("wrote tools/bench_anchors.json")
   }
 }

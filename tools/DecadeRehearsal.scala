@@ -63,7 +63,15 @@ object DecadeRehearsal {
     // w5c the TopKRewrite rule's sketch-aggregate plan (DIFFERENT
     // declared queries — coverage rows, not a controlled A/B; the rule's
     // own fire/no-Window contract is pinned in PlanSpec)
-    "w5_topk_per_group", "w5c_topk_rewrite")
+    "w5_topk_per_group", "w5c_topk_rewrite",
+    // r18 (VERDICT r17 #2): the families whose scale story was argued but
+    // never measured — the sketch aggregates (g11b persisted-HLL rollup,
+    // g12 exact mergeable bitmap distinct, g15 CM point-frequency), the
+    // multimodal frame-dup inverted index, and the CDC layer (s13 MERGE
+    // upsert, s15 snapshot diff). All read tables ScaleFixture replicates
+    // (events / documents / orders).
+    "g11b_hll_persist", "g12_bitmap_distinct", "g15_cm_sketch",
+    "mm4_frame_dup", "s13_merge_upsert", "s15_snapshot_diff")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
@@ -125,10 +133,29 @@ object DecadeRehearsal {
   /** Parent mode: forks one JVM per (pick, cell) and assembles
     * tools/growth_decades.json. The parent never starts Spark. */
   private def runParent(args: Array[String]): Unit = {
+    // Flags are stripped BEFORE the positional dir parse (ADVICE r17: with
+    // "--picks a,b" anywhere before the dirs, "--picks" and the pick list
+    // were consumed as fixture dirs — every cell failed t=-1 and flush()
+    // merged the poison rows over the good artifact entries).
+    val picksArg = args.indexOf("--picks") match {
+      case -1 => None
+      case i =>
+        require(i + 1 < args.length, "--picks needs a comma-separated value")
+        Some(args(i + 1).split(",").toSeq)
+    }
+    val positional = {
+      val b = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        if (args(i) == "--picks") i += 2
+        else { b += args(i); i += 1 }
+      }
+      b.result()
+    }
     val dirs = Seq(
-      args.headOption.getOrElse("/root/testdata/sf0.1"),
-      args.lift(1).getOrElse("/tmp/graft_sf1"),
-      args.lift(2).getOrElse("/tmp/graft_sf100"))
+      positional.headOption.getOrElse("/root/testdata/sf0.1"),
+      positional.lift(1).getOrElse("/tmp/graft_sf1"),
+      positional.lift(2).getOrElse("/tmp/graft_sf100"))
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")
     val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -160,10 +187,6 @@ object DecadeRehearsal {
     }
     def e(tb: Double, ts: Double): Double =
       if (tb > 0 && ts > 0) math.log(tb / ts) / math.log(10.0) else -1.0
-    val picksArg = args.indexOf("--picks") match {
-      case -1 => None
-      case i => Some(args(i + 1).split(",").toSeq)
-    }
     val runPicks = picksArg.getOrElse(pickNames)
     // merge: entries in the existing artifact that this invocation does not
     // re-measure are carried forward verbatim (PairJoinProbe's rule), so a
@@ -171,8 +194,17 @@ object DecadeRehearsal {
     val out = Paths.get("tools/growth_decades.json")
     val prior: Map[String, String] = if (Files.exists(out)) {
       val txt = Files.readString(out)
-      """"([a-z0-9_]+)":(\{"t":\[[^}]*\})""".r.findAllMatchIn(txt)
+      // regex assumption: entry values are FLAT (no nested braces) — true of
+      // every field this tool emits. Round-trip guard (ADVICE r17): the
+      // parsed entry count must equal the artifact's top-level key count, or
+      // a format drift would silently drop carried-forward rows.
+      val parsed = """"([a-z0-9_]+)":(\{"t":\[[^}]*\})""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
+      val keyCount = """"([a-z0-9_]+)":\{"t":""".r.findAllMatchIn(txt).size
+      require(parsed.size == keyCount,
+        s"carry-forward parse dropped entries (${parsed.size} of $keyCount) — " +
+          "growth_decades.json format drifted past the flat-value regex")
+      parsed
     } else Map.empty
     var done = List.empty[String]
     def flush(): Unit = {
@@ -181,7 +213,12 @@ object DecadeRehearsal {
         k -> e.dropWhile(_ != ':').drop(1)
       }
       val merged = (prior ++ mine).toSeq
-        .sortBy { case (k, _) => (pickNames.indexOf(k), k) }
+        .sortBy { case (k, _) =>
+          // retired picks (no longer in pickNames) append at the END in name
+          // order instead of sorting to the front on indexOf == -1
+          val i = pickNames.indexOf(k)
+          (if (i == -1) Int.MaxValue else i, k)
+        }
         .map { case (k, v) => s""""$k":$v""" }
       Files.writeString(out, merged.mkString(
         """{"tiers":[1,10,100],"fresh_jvm_per_cell":true,""" +
@@ -201,11 +238,17 @@ object DecadeRehearsal {
       println(f"$name%-22s t=${c1._1}%6.2f / ${c10._1}%7.2f / ${c10p._1}%7.2f@320" +
         f" / ${c100._1}%8.2f s  e1=$e1%5.2f e2_mixed=$e2m%5.2f e2_pure=$e2p%5.2f" +
         f"  (${(System.nanoTime() - t0) / 6e10}%.1f min)")
-      done ::= (f""""$name":{"t":[${c1._1}%.2f,${c10._1}%.2f,${c100._1}%.2f],""" +
-        s""""rows":[${c1._2},${c10._2},${c100._2}],""" +
-        f""""e1":$e1%.2f,"e2":$e2m%.2f,""" +
-        f""""t10_320":${c10p._1}%.2f,"e2_pure":$e2p%.2f}""")
-      flush()
+      // a pick whose EVERY cell failed (t=-1) is a harness problem, not a
+      // measurement — never overwrite a good prior entry with it (ADVICE r17)
+      if (res.forall(_._1 < 0))
+        println(s"  SKIP merge: all cells failed for $name — prior entry kept")
+      else {
+        done ::= (f""""$name":{"t":[${c1._1}%.2f,${c10._1}%.2f,${c100._1}%.2f],""" +
+          s""""rows":[${c1._2},${c10._2},${c100._2}],""" +
+          f""""e1":$e1%.2f,"e2":$e2m%.2f,""" +
+          f""""t10_320":${c10p._1}%.2f,"e2_pure":$e2p%.2f}""")
+        flush()
+      }
     }
     println("wrote tools/growth_decades.json (fresh JVM per cell)")
   }

@@ -7,6 +7,20 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 object DumpPlans {
+  /** Normalize run-varying tokens so regenerating PLANS.md with no code
+    * change produces an EMPTY diff (VERDICT r17 #7 — six r17 commits each
+    * rewrote ~20k lines of incidental churn). Three run-scoped artifacts
+    * carry no review signal: the per-process scratch root's random suffix,
+    * Catalyst expression ids (one global counter whose allocation order the
+    * pipeline runner's Future pool makes nondeterministic — a shifted id
+    * renumbers every attribute in every later plan), and localCheckpoint
+    * RDD ids. Plan SHAPE — operators, joins, pushed filters, exchanges —
+    * survives normalization untouched. */
+  private def normalize(s: String): String = s
+    .replaceAll("graft_scratch_[0-9a-zA-Z]+", "graft_scratch_SESSION")
+    .replaceAll("#[0-9]+", "#x")
+    .replaceAll("(ExistingRDD|Scan ExistingRDD)\\[[0-9]+\\]", "$1[x]")
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local()
     val d = "/root/testdata/sf0.01"
@@ -471,14 +485,20 @@ is exactly the AQE-re-decides case, demonstrated here.)
       sb.append(s"\n## $name\n\n$why\n")
       if (name == "l50_pipeline_split") {
         // step-cache evidence (r12 stretch #8): same session, same dir ->
-        // every step's content-addressed impression id hits the warehouse
+        // every step's content-addressed impression id hits the warehouse.
+        // ASSERTED here, stated qualitatively in the doc — embedded wall
+        // times were regeneration churn (VERDICT r17 #7); the quantitative
+        // reuse contract lives in PipelineSpecTest.
         val t1 = System.nanoTime()
         fn(spark, d).collect()
         val warm = (System.nanoTime() - t1) / 1e9
-        sb.append(f"\nStep-cache evidence: first execute $cold%.2f s (cold " +
-          f"— all 7 steps materialize), second execute $warm%.2f s in the " +
-          "same session (every step reused from the content-addressed " +
-          "warehouse; the delta is the orchestration cache doing its job).\n")
+        require(warm < cold,
+          f"step-cache reuse regressed: warm $warm%.2f s >= cold $cold%.2f s")
+        sb.append("\nStep-cache evidence: the first execute materializes " +
+          "all 7 steps cold; a second execute in the same session reuses " +
+          "every step from the content-addressed warehouse (warm < cold " +
+          "asserted at generation time; the reuse contract is also pinned " +
+          "in PipelineSpecTest).\n")
       }
       growth.get(growthAlias.getOrElse(name, name)).foreach {
         case (ts, tb, rs, rb, e) =>
@@ -486,8 +506,8 @@ is exactly the AQE-re-decides case, demonstrated here.)
             f"($rs -> $rb rows), exponent $e%.2f.\n")
       }
       sb.append("\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      sb.append(normalize(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

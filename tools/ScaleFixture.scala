@@ -62,7 +62,18 @@ object ScaleFixture {
       outDf.repartitionByRange(copies, col("k"))
         .select(base.columns.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"wrote $out/$name.parquet (${copies}x, $copies files)")
+      // layout assertion (VERDICT r17 #5): the single-row-group trap — ONE
+      // unsplittable file serializing the scan-side map stage — was found
+      // once via the text corpus and cost two rounds of false superlinearity
+      // alarms; this check keeps it from silently regenerating. Every
+      // replicated tier must land as `copies` splittable part-files.
+      val partFiles = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$out/$name.parquet"))
+        .filter(p => p.getFileName.toString.startsWith("part-")).count()
+      require(copies <= 1 || partFiles > 1,
+        s"$out/$name.parquet wrote $partFiles part-file(s) for ${copies}x — " +
+          "single-file tiers serialize the scan map stage (the r17 trap)")
+      println(s"wrote $out/$name.parquet (${copies}x, $partFiles files)")
     }
     def shift(c: String): Column = col(c) + col("k") * off
     rep("orders")(df => df
@@ -94,7 +105,18 @@ object ScaleFixture {
     // must hold fixed. Vectors themselves are byte-identical per copy —
     // fine for plan scaling, but global geometry statistics (e.g. IVF
     // centroid spread) see 100 identical clouds, not new density.
-    // label stays int32-safe: 10 source labels, shift 1000/copy.
+    // label stays int32-safe: 10 source labels, shift 1000/copy. Guarded
+    // (ADVICE r17): a source fixture with ≥1000 distinct labels — or enough
+    // copies to overflow the int cast — would silently collide per-copy
+    // label universes and break the disjointness that keeps pair volume
+    // exactly linear (the L40ArgmaxProbe bit-budget rule).
+    val maxLabel = spark.read.parquet(s"$src/embeddings.parquet")
+      .agg(max(col("label"))).head.getInt(0)
+    require(maxLabel < 1000,
+      s"embeddings label universe reaches $maxLabel — the 1000-per-copy " +
+        "stride would collide copies (disjointness guarantee broken)")
+    require(copies.toLong * 1000 + maxLabel <= Int.MaxValue,
+      s"$copies copies overflow the int32 label budget")
     rep("embeddings")(df => df
       .withColumn("vec_id", shift("vec_id"))
       .withColumn("label",
