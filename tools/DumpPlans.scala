@@ -217,7 +217,14 @@ object DumpPlans {
           sb.append("and the WINDOW top-k family (w5 plain row_number cut 0.28, w5c\n")
           sb.append("TopKRewrite sketch plan 0.44 — different declared queries, coverage\n")
           sb.append("rows not an A/B) — previously only dedup/graph/streaming had scale\n")
-          sb.append("evidence. e15 is a pure window projection,\n")
+          sb.append("evidence. r18 adds the last argued-but-unmeasured families (VERDICT\n")
+          sb.append("r17 #2): the SKETCH AGGREGATES (g11b persisted-HLL rollup, g12 exact\n")
+          sb.append("mergeable bitmap distinct, g15 CM point-frequency — each claims\n")
+          sb.append("fixed-size mergeable state per group), the MULTIMODAL frame-dup\n")
+          sb.append("inverted index (mm4 — the l5 blocking shape with a document-\n")
+          sb.append("frequency cap), and the CDC layer (s13 MERGE upsert's one keyed\n")
+          sb.append("window shuffle, s15 snapshot diff's one keyed full-outer join).\n")
+          sb.append("e15 is a pure window projection,\n")
           sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
           sb.append("unused window entirely — verified on the optimized plan — and would\n")
           sb.append("time only the gap-fill). Reading the ANN rows: l6/l7/l7c ride fixed\n")
