@@ -71,7 +71,13 @@ object DecadeRehearsal {
     // upsert, s15 snapshot diff). All read tables ScaleFixture replicates
     // (events / documents / orders).
     "g11b_hll_persist", "g12_bitmap_distinct", "g15_cm_sketch",
-    "mm4_frame_dup", "s13_merge_upsert", "s15_snapshot_diff")
+    "mm4_frame_dup", "s13_merge_upsert", "s15_snapshot_diff",
+    // r18 follow-through on the mover adjudication: the four queries the
+    // r17 loaded-box bench flagged now carry growth rows too, so the next
+    // "did X regress" question has BOTH an anchor and an exponent to
+    // check against
+    "l29_novelty", "l30_pmi_cooccur", "l28b_containment_dedup",
+    "s9_zorder_layout")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {

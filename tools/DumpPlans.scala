@@ -16,10 +16,56 @@ object DumpPlans {
     * renumbers every attribute in every later plan), and localCheckpoint
     * RDD ids. Plan SHAPE — operators, joins, pushed filters, exchanges —
     * survives normalization untouched. */
-  private def normalize(s: String): String = s
-    .replaceAll("graft_scratch_[0-9a-zA-Z]+", "graft_scratch_SESSION")
-    .replaceAll("#[0-9]+", "#x")
-    .replaceAll("(ExistingRDD|Scan ExistingRDD)\\[[0-9]+\\]", "$1[x]")
+  private def normalize(s: String): String = {
+    val flat = s
+      .replaceAll("graft_scratch_[0-9a-zA-Z]+", "graft_scratch_SESSION")
+      .replaceAll("graft_warehouse_[0-9]+", "graft_warehouse_SESSION")
+      .replaceAll("#[0-9]+", "#x")
+      .replaceAll("\\[plan_id=[0-9]+\\]", "[plan_id=x]")
+      .replaceAll("\\[codegen id : [0-9]+\\]", "[codegen id : x]")
+      .replaceAll("(MapPartitionsRDD|ExistingRDD)\\[[0-9]+\\]", "$1[x]")
+    // Two line-level passes (measured residual churn of the first regen
+    // A/B, 178 hunks in 12 sections): (a) AQE QueryStage `Arguments: N`
+    // prints the stage MATERIALIZATION-ORDER id — racy by construction;
+    // (b) Input/Keys/Results/Functions lists on the aggregate path print
+    // AttributeSet iteration order, which follows ABSOLUTE exprId values —
+    // the pipeline runner's Future pool shifts the global exprId counter
+    // nondeterministically, so later queries' sets permute run-to-run.
+    // Sorting canonicalizes the display multiset; no plan semantics live
+    // in these lines' ordering.
+    val listLine =
+      "^(Input|Keys|Results|Functions|Aggregate Attributes) (\\[[0-9]+\\]): \\[(.*)\\]$".r
+    var inQueryStage = false
+    flat.split("\n", -1).map { l =>
+      val out =
+        if (inQueryStage && l.matches("Arguments: [0-9]+")) "Arguments: x"
+        else l match {
+          case listLine(kind, n, body) => s"$kind $n: [${sortTopLevel(body)}]"
+          case _ => l
+        }
+      if (l.startsWith("(") && l.contains("QueryStage")) inQueryStage = true
+      else if (l.isEmpty) inQueryStage = false
+      out
+    }.mkString("\n")
+  }
+
+  /** Sort a comma-separated display list on TOP-LEVEL commas only (paren/
+    * bracket-aware — `CASE WHEN (...)` and nested calls stay intact). */
+  private def sortTopLevel(body: String): String = {
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    body.foreach { c =>
+      if (c == ',' && depth == 0) { items += cur.toString.trim; cur.clear() }
+      else {
+        if (c == '(' || c == '[') depth += 1
+        if (c == ')' || c == ']') depth -= 1
+        cur += c
+      }
+    }
+    items += cur.toString.trim
+    items.sorted.mkString(", ")
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local()
@@ -166,7 +212,22 @@ object DumpPlans {
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of headline queries (sf0.01, local[32])\n\n")
     sb.append("Generated by `tools/DumpPlans.scala`. These are the plans the\n")
-    sb.append("scale posture rests on; PlanSpec asserts the load-bearing\nproperties in CI.\n")
+    sb.append("scale posture rests on; PlanSpec asserts the load-bearing\nproperties in CI.\n\n")
+    sb.append("Regeneration is DIFF-STABLE up to two named residual classes\n")
+    sb.append("(r18: run-scoped tokens — scratch/warehouse suffixes, exprIds,\n")
+    sb.append("plan/stage/codegen ids, RDD ids — are normalized and\n")
+    sb.append("AttributeSet-ordered display lists sorted; a no-change regen\n")
+    sb.append("previously rewrote ~20k lines, now only the sections below can\n")
+    sb.append("churn). Residual 1: multi-count_distinct queries (l17/p7/tq2/\n")
+    sb.append("tq5) may permute their Expand gid groups — display order keyed\n")
+    sb.append("on absolute exprIds, which AQE's stage-completion-order\n")
+    sb.append("re-optimizations shift; the groups are semantically unordered.\n")
+    sb.append("Residual 2: the iterative graph queries (l26/l40/l46-family)\n")
+    sb.append("may change exchange-REUSE structure — AQE decides reuse per\n")
+    sb.append("stage completion order, so a subtree prints expanded in one run\n")
+    sb.append("and as a ReusedExchange in another (node counts shift, values\n")
+    sb.append("and shuffles do not). Both are true plan-display variance under\n")
+    sb.append("AQE, not code drift; measured per regen pair: 0-4 sections.\n")
     if (growth.nonEmpty) {
       sb.append("\n## Measured scale growth (sf0.1 -> 10x, tools/ScaleRehearsal)\n\n")
       sb.append("The 10 most expensive batch queries, rerun on a 10x id-offset\n")
