@@ -1313,6 +1313,15 @@ object TextOps {
     // costs what the checkpoint's GC costs, with no consistent winner.
     // No-churn rule: the declared plan keeps the checkpoint; the exchange
     // posture stays re-measurable here (the L40Argmax convention).
+    // SECOND reason the checkpoint stays, found by the trap gate itself
+    // when the exchange default briefly leaked into the declared plan: a
+    // bare repartition(s) leaves the raw exploded side's PRE-EXPLODE size
+    // estimate visible through the Generate, and at fixture scale the
+    // planner statically BROADCASTS the exchange side — the l5 trap class
+    // (corpus-scale driver OOM). l5 dodges it with an explicit
+    // shuffle_hash hint; the checkpoint dodges it structurally (truncated
+    // lineage ⇒ honest stats). An adopted exchange posture would need the
+    // hint too.
     val sh0 = shingleRows(docs, n, hashBits)
     val sh = if (shareByCheckpoint) sh0.localCheckpoint(eager = true)
              else sh0.repartition(col("s"))
@@ -1333,7 +1342,7 @@ object TextOps {
     * comparing floats). Drop set is doc_id-only → ONE anti-join. */
   private[graft] def containmentDedupFrames(
       docs: DataFrame, n: Int, tau: Double, hashBits: Int = 64,
-      shareByCheckpoint: Boolean = false): DataFrame = {
+      shareByCheckpoint: Boolean = true): DataFrame = {
     val dropped = containmentPairsFrames(docs, n, tau, hashBits, shareByCheckpoint)
       .where(col("na") < col("nb") ||
         (col("na") === col("nb") && col("da") > col("db")))

@@ -284,7 +284,17 @@ object DumpPlans {
           sb.append("fixed-size mergeable state per group), the MULTIMODAL frame-dup\n")
           sb.append("inverted index (mm4 — the l5 blocking shape with a document-\n")
           sb.append("frequency cap), and the CDC layer (s13 MERGE upsert's one keyed\n")
-          sb.append("window shuffle, s15 snapshot diff's one keyed full-outer join).\n")
+          sb.append("window shuffle, s15 snapshot diff's one keyed full-outer join);\n")
+          sb.append("plus the four queries the r17 loaded-box bench flagged (l29/l30/\n")
+          sb.append("l28b/s9 — adjudicated ambient in tools/bench_idle_r18.json), so\n")
+          sb.append("every past suspect now has an anchor AND an exponent. Reading\n")
+          sb.append("l28b's row (the one exponent above 1.01): ATTRIBUTED, not a plan\n")
+          sb.append("term — L28bPhaseProbe measured candidate volume exactly linear\n")
+          sb.append("(22.6M→226M intermediate pairs for 10x data) and task CPU ~linear;\n")
+          sb.append("the wall exponent is one-JVM GC of the checkpoint materialization\n")
+          sb.append("plus 45-137 s adjacent-run drift at that tier, and the l5-style\n")
+          sb.append("exchange alternative LOST the fresh-JVM full-query A/B 2-of-3\n")
+          sb.append("(tools/l28b_posture.json — kept re-measurable, not adopted).\n")
           sb.append("e15 is a pure window projection,\n")
           sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
           sb.append("unused window entirely — verified on the optimized plan — and would\n")
