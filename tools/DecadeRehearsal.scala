@@ -77,7 +77,12 @@ object DecadeRehearsal {
     // "did X regress" question has BOTH an anchor and an exponent to
     // check against
     "l29_novelty", "l30_pmi_cooccur", "l28b_containment_dedup",
-    "s9_zorder_layout")
+    "s9_zorder_layout",
+    // r18 completion of the sketch/window families: g13 Misra-Gries (the
+    // one G-sketch member still unmeasured alongside g14's HLL intersect)
+    // and w5b's bounded top-k aggregate (w5/w5c had rows; the
+    // TypedImperativeAggregate path did not)
+    "g13_freq_sketch", "g14_hll_intersect", "w5b_topk_agg")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
