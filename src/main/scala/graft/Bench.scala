@@ -168,7 +168,72 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+  /** Render the fresh-JVM clean re-measures as a JSON fragment for the
+    * health block — capped like `suspect` so the stdout line stays inside
+    * the tail budget (the uncapped map is in the bench.json file line via
+    * the same fragment; suspects past the cap are visible in clean_total). */
+  def cleanJson(clean: Seq[(String, Double)], cap: Int = 16): String = {
+    val body = clean.take(cap)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val over = if (clean.size > cap) s""","clean_total":${clean.size}""" else ""
+    s""","clean":$body$over"""
+  }
+
+  /** Child mode (`--one <name> <sfDir>`): ONE query, fresh JVM, the same
+    * sf0.001 warmup + min-of-2 protocol as the parent — the DecadeRehearsal
+    * cell method. Prints `CLEAN {"t":N}` as its last line (-1 on failure).
+    * This is the SELF-ADJUDICATION half of VERDICT r18 #1: when the parent
+    * run ends with suspects (clean-pair disagreement or ≥2× anchor movers
+    * under load), it re-measures EVERY suspect through here in a quiet
+    * window before writing the artifact, so BENCH_r{N} carries its own
+    * clean evidence instead of needing a side file. */
+  private def runOne(name: String, sfDir: String): Unit = {
+    val spark = graft.core.Sessions.local()
+    val t = try {
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+      graft.core.Caches.releaseAll(spark)
+      val fn = SparkEntry.queries(name)
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(spark)
+        dt
+      }
+      math.min(one(), one())
+    } catch { case _: Throwable => -1.0 }
+    spark.stop()
+    println(f"""CLEAN {"t":$t%.3f}""")
+  }
+
+  /** Fork one fresh-JVM clean cell. Classpath comes from this (forked)
+    * JVM's own java.class.path — target/classes + /opt/spark/jars — so the
+    * child resolves identically regardless of the launcher's cwd. */
+  private def forkClean(name: String, sfDir: String): Double = {
+    val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic").map("java.base/" + _) ++
+      Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar").map("java.base/" + _))
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq("java") ++ opens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--one", name, sfDir))
+    try {
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      val T = """.*CLEAN \{"t":(-?[0-9.]+)\}.*""".r
+      var t = -1.0
+      lines.foreach { case T(v) => t = v.toDouble; case _ => () }
+      proc.waitFor()
+      t
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--one") { runOne(args(1), args(2)); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // PRE-FLIGHT LOAD GATE (VERDICT r9 #5): two consecutive rounds
@@ -324,31 +389,66 @@ object Bench {
     val suspects = (pairSuspects ++ anchorSuspects(resultMin.toMap.collect {
       case (k, v) if v >= 0 => k -> v
     }, prevTimes, loadMax, gateLimit)).distinct.sorted
+    // SELF-ADJUDICATION (VERDICT r18 #1): two rounds running, the shipped
+    // artifact flagged itself noisy and named suspects but re-gated only a
+    // few — so reading it required side files (idle reruns, anchors). Now
+    // the harness finishes the job: EVERY suspect is re-measured in a
+    // fresh JVM (the DecadeRehearsal cell method — same warmup, min-of-2)
+    // after a bounded quiescence wait, and the artifact records both the
+    // in-run value (queries) and the clean value (clean). The wall budget
+    // covers waits AND child runtimes so a permanently-loaded box can't
+    // hang the bench; an exhausted budget leaves the remaining suspects
+    // without a clean entry and self_adjudicated=false — visible, never
+    // silent.
+    var cleanBudgetMs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_BUDGET_SEC",
+      "1800").toLong * 1000L
+    val clean = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    suspects.foreach { name =>
+      if (cleanBudgetMs > 0) {
+        val w0 = System.nanoTime()
+        while (loadAvg() > gateLimit &&
+            (System.nanoTime() - w0) / 1000000L < cleanBudgetMs)
+          Thread.sleep(5000)
+        clean(name) = forkClean(name, sfDir)
+        cleanBudgetMs -= (System.nanoTime() - w0) / 1000000L
+        System.err.println(f"[bench] clean re-measure $name: " +
+          f"${clean(name)}%.2f s (in-run min ${resultMin.getOrElse(name, -1.0)}%.2f s)")
+      }
+    }
+    // vacuously TRUE with zero suspects: nothing needed adjudication (a
+    // noisy flag tripped by load/spread alone names no query to re-measure)
+    val selfAdjudicated =
+      suspects.forall(n => clean.get(n).exists(_ >= 0))
     val cores = Runtime.getRuntime.availableProcessors()
     val noisy = loadStart > 2.0 + cores / 16.0 ||
       sprMedian > 2.0 || pairSuspects.size >= 3
-    // 16-name cap (was 8): the anchor-mover source can legitimately name
-    // several queries on a loaded run; suspect_total makes truncation
-    // visible instead of silent
-    val suspectJson = suspects.take(16)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val suspectOver =
-      if (suspects.size > 16) s""","suspect_total":${suspects.size}""" else ""
+    // 16-name cap on the STDOUT channel only (tail budget); the file
+    // artifact records the FULL suspect and clean maps — r18's 23 suspects
+    // lost 7 names to this cap even in bench.json, which made "re-measure
+    // every suspect" unverifiable from the artifact alone
+    def suspectJson(cap: Int) = {
+      val over = if (suspects.size > cap)
+        s""","suspect_total":${suspects.size}""" else ""
+      suspects.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]") + over
+    }
     val regatedJson = regated.sorted.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val health =
+    def healthAt(cap: Int) =
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
       s""","load_avg_max":${fmt(loadMax)},"cpus":$cores""" +
       s""","gate_wait_sec":${fmt(gateWaitSec)},"gate_timed_out":$gateTimedOut""" +
-      s""","spread_median":${fmt(sprMedian)},"suspect":$suspectJson$suspectOver""" +
-      s""","regated":$regatedJson,"anchors":${prevTimes.size},"noisy":$noisy"""
+      s""","spread_median":${fmt(sprMedian)},"suspect":${suspectJson(cap)}""" +
+      s""","regated":$regatedJson,"anchors":${prevTimes.size},"noisy":$noisy""" +
+      cleanJson(clean.toSeq, cap) +
+      s""","self_adjudicated":$selfAdjudicated"""
+    val health = healthAt(16)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sprJson = spr.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$sprJson$health,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$sprJson${healthAt(Int.MaxValue)},"sf":"$sfDir"}"""
     // The JSON must reach the driver on a clean channel: sbt decorates
     // stdout with [info]/[error] prefixes and Spark shutdown may log after
     // us. Emit the FULL per-query map to a file (env override, default

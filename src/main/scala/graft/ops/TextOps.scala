@@ -126,12 +126,14 @@ object TextOps {
     * re-measure the rejected posture; the declared/bench paths call the
     * public overload above, which cannot be perturbed by process state. */
   private[graft] def l5JaccardCapped(
-      maxShingleDf: Option[Long], pairJoinTrapPosture: Boolean): Q = (s, d) => {
+      maxShingleDf: Option[Long], pairJoinTrapPosture: Boolean,
+      hashBits: Int = 64): Q = (s, d) => {
     // NOTE: the shingle table feeds three subplans (both join sides and the
     // per-doc sizes); persisting it was measured SLOWER cold (the
     // materialization barrier defeats concurrent stage execution), so the
     // subplans recompute — shingle generation is cheap after tokenization.
-    val sh0 = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh0 = shingleTable(s, d)
+      .select(col("doc_id"), shingleKey(col("s"), hashBits).as("s"))
     val sh = maxShingleDf.fold(sh0) { cap =>
       // df pre-aggregation is one extra shuffle over the SAME key the join
       // shuffles on; the semi join then bounds every join bucket at cap²
@@ -222,9 +224,13 @@ object TextOps {
     * Plan shape: one df aggregation + one per-doc rank window (both keyed
     * on columns the next stage joins on), one prefix self-join, one
     * verification join against the materialized (doc_id, hs) arrays. */
-  val l45PrefixJoin: Q = (s, d) => {
+  val l45PrefixJoin: Q = l45PrefixJoinBits(64)
+
+  /** l45 with the [[shingleKey]] `hash_bits` width threaded through the
+    * prefix index and the verification arrays (VERDICT r18 #3). */
+  private[graft] def l45PrefixJoinBits(hashBits: Int): Q = (s, d) => {
     val tau = 0.3
-    val docs = hashedShingleDocs(s, d) // (doc_id, hs: array<long>)
+    val docs = hashedShingleDocs(s, d, hashBits) // (doc_id, hs: array<hash>)
     val ex = docs
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sv"))
     val dfT = ex.groupBy(col("sv")).agg(count(lit(1)).as("df"))
@@ -266,7 +272,9 @@ object TextOps {
     * (word, doc_id, pos) index is the persisted artifact — l27's
     * index-once posture — and these filters become index lookups);
     * adjacency is equi-joins on (doc_id, pos−offset), never a string
-    * rescan. Occurrences can overlap ("a a a" has two "a a") — counted,
+    * rescan. No `hash_bits` knob here BY CONSTRUCTION (VERDICT r18 #3
+    * audit): the index keys raw words and integer positions — nothing is
+    * hashed, so there is no 64-bit birthday term to widen. Occurrences can overlap ("a a a" has two "a a") — counted,
     * like the SQL twin's position arithmetic. */
   private[graft] def phraseSearchFrames(docs: DataFrame,
       phrase: Seq[String]): DataFrame = {
@@ -336,10 +344,20 @@ object TextOps {
     * (The l5 inverted-index path deliberately does NOT persist its exploded
     * shingle table: that one is shuffle-bound, and the barrier was measured
     * slower; this one is compute-bound and wins.) */
-  private[graft] def hashedShingleDocs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  /** `hashBits` widens the per-doc hashed-shingle arrays (the [[shingleKey]]
+    * flag — 128 stores 16-byte binary elements; array_intersect and the
+    * (df, hash) orderings work on BinaryType natively). The minhash/simhash
+    * callers stay at 64 BY CONSTRUCTION: their permutation mixing
+    * (xxhash64(i, h)) consumes longs, and a collision there only perturbs an
+    * already-approximate signature — the exact-verification arrays are where
+    * the birthday term would mint false intersections, and l45 (the exact
+    * path) threads the flag. */
+  private[graft] def hashedShingleDocs(s: org.apache.spark.sql.SparkSession,
+      d: String, hashBits: Int = 64): DataFrame =
     tokenized(s, d, wide = true)
       .select(col("doc_id"), shingles(col("t")).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), sv => xxhash64(sv)).as("hs"))
+      .select(col("doc_id"),
+        transform(col("sh"), sv => shingleKey(sv, hashBits)).as("hs"))
       .localCheckpoint(eager = true)
 
   /** LSH banding + exact candidate verification, given per-doc signatures.
@@ -904,11 +922,11 @@ object TextOps {
     * shingles, candidate buckets bounded by shared-shingle df), then the
     * [[Graphs.connectedComponents]] loop. Same plan shape as the declared
     * l5e, parameterized over its input corpus. */
-  private[graft] def dedupGroupsFrames(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def dedupGroupsFrames(docs: org.apache.spark.sql.DataFrame,
+      hashBits: Int = 64): org.apache.spark.sql.DataFrame = {
     val sh = docs.withColumn("t", toks(col("text")))
       .select(col("doc_id"), explode(shingles(col("t"))).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .select(col("doc_id"), shingleKey(col("s0"), hashBits).as("s"))
       // same s-keyed exchange sharing as l5JaccardCapped (r16,
       // tools/L5ShareProbe) — one tokenize pass for all three consumers
       .repartition(col("s"))
@@ -1240,14 +1258,21 @@ object TextOps {
     * ≤ 2× token count, and (hash, doc_id) is all that moves. Fixture
     * windows are 16 tokens (docs are 10-99 tokens; production uses the
     * paper's 50 with the same plan). */
-  val l20SubstringDup: Q = (s, d) => {
-    val win = 16; val stride = 8
-    val wins = tokenized(s, d, wide = true)
+  val l20SubstringDup: Q = (s, d) =>
+    substringDupFrames(Tables.documentsWide(s, d))
+
+  /** l20 core over ANY (doc_id, text) frame — window length/stride and the
+    * window join-key width ([[shingleKey]] `hash_bits`: a 16-token window is
+    * a shingle by another name, and the corpus-global count join inherits
+    * the same 64-bit birthday term at 10¹²⁺ distinct windows). */
+  private[graft] def substringDupFrames(docs: DataFrame, win: Int = 16,
+      stride: Int = 8, hashBits: Int = 64): DataFrame = {
+    val wins = docs.withColumn("t", toks(col("text")))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, int(greatest(size(t) - $win, 0) / $stride)), " +
           s"i -> array_join(slice(t, i * $stride + 1, $win), ' '))")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), shingleKey(col("w"), hashBits).as("h"))
     val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     wins.join(counts, Seq("h"))
       .groupBy(col("doc_id"))
@@ -1276,8 +1301,14 @@ object TextOps {
     * changes). Exposed through the registry transforms' `hash_bits` param
     * (decontaminate / containment_dedup / novelty). */
   private[graft] def shingleKey(c: Column, bits: Int): Column = bits match {
-    case 64 => xxhash64(c)
-    case 128 => unhex(md5(c))
+    // coalesce first (ADVICE r18): the widths DIVERGE on a null shingle —
+    // xxhash64(null) yields the seed (42, one shared non-null key for every
+    // null-text doc) while md5(null) is NULL (dropped by joins, kept by
+    // groupBy) — so a degenerate corpus row would make the 64/128 paths
+    // row-inequivalent. Keying the empty string instead gives both widths
+    // the same shared-key behavior on nulls.
+    case 64 => xxhash64(coalesce(c, lit("")))
+    case 128 => unhex(md5(coalesce(c, lit(""))))
     case b => throw new IllegalArgumentException(
       s"hash_bits must be 64 or 128, got $b")
   }
@@ -1489,9 +1520,15 @@ object TextOps {
     * ONLY for candidates and the codegen'd `levenshtein` scores each pair
     * once. The duplicate verdict dist ≤ 0.2·maxlen compares as integer
     * `dist·5 ≤ maxlen` — no float crosses the engines. */
-  val l33EditDedup: Q = (s, d) => {
-    val docs = Tables.documentsWide(s, d)
-    val sh = shingleTable(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+  val l33EditDedup: Q = (s, d) => editDedupFrames(Tables.documentsWide(s, d))
+
+  /** l33 core over ANY (doc_id, text) frame; `hash_bits` widens the
+    * candidate-blocking shingle key (the [[shingleKey]] flag). */
+  private[graft] def editDedupFrames(docs: DataFrame,
+      hashBits: Int = 64): DataFrame = {
+    val sh = docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), explode(shingles(col("t"))).as("s"))
+      .select(col("doc_id"), shingleKey(col("s"), hashBits).as("s"))
     // SHUFFLE_HASH: the shingle table is corpus ×shingles via explode — the
     // static-estimate-through-Generate lie (l5 trap class, r15); the
     // self-join must shuffle on the 8-byte hash, never broadcast.
@@ -1519,11 +1556,16 @@ object TextOps {
     * by the SOURCE count, not document frequency — then one self-join on
     * the 8-byte hash and a source-pair count; output is #sources² rows.
     * With thousands of sources the l5 df-cap argument applies unchanged. */
-  val l34SourceOverlap: Q = (s, d) => {
-    val docs = Tables.documentsWide(s, d)
-    val ss = shingleTable(s, d)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), xxhash64(col("s")).as("h")).distinct()
+  val l34SourceOverlap: Q = (s, d) =>
+    sourceOverlapFrames(Tables.documentsWide(s, d))
+
+  /** l34 core over ANY (doc_id, source, text) frame; `hash_bits` widens the
+    * (source, shingle) key (the [[shingleKey]] flag). */
+  private[graft] def sourceOverlapFrames(docs: DataFrame,
+      hashBits: Int = 64): DataFrame = {
+    val ss = docs.withColumn("t", toks(col("text")))
+      .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("s"))
+      .select(col("source"), shingleKey(col("s"), hashBits).as("h")).distinct()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     ss.select(col("source").as("sa"), col("h"))
       .join(ss.select(col("source").as("sb"), col("h")), Seq("h"))
@@ -1551,16 +1593,23 @@ object TextOps {
     * aggregation is the only other shuffle. Scores ride as round(·,6)
     * doubles so both engines agree digit-for-digit under the driver's
     * float tolerance. */
-  val l21LmScore: Q = (s, d) => {
-    val bi = tokenized(s, d, wide = true)
+  val l21LmScore: Q = (s, d) => lmScoreFrames(Tables.documentsWide(s, d))
+
+  /** l21 core over ANY (doc_id, text) frame; `hash_bits` widens the
+    * unigram/bigram COUNT-join keys (the [[shingleKey]] flag — a 64-bit
+    * collision merges two bigram counts, harmless below ~10⁹ distinct
+    * grams, a real perturbation at corpus vocabulary scale). */
+  private[graft] def lmScoreFrames(docs: DataFrame,
+      hashBits: Int = 64): DataFrame = {
+    val bi = docs.withColumn("t", toks(col("text")))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(1, size(t) - 1), i -> " +
           "struct(element_at(t, i) AS w1, concat(element_at(t, i), ' ', element_at(t, i + 1)) AS bg))"))
           .as(Seq("pos", "p")))
-      .select(col("doc_id"), xxhash64(col("p.w1")).as("w1h"),
-        xxhash64(col("p.bg")).as("bgh"))
+      .select(col("doc_id"), shingleKey(col("p.w1"), hashBits).as("w1h"),
+        shingleKey(col("p.bg"), hashBits).as("bgh"))
     val cBg = bi.groupBy(col("bgh")).agg(count(lit(1)).as("cbg"))
     val cW1 = bi.groupBy(col("w1h")).agg(count(lit(1)).as("cw1"))
     bi.join(cBg, Seq("bgh")).join(cW1, Seq("w1h"))
@@ -1595,12 +1644,12 @@ object TextOps {
   /** Unigram+bigram feature stream of a tokenized frame, hashed to 8-byte
     * keys. CASE guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
     * would index element 0 — bigrams only exist for size >= 2. */
-  private def dsirGrams(docs: DataFrame): DataFrame =
+  private def dsirGrams(docs: DataFrame, hashBits: Int = 64): DataFrame =
     docs.select(col("doc_id"), explode(concat(col("t"),
         expr("CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), i -> " +
           "concat(element_at(t, i), ' ', element_at(t, i + 1))) " +
           "ELSE CAST(array() AS array<string>) END"))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .select(col("doc_id"), shingleKey(col("g"), hashBits).as("gh"))
 
   private def dsirScore(gs: DataFrame, gt: DataFrame): DataFrame = {
     val ct = gt.groupBy(col("gh")).agg(count(lit(1)).as("ct"))
@@ -1624,9 +1673,10 @@ object TextOps {
     * production shape: a real target-domain corpus instead of the
     * declared query's pseudo-holdout. Exposed to the registry as
     * `dsir`. */
-  private[graft] def dsirFrames(source: DataFrame, target: DataFrame): DataFrame =
-    dsirScore(dsirGrams(source.withColumn("t", toks(col("text")))),
-      dsirGrams(target.withColumn("t", toks(col("text")))))
+  private[graft] def dsirFrames(source: DataFrame, target: DataFrame,
+      hashBits: Int = 64): DataFrame =
+    dsirScore(dsirGrams(source.withColumn("t", toks(col("text"))), hashBits),
+      dsirGrams(target.withColumn("t", toks(col("text"))), hashBits))
 
   /** L39: per-document unigram Shannon entropy — the vocabulary-diversity
     * quality signal (low entropy = looping/boilerplate text even when

@@ -229,8 +229,11 @@ object Transforms {
     // near-dup grouping over any (doc_id, text) step: τ ≥ 0.3 exact
     // Jaccard pairs (the l5 inverted index) + the CC loop — the pipeline
     // form of l5e, feeding group_split (the declared composition is l50)
-    r.register("dedup_groups") { (_, in, _) =>
-      graft.ops.TextOps.dedupGroupsFrames(in("docs"))
+    // param hash_bits (64|128): the shingle join-key width (the
+    // decontaminate/containment_dedup/novelty flag — TextOps.shingleKey)
+    r.register("dedup_groups") { (_, in, p) =>
+      graft.ops.TextOps.dedupGroupsFrames(in("docs"),
+        p.params.getOrElse("hash_bits", "64").toInt)
     }
     r.register("group_split") { (_, in, p) =>
       graft.ops.TextOps.groupSplitFrames(in("groups"),
@@ -246,8 +249,10 @@ object Transforms {
     }
     // DSIR importance weights: score `source` docs by target-vs-source
     // n-gram distribution ratio (a real target corpus, not a holdout)
-    r.register("dsir") { (_, in, _) =>
-      graft.ops.TextOps.dsirFrames(in("source"), in("target"))
+    // (same hash_bits knob: the n-gram count-join keys)
+    r.register("dsir") { (_, in, p) =>
+      graft.ops.TextOps.dsirFrames(in("source"), in("target"),
+        p.params.getOrElse("hash_bits", "64").toInt)
     }
     // freshness / completeness observability report over any typed
     // stream (declared p10 pins events by event_type)

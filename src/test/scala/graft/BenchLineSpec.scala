@@ -94,6 +94,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert((parsed \ "spread_median") == JDouble(1.2) || (parsed \ "spread_median") == JDecimal(1.2))
   }
 
+  test("cleanJson renders the fresh-JVM re-measures, capped with clean_total") {
+    assert(Bench.cleanJson(Seq.empty) == ""","clean":{}""")
+    assert(Bench.cleanJson(Seq("l26_pagerank" -> 2.16, "bad_q" -> -1.0)) ==
+      ""","clean":{"l26_pagerank":2.16,"bad_q":-1}""")
+    val many = (1 to 20).map(i => f"q$i%02d" -> i.toDouble)
+    val s = Bench.cleanJson(many)
+    assert(s.contains(""""clean_total":20"""))
+    assert(s.contains("\"q16\":16") && !s.contains("\"q17\""))
+  }
+
+  test("clean + self_adjudicated health fields survive trimming") {
+    val extra = ""","noisy":true""" +
+      Bench.cleanJson(Seq("a" -> 1.5, "b" -> 2.0)) + ""","self_adjudicated":true"""
+    val line = Bench.stdoutLine(fakeResults(250), "/root/testdata/sf0.1", extra = extra)
+    assert(line.length <= 1900)
+    val parsed = JsonMethods.parse(line)
+    assert((parsed \ "self_adjudicated") == JBool(true))
+    assert((parsed \ "clean" \ "b") == JDouble(2.0) || (parsed \ "clean" \ "b") == JDecimal(2.0) || (parsed \ "clean" \ "b") == JInt(2))
+  }
+
   test("spread and median helpers") {
     val spr = Bench.spreads(Map(
       "a" -> Seq(1.0, 2.0),   // 2x spread

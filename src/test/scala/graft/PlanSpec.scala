@@ -511,7 +511,11 @@ class PlanSpec extends SparkSpec {
 
   test("tq7 volume shipping: unhinted nation-filtered dims broadcast off estimates at sf0.01 — only the fact join shuffles") {
     // sf0.01: the two-nation flow is EMPTY at sf0.001 and AQE collapses
-    // the whole plan to EmptyRelation — nothing to assert there
+    // the whole plan to EmptyRelation — nothing to assert there.
+    // NOTE (ADVICE r18): unlike the sfDir-driven tq tests, this one PINS
+    // its own sf0.01 dir below, so the strict bcast>=2 / smj+shj<=1 counts
+    // are fixture-stable by construction and need no estimateBroadcastFixture
+    // guard — moving the session sfDir does not move this test.
     val plan = executed(graft.SparkEntry.queries("tq7_volume_shipping")(
       spark, "/root/testdata/sf0.01"))
     val all = collectAll(plan)
@@ -563,14 +567,26 @@ class PlanSpec extends SparkSpec {
 
   test("tq14/tq18: unhinted part/customer dims broadcast off estimates at sf0.001; tq18's quantity rollup precedes every join") {
     val p14 = executed(graft.SparkEntry.queries("tq14_promo_effect")(spark, sfDir))
-    assert(collectAll(p14).exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      s"part dim should broadcast in tq14:\n$p14")
+    val all14 = collectAll(p14)
     val p18 = executed(graft.SparkEntry.queries("tq18_large_volume")(spark, sfDir))
     val all18 = collectAll(p18)
-    assert(all18.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      s"customer dim should broadcast in tq18:\n$p18")
+    // broadcast EXISTENCE is an estimate-driven sf0.001 behavior — at scale
+    // these dims legitimately shuffle keyed, so the pins degrade to the
+    // scale-invariant checks below (ADVICE r18: these two asserts were the
+    // only ones missing the guard the sibling tq tests already carry)
+    if (estimateBroadcastFixture) {
+      assert(all14.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        s"part dim should broadcast in tq14:\n$p14")
+      assert(all18.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        s"customer dim should broadcast in tq18:\n$p18")
+    }
+    // scale-invariant: no unkeyed join in either plan at any fixture
+    (all14 ++ all18).foreach(p => assert(
+      !p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] &&
+      !p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec],
+      s"unkeyed join in tq14/tq18"))
     // the HAVING rollup must be join-free upstream: find the first agg in
     // preorder (outermost = the final of the orderkey rollup chain only if
     // no join below); cheaper and robust: assert the plan has exactly the

@@ -57,4 +57,82 @@ class ShingleHashWidthSpec extends SparkSpec {
       graft.pipeline.ParamMap(Map("n" -> "3", "hash_bits" -> "128")))
     assert(out.count() == docs.count())
   }
+
+  // VERDICT r18 #3: the remaining shingle-keyed transforms carry the same
+  // flag — each pair below must be row-identical (width is a pure
+  // re-keying; both operators consume only hash equality/ordering).
+
+  test("shingleKey: both widths agree on NULL input (shared non-null key)") {
+    // ADVICE r18: xxhash64(null) = seed 42 but md5(null) = NULL — the
+    // coalesce inside shingleKey must give both widths the same grouping
+    // and join behavior on a degenerate null shingle.
+    val d = docs.select(lit(null).cast("string").as("s")).limit(3)
+    val k64 = d.select(TextOps.shingleKey(col("s"), 64).as("k"))
+    val k128 = d.select(TextOps.shingleKey(col("s"), 128).as("k"))
+    assert(k64.where(col("k").isNull).count() == 0)
+    assert(k128.where(col("k").isNull).count() == 0)
+    assert(k64.distinct().count() == 1 && k128.distinct().count() == 1)
+  }
+
+  test("l5 pair generation: 128-bit path emits the identical pair set") {
+    val w64 = TextOps.l5JaccardCapped(None, pairJoinTrapPosture = false)(spark, sfDir)
+    val w128 = TextOps.l5JaccardCapped(None, pairJoinTrapPosture = false,
+      hashBits = 128)(spark, sfDir)
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
+
+  test("l45 prefix join: 128-bit index + binary verification arrays match") {
+    val w64 = TextOps.l45PrefixJoinBits(64)(spark, sfDir)
+    val w128 = TextOps.l45PrefixJoinBits(128)(spark, sfDir)
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
+
+  test("l34 source overlap: 128-bit path emits identical overlap counts") {
+    val w64 = TextOps.sourceOverlapFrames(docs)
+    val w128 = TextOps.sourceOverlapFrames(docs, hashBits = 128)
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
+
+  test("l20 substring windows: 128-bit window keys give identical span stats") {
+    val w64 = TextOps.substringDupFrames(docs)
+    val w128 = TextOps.substringDupFrames(docs, hashBits = 128)
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
+
+  test("l33 edit dedup: 128-bit candidate blocking proposes identical pairs") {
+    val w64 = TextOps.editDedupFrames(docs)
+    val w128 = TextOps.editDedupFrames(docs, hashBits = 128)
+    assert(sortedRows(w64) == sortedRows(w128))
+  }
+
+  test("dedup_groups: 128-bit path yields identical components (registry param)") {
+    val reg = graft.pipeline.Transforms.standard()
+    val w64 = TextOps.dedupGroupsFrames(docs.select(col("doc_id"), col("text")))
+    val w128 = reg.resolve("dedup_groups")(spark,
+      Map("docs" -> docs.select(col("doc_id"), col("text"))),
+      graft.pipeline.ParamMap(Map("hash_bits" -> "128")))
+    assert(sortedRows(w64) == sortedRows(w128))
+  }
+
+  test("l21 LM score: 128-bit gram count keys give identical scores") {
+    val w64 = TextOps.lmScoreFrames(docs)
+    val w128 = TextOps.lmScoreFrames(docs, hashBits = 128)
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
+
+  test("dsir: 128-bit gram keys give identical weights (registry param)") {
+    val reg = graft.pipeline.Transforms.standard()
+    val src = docs.where(col("doc_id") % 20 =!= 0)
+    val tgt = docs.where(col("doc_id") % 20 === 0)
+    val w64 = TextOps.dsirFrames(src, tgt)
+    val w128 = reg.resolve("dsir")(spark, Map("source" -> src, "target" -> tgt),
+      graft.pipeline.ParamMap(Map("hash_bits" -> "128")))
+    assert(sortedRows(w64) == sortedRows(w128))
+    assert(w64.count() > 0)
+  }
 }

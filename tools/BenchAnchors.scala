@@ -22,20 +22,34 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 object BenchAnchors {
+  /** MEMBERSHIP RULE (VERDICT r18 stretch #7, also written into the
+    * artifact's note): the anchor set is
+    *   (a) every query EVER named in a bench artifact's `suspect` list, plus
+    *   (b) the 10 most expensive queries of the latest idle-adjudicated run,
+    * regenerated once per round on the final tree so the set tracks the
+    * bench instead of fossilizing on past incidents. Names are listed
+    * explicitly (not derived at runtime) so a deleted/renamed query fails
+    * loudly here rather than silently shrinking the set. */
   private val defaultPicks = Seq(
-    // the 10 most expensive queries of the r16 bench (the original set)
+    // (b) the expensive tail (r16 origin set, still the top of the idle run)
     "l35_triangles", "l5c_simhash", "l40_label_prop", "l46b_kcore_deep",
     "l46_kcore", "l45_prefix_join", "t9_stream_stream_join", "l26_pagerank",
     "l28_containment", "l5e_dedup_groups",
-    // r18 (VERDICT r17 #1): every query that moved >=1.3x r16->r17 in the
-    // shared-JVM bench — BENCH_r17 ran on a loaded box (load peak 10.21)
-    // and none of these had a fresh-JVM anchor to adjudicate against
+    // (a) r17 suspects: every >=1.3x r16->r17 mover (loaded-box round)
     "l5b_minhash_lsh", "l29_novelty", "l7f_knn_ivfpq", "s9_zorder_layout",
     "l30_pmi_cooccur", "l28b_containment_dedup",
-    // plus the rest of the bench's expensive tail / audit-touched queries,
-    // so the anchor set stays ahead of the next round's suspects
+    // expensive tail / audit-touched continuation
     "l36_semdedup", "l37_proto_prune", "l7c_knn_ivf", "l22_pipeline_clean",
-    "e9_anomaly", "l38_group_split")
+    "e9_anomaly", "l38_group_split",
+    // (a) r18 suspects: BENCH_r18's 23 anchor movers under load (its
+    // suspect list truncated at 16 — the tail reconstructed from the
+    // verdict's mover list; the Bench artifact now records suspects
+    // uncapped, so future rounds append verbatim)
+    "f9_generator", "g11_hll_merge", "g11b_hll_persist",
+    "g12_bitmap_distinct", "g13_freq_sketch", "g14_hll_intersect",
+    "g15_cm_sketch", "g4_rollup", "g4b_cube", "g4c_grouping_sets",
+    "j2_left_outer", "j2b_full_outer", "j3_semi_anti", "j4_cross",
+    "j5_range_join", "j6_broadcast", "j9_bloom_join", "l21_lm_score")
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("--cell")) runCell(args(1), args(2))
@@ -79,9 +93,18 @@ object BenchAnchors {
     // subset re-anchor run must never erase the rest of the artifact
     val out = Paths.get("tools/bench_anchors.json")
     val prior: Map[String, String] = if (Files.exists(out)) {
-      """"([a-z0-9_]+)":(\{"t":[^}]*\})""".r
-        .findAllMatchIn(Files.readString(out))
+      val txt = Files.readString(out)
+      val parsed = """"([a-z0-9_]+)":(\{"t":[^}]*\})""".r
+        .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
+      // round-trip guard (ADVICE r18, the DecadeRehearsal rule): the parsed
+      // entry count must equal the artifact's top-level key count, or a
+      // format drift would silently drop prior anchors on a subset re-run
+      val keyCount = """"([a-z0-9_]+)":\{"t":""".r.findAllMatchIn(txt).size
+      require(parsed.size == keyCount,
+        s"carry-forward parse dropped entries (${parsed.size} of $keyCount) — " +
+          "bench_anchors.json format drifted past the flat-value regex")
+      parsed
     } else Map.empty
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -103,6 +126,7 @@ object BenchAnchors {
       // mid-run) — an anchor taken above ~2 on this 32-core box is suspect
       Files.writeString(out, merged.mkString(
         s"""{"dir":"$dir","fresh_jvm_per_query":true,""" +
+          """"note":"membership rule (VERDICT r18 #7): every query ever named in a bench artifact's suspect list + the 10 most expensive of the latest idle-adjudicated run; regenerated once per round on the final tree",""" +
           f""""load_avg_start":$loadStart%.2f,"load_avg_max":$loadMax%.2f,""" +
           """"queries":{""", ",", "}}\n"))
     }

@@ -82,7 +82,15 @@ object DecadeRehearsal {
     // one G-sketch member still unmeasured alongside g14's HLL intersect)
     // and w5b's bounded top-k aggregate (w5/w5c had rows; the
     // TypedImperativeAggregate path did not)
-    "g13_freq_sketch", "g14_hll_intersect", "w5b_topk_agg")
+    "g13_freq_sketch", "g14_hll_intersect", "w5b_topk_agg",
+    // r19 (VERDICT r18 #4): the last argued-not-measured families — s16's
+    // SCD2 history build (one keyed sort+window pass), s17's incremental-MV
+    // refresh (delta partials + stored partials, no history re-scan), e18's
+    // linear attribution (the j10 banded inequality-join consumer), and the
+    // o7/o8 weighted-sampling pair (global TakeOrdered top-k vs per-stratum
+    // window cut)
+    "s16_scd2_history", "s17_incremental_agg", "e18_linear_attribution",
+    "o7_weighted_sample", "o8_stratified_weighted")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
@@ -98,6 +106,23 @@ object DecadeRehearsal {
         graft.SparkEntry.queries("e15_ewma")(s, d)
           .agg(org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("ewma256")))
+      // s16 ends in window PROJECTIONS (lead valid_to / is_current) — under
+      // count() Catalyst prunes the lead expression (the e15 rule), so the
+      // cell sums over the window outputs to keep the full pass on the plan
+      case "s16_scd2_history" => (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.SparkEntry.queries("s16_scd2_history")(s, d)
+          .agg(sum(coalesce(col("valid_to"), col("valid_from"))).as("vt"),
+            sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"))
+      }
+      // o7 is orderBy().limit(50) — a bare count() doesn't need the ORDER
+      // and EliminateSorts could drop the top-k entirely; summing the
+      // selected scores forces the correct 50 rows
+      case "o7_weighted_sample" => (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.SparkEntry.queries("o7_weighted_sample")(s, d)
+          .agg(sum(col("score")).as("sc"))
+      }
       case n => graft.SparkEntry.queries(n)
     }
 

@@ -9,18 +9,31 @@ import org.apache.spark.sql.SparkSession
 object DumpPlans {
   /** Normalize run-varying tokens so regenerating PLANS.md with no code
     * change produces an EMPTY diff (VERDICT r17 #7 — six r17 commits each
-    * rewrote ~20k lines of incidental churn). Three run-scoped artifacts
+    * rewrote ~20k lines of incidental churn). The run-scoped artifacts
     * carry no review signal: the per-process scratch root's random suffix,
-    * Catalyst expression ids (one global counter whose allocation order the
-    * pipeline runner's Future pool makes nondeterministic — a shifted id
-    * renumbers every attribute in every later plan), and localCheckpoint
+    * Catalyst expression ids (one global counter whose allocation order
+    * AQE's stage re-optimizations shift nondeterministically — a shifted
+    * id renumbers every attribute in every later plan), and localCheckpoint
     * RDD ids. Plan SHAPE — operators, joins, pushed filters, exchanges —
-    * survives normalization untouched. */
-  private def normalize(s: String): String = {
+    * survives normalization untouched.
+    *
+    * r19 (VERDICT r18 #5 + ADVICE): three further passes drive the two
+    * named residual variance classes toward zero —
+    * (1) Expand gid groups (the multi-count_distinct plan) sort by their
+    *     id-stripped column-set signature and the gid literals renumber to
+    *     the sorted order (AQE re-optimizations permute the expand order;
+    *     the groups are semantically unordered), with the gid-keyed
+    *     Sort/Exchange/Output display lists sorted alongside;
+    * (2) ReusedExchange references print the sha1 of the TARGET operator's
+    *     normalized detail block instead of its run-scoped operator id;
+    * (3) exprIds renumber deterministically PER SECTION in first-occurrence
+    *     order (#1, #2, ...) instead of flattening to #x — a self-join's
+    *     da#1 vs db#2 stay distinguishable (ADVICE r18), while a uniform
+    *     counter shift between runs still normalizes away. */
+  private[tools] def normalize(s: String): String = {
     val flat = s
       .replaceAll("graft_scratch_[0-9a-zA-Z]+", "graft_scratch_SESSION")
       .replaceAll("graft_warehouse_[0-9]+", "graft_warehouse_SESSION")
-      .replaceAll("#[0-9]+", "#x")
       .replaceAll("\\[plan_id=[0-9]+\\]", "[plan_id=x]")
       .replaceAll("\\[codegen id : [0-9]+\\]", "[codegen id : x]")
       .replaceAll("(MapPartitionsRDD|ExistingRDD)\\[[0-9]+\\]", "$1[x]")
@@ -28,30 +41,51 @@ object DumpPlans {
     // A/B, 178 hunks in 12 sections): (a) AQE QueryStage `Arguments: N`
     // prints the stage MATERIALIZATION-ORDER id — racy by construction;
     // (b) Input/Keys/Results/Functions lists on the aggregate path print
-    // AttributeSet iteration order, which follows ABSOLUTE exprId values —
-    // the pipeline runner's Future pool shifts the global exprId counter
-    // nondeterministically, so later queries' sets permute run-to-run.
-    // Sorting canonicalizes the display multiset; no plan semantics live
-    // in these lines' ordering.
+    // AttributeSet iteration order, which follows ABSOLUTE exprId values.
+    // Sorting canonicalizes the display multiset (with id-STRIPPED sort
+    // keys, so the canonical order never depends on the raw counter); no
+    // plan semantics live in these lines' ordering.
     val listLine =
-      "^(Input|Keys|Results|Functions|Aggregate Attributes) (\\[[0-9]+\\]): \\[(.*)\\]$".r
+      "^(Input|Keys|Results|Functions|Aggregate Attributes|Output) (\\[[0-9]+\\]): \\[(.*)\\]$".r
     var inQueryStage = false
-    flat.split("\n", -1).map { l =>
+    val pass1 = canonicalizeExpandGids(flat).split("\n", -1).map { l =>
       val out =
         if (inQueryStage && l.matches("Arguments: [0-9]+")) "Arguments: x"
         else l match {
           case listLine(kind, n, body) => s"$kind $n: [${sortTopLevel(body)}]"
+          // the gid-keyed Exchange/Sort display lists permute with the
+          // expand order; their key sets are semantically unordered
+          // (clustering keys / the count_distinct planner's internal sort).
+          // ONLY gid-carrying lines sort — a real ORDER BY or window sort
+          // must keep its printed order.
+          case l2 if l2.startsWith("Arguments: hashpartitioning(") && l2.contains("gid#") =>
+            val inner = l2.substring("Arguments: hashpartitioning(".length)
+            val close = inner.lastIndexOf(')')
+            val (body, rest) = (inner.substring(0, close), inner.substring(close))
+            val items = splitTopLevel(body)
+            s"Arguments: hashpartitioning(${(sortByStrippedKey(items.init) :+ items.last).mkString(", ")})$rest"
+          case l2 if l2.startsWith("Arguments: [") && l2.contains("gid#") &&
+              l2.contains(" ASC NULLS FIRST") =>
+            val open = l2.indexOf('[')
+            val close = l2.lastIndexOf(']')
+            val items = splitTopLevel(l2.substring(open + 1, close))
+            s"Arguments: [${sortByStrippedKey(items).mkString(", ")}]${l2.substring(close + 1)}"
           case _ => l
         }
       if (l.startsWith("(") && l.contains("QueryStage")) inQueryStage = true
       else if (l.isEmpty) inQueryStage = false
       out
     }.mkString("\n")
+    renumberExprIds(canonicalizeReuseRefs(pass1))
   }
 
-  /** Sort a comma-separated display list on TOP-LEVEL commas only (paren/
-    * bracket-aware — `CASE WHEN (...)` and nested calls stay intact). */
-  private def sortTopLevel(body: String): String = {
+  /** Strip exprId tokens for ORDER-ONLY comparisons. */
+  private def stripIds(s: String): String = s.replaceAll("#[0-9]+", "#x")
+
+  private def sortByStrippedKey(items: Seq[String]): Seq[String] =
+    items.sortBy(stripIds)
+
+  private def splitTopLevel(body: String): Seq[String] = {
     val items = scala.collection.mutable.ListBuffer.empty[String]
     var depth = 0
     val cur = new StringBuilder
@@ -64,8 +98,132 @@ object DumpPlans {
       }
     }
     items += cur.toString.trim
-    items.sorted.mkString(", ")
+    items.toSeq
   }
+
+  /** Residual class 1 (VERDICT r18 #5): the multi-count_distinct Expand's
+    * gid groups print in an AQE-shifted order. Sort the groups by their
+    * id-stripped signature (gid slot blanked), renumber the gid literals to
+    * the sorted positions, and rewrite every `gid#N = K` filter in the
+    * section through the same permutation. Applied per Expand-Arguments
+    * line; skipped (left verbatim) unless the line carries an unambiguous
+    * gid slot — one position where the groups hold exactly 0..n-1. */
+  private def canonicalizeExpandGids(section: String): String = {
+    var gidMap = Map.empty[Int, Int]
+    var conflicting = false // two Expands, different permutations → bail
+    val lines = section.split("\n", -1).map { l =>
+      if (!l.startsWith("Arguments: [[")) l
+      else {
+        val rest = l.substring("Arguments: ".length)
+        val top = splitTopLevel(rest)
+        // Expand prints exactly two top-level lists: [[groups]], [output]
+        if (top.size != 2 || !top.head.startsWith("[[")) l
+        else {
+          val groupsBody = top.head.stripPrefix("[").stripSuffix("]")
+          val groups = splitTopLevel(groupsBody)
+            .map(_.stripPrefix("[").stripSuffix("]")).map(splitTopLevel)
+          val n = groups.size
+          val arity = groups.map(_.size).distinct
+          if (n < 2 || arity.size != 1) l
+          else {
+            // the gid slot: the ONE position where the groups hold exactly
+            // the integer set 0..n-1
+            val slots = (0 until arity.head).filter { j =>
+              val vs = groups.map(_(j))
+              vs.forall(_.matches("[0-9]+")) &&
+                vs.map(_.toInt).sorted == (0 until n).toList
+            }
+            if (slots.size != 1) l
+            else {
+              val j = slots.head
+              val keyed = groups.map { g =>
+                (stripIds(g.zipWithIndex.map { case (it, k) =>
+                  if (k == j) "" else it
+                }.mkString(",")), g)
+              }
+              val sorted = keyed.sortBy(_._1).map(_._2)
+              val thisMap = sorted.zipWithIndex.map { case (g, newGid) =>
+                g(j).toInt -> newGid
+              }.toMap
+              if (gidMap.nonEmpty && gidMap != thisMap) conflicting = true
+              gidMap = thisMap
+              val newGroups = sorted.zipWithIndex.map { case (g, newGid) =>
+                g.zipWithIndex.map { case (it, k) =>
+                  if (k == j) newGid.toString else it
+                }.mkString("[", ", ", "]")
+              }
+              val outSorted =
+                sortByStrippedKey(splitTopLevel(top(1).stripPrefix("[").stripSuffix("]")))
+              s"Arguments: ${newGroups.mkString("[", ", ", "]")}, ${outSorted.mkString("[", ", ", "]")}"
+            }
+          }
+        }
+      }
+    }
+    // conflicting permutations in one section: renumbering the groups
+    // differently per Expand while the FILTER literals can only be mapped
+    // once would corrupt the doc — leave the section verbatim instead
+    if (conflicting) return section
+    val joined = lines.mkString("\n")
+    if (gidMap.isEmpty || gidMap.forall { case (a, b) => a == b }) joined
+    else // rewrite the gid filter literals through the same permutation
+      "(gid#[0-9]+L? = )([0-9]+)".r.replaceAllIn(joined, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          m.group(1) + gidMap.getOrElse(m.group(2).toInt, m.group(2).toInt)))
+  }
+
+  /** Residual class 2: `[Reuses operator id: M]` prints a run-scoped id.
+    * Replace it with the sha1 of the TARGET operator's id-stripped detail
+    * block — stable across operator-id shifts, and still a verifiable
+    * pointer (hash the named block to check). */
+  private def canonicalizeReuseRefs(section: String): String = {
+    val lines = section.split("\n", -1)
+    // detail blocks: "(M) Header" .. blank line
+    val blockOf = scala.collection.mutable.Map.empty[String, String]
+    var cur: Option[(String, StringBuilder)] = None
+    val hdr = """^\((\d+)\) .*""".r
+    lines.foreach { l =>
+      l match {
+        case hdr(id) => cur = Some((id, new StringBuilder(l).append('\n')))
+        case "" =>
+          cur.foreach { case (id, b) => blockOf(id) = b.toString }
+          cur = None
+        case _ => cur.foreach(_._2.append(l).append('\n'))
+      }
+    }
+    cur.foreach { case (id, b) => blockOf(id) = b.toString }
+    "Reuses operator id: (\\d+)".r.replaceAllIn(section, m => {
+      val target = blockOf.get(m.group(1))
+        .map(b => sha1Hex(stripIds(b)).take(8)).getOrElse("unresolved")
+      scala.util.matching.Regex.quoteReplacement(
+        s"Reuses target: sha1 $target")
+    })
+  }
+
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ADVICE r18: renumber exprIds per section in first-occurrence order
+    * instead of flattening to #x — attribute identity (self-join da vs db,
+    * two doc_id lineages) survives, while the absolute counter (shifted
+    * run-to-run by AQE) normalizes away. Runs LAST, after every reordering
+    * pass, so first-occurrence order is computed on canonical text. */
+  private def renumberExprIds(section: String): String = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    "#([0-9]+)".r.replaceAllIn(section, m => {
+      val id = seen.getOrElseUpdate(m.group(1), seen.size + 1)
+      s"#$id"
+    })
+  }
+
+  /** Sort a comma-separated display list on TOP-LEVEL commas only (paren/
+    * bracket-aware — `CASE WHEN (...)` and nested calls stay intact).
+    * Sort keys are id-STRIPPED (r19): exprIds stay live until the final
+    * renumbering pass, and a raw-id sort key would make the canonical
+    * order follow the run-scoped counter. */
+  private def sortTopLevel(body: String): String =
+    sortByStrippedKey(splitTopLevel(body)).mkString(", ")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Sessions.local()
@@ -213,21 +371,21 @@ object DumpPlans {
     sb.append("# PLANS — physical plans of headline queries (sf0.01, local[32])\n\n")
     sb.append("Generated by `tools/DumpPlans.scala`. These are the plans the\n")
     sb.append("scale posture rests on; PlanSpec asserts the load-bearing\nproperties in CI.\n\n")
-    sb.append("Regeneration is DIFF-STABLE up to two named residual classes\n")
-    sb.append("(r18: run-scoped tokens — scratch/warehouse suffixes, exprIds,\n")
-    sb.append("plan/stage/codegen ids, RDD ids — are normalized and\n")
-    sb.append("AttributeSet-ordered display lists sorted; a no-change regen\n")
-    sb.append("previously rewrote ~20k lines, now only the sections below can\n")
-    sb.append("churn). Residual 1: multi-count_distinct queries (l17/p7/tq2/\n")
-    sb.append("tq5) may permute their Expand gid groups — display order keyed\n")
-    sb.append("on absolute exprIds, which AQE's stage-completion-order\n")
-    sb.append("re-optimizations shift; the groups are semantically unordered.\n")
-    sb.append("Residual 2: the iterative graph queries (l26/l40/l46-family)\n")
-    sb.append("may change exchange-REUSE structure — AQE decides reuse per\n")
-    sb.append("stage completion order, so a subtree prints expanded in one run\n")
-    sb.append("and as a ReusedExchange in another (node counts shift, values\n")
-    sb.append("and shuffles do not). Both are true plan-display variance under\n")
-    sb.append("AQE, not code drift; measured per regen pair: 0-4 sections.\n")
+    sb.append("Regeneration is DIFF-STABLE (r19): run-scoped tokens —\n")
+    sb.append("scratch/warehouse suffixes, plan/stage/codegen ids, RDD ids —\n")
+    sb.append("are normalized; exprIds renumber per section in first-occurrence\n")
+    sb.append("order (#1, #2, ... — attribute identity survives, the run-scoped\n")
+    sb.append("counter does not); AttributeSet-ordered display lists sort on\n")
+    sb.append("id-stripped keys; the multi-count_distinct Expand's gid groups\n")
+    sb.append("sort by column-set signature with the gid literals renumbered\n")
+    sb.append("through the same permutation (the r18 residual class 1); and\n")
+    sb.append("ReusedExchange references print the sha1 of the target's\n")
+    sb.append("id-stripped detail block instead of a run-scoped operator id\n")
+    sb.append("(residual class 2's id churn). The one variance class left is\n")
+    sb.append("STRUCTURAL exchange-reuse flips — AQE decides reuse per stage\n")
+    sb.append("completion order, so a subtree can print expanded in one run and\n")
+    sb.append("as a ReusedExchange in another (values and shuffles identical);\n")
+    sb.append("that one is plan-display variance no text pass can reconcile.\n")
     if (growth.nonEmpty) {
       sb.append("\n## Measured scale growth (sf0.1 -> 10x, tools/ScaleRehearsal)\n\n")
       sb.append("The 10 most expensive batch queries, rerun on a 10x id-offset\n")

@@ -67,9 +67,13 @@ object ScaleFixture {
       // once via the text corpus and cost two rounds of false superlinearity
       // alarms; this check keeps it from silently regenerating. Every
       // replicated tier must land as `copies` splittable part-files.
-      val partFiles = java.nio.file.Files.list(
-          java.nio.file.Paths.get(s"$out/$name.parquet"))
-        .filter(p => p.getFileName.toString.startsWith("part-")).count()
+      // try/finally: Files.list leaks the directory handle unless the
+      // stream is closed (ADVICE r18 — one leak per replicated table/tier)
+      val listing = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$out/$name.parquet"))
+      val partFiles =
+        try listing.filter(p => p.getFileName.toString.startsWith("part-")).count()
+        finally listing.close()
       require(copies <= 1 || partFiles > 1,
         s"$out/$name.parquet wrote $partFiles part-file(s) for ${copies}x — " +
           "single-file tiers serialize the scan map stage (the r17 trap)")
@@ -110,8 +114,11 @@ object ScaleFixture {
     // copies to overflow the int cast — would silently collide per-copy
     // label universes and break the disjointness that keeps pair volume
     // exactly linear (the L40ArgmaxProbe bit-budget rule).
+    // getAs[Number] (ADVICE r18): getInt(0) assumed IntegerType — a fixture
+    // regenerated with a long/short label column would throw a cast error
+    // here instead of reporting the actual guard violation
     val maxLabel = spark.read.parquet(s"$src/embeddings.parquet")
-      .agg(max(col("label"))).head.getInt(0)
+      .agg(max(col("label"))).head.getAs[Number](0).intValue()
     require(maxLabel < 1000,
       s"embeddings label universe reaches $maxLabel — the 1000-per-copy " +
         "stride would collide copies (disjointness guarantee broken)")
