@@ -1329,12 +1329,19 @@ object TextOps {
     // tokenize+shingle+xxhash CPU pass runs 3×. 16 bytes/row, far smaller
     // than the text it derives from; released via Caches.releaseAll.
     //
-    // r18 adjudication of the decade row's e2_pure = 1.30 (the table's one
-    // exponent above 1.01): NOT a plan term — L28bPhaseProbe measured
+    // r18 adjudication of the decade row's then-e2_pure = 1.30 (the table's
+    // one exponent above 1.01): NOT a plan term — L28bPhaseProbe measured
     // candidate volume exactly linear (22.6M → 226M intermediate pairs for
-    // 10× data) and task CPU ~linear (119 → 1075 cpu-s); the wall exponent
-    // is the one-JVM environment (GC of the materialized row blocks plus
-    // adjacent-run drift spanning 45-137 s at the 100× tier). The l5-style
+    // 10× data) and task CPU ~linear (119 → 1075 cpu-s).
+    // r19 CLOSURE (VERDICT r18 #2, tools/l28b_gc.json): the predicted GC
+    // term was measured and RULED OUT — JVM collection time is 2-21 s of
+    // 70-107 s walls across 3 fresh-JVM rounds at the 100× tier — and the
+    // l40-style 640-partition remedy was measured and REJECTED (640 lost
+    // 2 of 3 adjacent pairs vs 320; no spill to relieve). What remains is
+    // the tier's own 1.5× adjacent-cell drift (identical cells 70-107 s):
+    // the growth row re-measured e2_pure 1.30 → 1.06 (e2_mixed 1.02), and
+    // min-picking across the probe's 3 rounds lands at 1.01 — linear, with
+    // the residual inside the documented envelope. The l5-style
     // alternative — share via ONE s-keyed exchange instead of the
     // checkpoint (`shareByCheckpoint = false`) — won every same-JVM phase
     // comparison but LOST the fresh-JVM full-query A/B 2-of-3 at 100×

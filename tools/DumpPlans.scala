@@ -120,41 +120,54 @@ object DumpPlans {
         if (top.size != 2 || !top.head.startsWith("[[")) l
         else {
           val groupsBody = top.head.stripPrefix("[").stripSuffix("]")
-          val groups = splitTopLevel(groupsBody)
+          val groups0 = splitTopLevel(groupsBody)
             .map(_.stripPrefix("[").stripSuffix("]")).map(splitTopLevel)
-          val n = groups.size
-          val arity = groups.map(_.size).distinct
-          if (n < 2 || arity.size != 1) l
+          val out0 = splitTopLevel(top(1).stripPrefix("[").stripSuffix("]"))
+          val n = groups0.size
+          val arity = groups0.map(_.size).distinct
+          if (n < 2 || arity.size != 1 || arity.head != out0.size) l
           else {
-            // the gid slot: the ONE position where the groups hold exactly
-            // the integer set 0..n-1
+            // COLUMN permutation first: the Expand's output attr order (and
+            // with it the groups' slot layout) follows the AQE-shifted
+            // count_distinct expand order — canonicalize slots by sorting
+            // the output list on id-stripped names (stable tie-break =
+            // original index), and permute every group vector identically
+            // (slot k of a group is the projection for output column k).
+            val perm = out0.zipWithIndex
+              .sortBy { case (it, i) => (stripIds(it), i) }.map(_._2)
+            val out = perm.map(out0)
+            val groups = groups0.map(g => perm.map(g))
+            // the gid slot: the ONE position where the groups hold n
+            // DISTINCT CONSECUTIVE integers (p7-style 0..n-1, or l17-style
+            // 1..n when no plain-aggregate group exists)
             val slots = (0 until arity.head).filter { j =>
               val vs = groups.map(_(j))
-              vs.forall(_.matches("[0-9]+")) &&
-                vs.map(_.toInt).sorted == (0 until n).toList
+              vs.forall(_.matches("[0-9]+")) && {
+                val is = vs.map(_.toInt).sorted
+                is.distinct.size == n && is.last - is.head == n - 1
+              }
             }
             if (slots.size != 1) l
             else {
               val j = slots.head
+              val domain = groups.map(_(j).toInt).sorted // e.g. 0..5 or 1..2
               val keyed = groups.map { g =>
                 (stripIds(g.zipWithIndex.map { case (it, k) =>
                   if (k == j) "" else it
                 }.mkString(",")), g)
               }
               val sorted = keyed.sortBy(_._1).map(_._2)
-              val thisMap = sorted.zipWithIndex.map { case (g, newGid) =>
-                g(j).toInt -> newGid
+              val thisMap = sorted.zipWithIndex.map { case (g, i) =>
+                g(j).toInt -> domain(i)
               }.toMap
               if (gidMap.nonEmpty && gidMap != thisMap) conflicting = true
               gidMap = thisMap
-              val newGroups = sorted.zipWithIndex.map { case (g, newGid) =>
+              val newGroups = sorted.zipWithIndex.map { case (g, i) =>
                 g.zipWithIndex.map { case (it, k) =>
-                  if (k == j) newGid.toString else it
+                  if (k == j) domain(i).toString else it
                 }.mkString("[", ", ", "]")
               }
-              val outSorted =
-                sortByStrippedKey(splitTopLevel(top(1).stripPrefix("[").stripSuffix("]")))
-              s"Arguments: ${newGroups.mkString("[", ", ", "]")}, ${outSorted.mkString("[", ", ", "]")}"
+              s"Arguments: ${newGroups.mkString("[", ", ", "]")}, ${out.mkString("[", ", ", "]")}"
             }
           }
         }
@@ -203,6 +216,56 @@ object DumpPlans {
   private def sha1Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Residual class 3 — the STRUCTURAL exchange-reuse flip: AQE dedups
+    * identical exchanges per stage-completion order, so a subtree prints
+    * fully expanded in one run and as a ReusedExchange in another (extra
+    * detail blocks that are exact id-stripped DUPLICATES of blocks already
+    * in the section; operator counts shift, content does not). No text pass
+    * can reconcile the two tree renderings, so the dump is STICKY instead:
+    * a section's semantic signature is the SET of its id-stripped,
+    * count-stripped operator detail blocks (ReusedExchange rows and
+    * QueryStage statistics dropped — both are pure reuse/display state);
+    * when the fresh render differs from the incumbent PLANS.md section but
+    * the signatures are EQUAL, the incumbent rendering is kept. A real plan
+    * change always alters some block's content, so it always re-renders;
+    * execution-sharing itself is asserted in PlanSpec, not here. */
+  private[tools] def sectionSig(text: String): Set[String] = {
+    val blocks = scala.collection.mutable.Set.empty[String]
+    var cur: Option[StringBuilder] = None
+    text.split("\n", -1).foreach { l =>
+      if (l.matches("^\\(\\d+\\) .*")) {
+        cur.foreach(b => blocks += b.toString)
+        cur =
+          if (l.contains("ReusedExchange") || l.contains("ReusedSubquery")) None
+          else Some(new StringBuilder(l.replaceAll("^\\(\\d+\\)", "(n)"))
+            .append('\n'))
+      } else if (l.isEmpty) {
+        cur.foreach(b => blocks += b.toString)
+        cur = None
+      } else cur.foreach(
+        _.append(stripIds(l)
+          .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+          .replaceAll("\\(\\d+\\)", "(n)")).append('\n'))
+    }
+    cur.foreach(b => blocks += b.toString)
+    blocks.toSet
+  }
+
+  /** Incumbent PLANS.md sections, keyed by "## name" header. */
+  private def incumbentSections(): Map[String, String] = {
+    val p = Paths.get("PLANS.md")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val parts = Files.readString(p).split("(?=\n## )")
+      parts.flatMap { s =>
+        val t = s.stripPrefix("\n")
+        if (!t.startsWith("## ")) None
+        else Some(t.linesIterator.next().stripPrefix("## ").trim ->
+          ("\n" + t.stripSuffix("\n") + "\n"))
+      }.toMap
+    }
+  }
 
   /** ADVICE r18: renumber exprIds per section in first-occurrence order
     * instead of flattening to #x — attribute identity (self-join da vs db,
@@ -381,11 +444,18 @@ object DumpPlans {
     sb.append("through the same permutation (the r18 residual class 1); and\n")
     sb.append("ReusedExchange references print the sha1 of the target's\n")
     sb.append("id-stripped detail block instead of a run-scoped operator id\n")
-    sb.append("(residual class 2's id churn). The one variance class left is\n")
-    sb.append("STRUCTURAL exchange-reuse flips — AQE decides reuse per stage\n")
-    sb.append("completion order, so a subtree can print expanded in one run and\n")
-    sb.append("as a ReusedExchange in another (values and shuffles identical);\n")
-    sb.append("that one is plan-display variance no text pass can reconcile.\n")
+    sb.append("(residual class 2's id churn). The last class — STRUCTURAL\n")
+    sb.append("exchange-reuse flips, where AQE's stage-completion order decides\n")
+    sb.append("whether a subtree prints expanded or as a ReusedExchange — is\n")
+    sb.append("handled by a STICKY rule: when a fresh render differs from the\n")
+    sb.append("incumbent section but their id-stripped operator-block SETS are\n")
+    sb.append("equal (the flip's signature: the expanded form only duplicates\n")
+    sb.append("blocks already present), the incumbent rendering is kept. Any\n")
+    sb.append("real plan change alters block content and always re-renders —\n")
+    sb.append("including the one source of honest churn left: AQE occasionally\n")
+    sb.append("picks a DIFFERENT build side / broadcast near the threshold\n")
+    sb.append("(observed on tq2 and l40, 0-1 sections per regen). That is true\n")
+    sb.append("runtime-plan variance, not display noise, and is shown as such.\n")
     if (growth.nonEmpty) {
       sb.append("\n## Measured scale growth (sf0.1 -> 10x, tools/ScaleRehearsal)\n\n")
       sb.append("The 10 most expensive batch queries, rerun on a 10x id-offset\n")
@@ -446,13 +516,25 @@ object DumpPlans {
           sb.append("plus the four queries the r17 loaded-box bench flagged (l29/l30/\n")
           sb.append("l28b/s9 — adjudicated ambient in tools/bench_idle_r18.json), so\n")
           sb.append("every past suspect now has an anchor AND an exponent. Reading\n")
-          sb.append("l28b's row (the one exponent above 1.01): ATTRIBUTED, not a plan\n")
-          sb.append("term — L28bPhaseProbe measured candidate volume exactly linear\n")
-          sb.append("(22.6M→226M intermediate pairs for 10x data) and task CPU ~linear;\n")
-          sb.append("the wall exponent is one-JVM GC of the checkpoint materialization\n")
-          sb.append("plus 45-137 s adjacent-run drift at that tier, and the l5-style\n")
+          sb.append("l28b's row: CLOSED in r19 (tools/l28b_gc.json) — candidate volume\n")
+          sb.append("and task CPU are exactly linear (L28bPhaseProbe, 22.6M→226M pairs\n")
+          sb.append("for 10x data); the r18-predicted GC term was measured and RULED\n")
+          sb.append("OUT (collection time 2-21 s of 70-107 s walls over 3 fresh-JVM\n")
+          sb.append("rounds), the l40-style 640-partition remedy REJECTED (lost 2 of 3\n")
+          sb.append("adjacent pairs, no spill to relieve), and the row re-measured\n")
+          sb.append("e2_pure 1.30 -> 1.06 (e2_mixed 1.02; min across the probe's rounds\n")
+          sb.append("1.01) — linear, residual inside the tier's documented 1.5x\n")
+          sb.append("adjacent-cell drift. The l5-style\n")
           sb.append("exchange alternative LOST the fresh-JVM full-query A/B 2-of-3\n")
           sb.append("(tools/l28b_posture.json — kept re-measurable, not adopted).\n")
+          sb.append("r19 adds the LAST argued-not-measured families (VERDICT r18 #4):\n")
+          sb.append("s16's SCD2 history build (one keyed sort+window pass — the cell\n")
+          sb.append("sums the lead-window outputs so count() can't prune the pass),\n")
+          sb.append("s17's incremental-MV refresh (delta partials + stored partials,\n")
+          sb.append("history never re-scanned), e18's linear attribution (the j10\n")
+          sb.append("banded inequality-join consumer), and the o7/o8 weighted-sampling\n")
+          sb.append("pair (global TakeOrdered top-k — the cell sums the scores so the\n")
+          sb.append("sort can't be eliminated under count() — vs per-stratum window cut).\n")
           sb.append("e15 is a pure window projection,\n")
           sb.append("so its cell SUMS the ewma (a bare count() lets Catalyst prune the\n")
           sb.append("unused window entirely — verified on the optimized plan — and would\n")
@@ -712,6 +794,8 @@ is exactly the AQE-re-decides case, demonstrated here.)
         }
       }
     }
+    val incumbent = incumbentSections()
+    var sticky = 0
     picks.foreach { case (name, why) =>
       val fn = raw.getOrElse(name, graft.SparkEntry.queries(name))
       val t0 = System.nanoTime()
@@ -741,13 +825,27 @@ is exactly the AQE-re-decides case, demonstrated here.)
           sb.append(f"\nMeasured sf0.1 -> 10x growth: $ts%.2f s -> $tb%.2f s " +
             f"($rs -> $rb rows), exponent $e%.2f.\n")
       }
-      sb.append("\n```\n")
-      sb.append(normalize(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
-      sb.append("```\n")
+      val fresh = normalize(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // sticky reuse-flip canonicalization (see sectionSig): keep the
+      // incumbent CODE BLOCK when the fresh render differs only in
+      // exchange-reuse display structure — prose always re-renders
+      val code = incumbent.get(name).flatMap { old =>
+        val a = old.indexOf("\n```\n"); val b = old.lastIndexOf("\n```")
+        if (a < 0 || b <= a) None
+        else Some(old.substring(a + 5, b + 1))
+      } match {
+        case Some(old) if old != fresh &&
+            sectionSig(old) == sectionSig(fresh) =>
+          sticky += 1
+          println(s"  [$name] reuse-flip only — incumbent rendering kept")
+          old
+        case _ => fresh
+      }
+      sb.append("\n```\n").append(code).append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${sb.length} chars)")
+    println(s"wrote PLANS.md (${sb.length} chars, $sticky sticky section(s))")
     spark.stop()
   }
 }
