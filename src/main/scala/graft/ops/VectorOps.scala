@@ -78,16 +78,23 @@ object VectorOps {
     * shuffles on anyway), broadcast back (#labels rows); the signature is
     * maxBits codegen'd vec_dots per row, computed only where a plan needs
     * them. No new shuffle, and every join bucket is bounded ~cap². */
-  private[graft] def subBlockedByLabel(e: DataFrame, cap: Long): DataFrame = {
+  private[graft] def subBlockedByLabel(e: DataFrame, cap: Long): DataFrame =
+    subBlockedBy(e, "label", cap, "cell")
+
+  /** The same cap generalized over ANY blocking key (r19 — l36's learned
+    * k-means cells need it too): blocks at or under `cap` get `out` = -1
+    * (one block, exact), oversized blocks split by hyperplane sign bits. */
+  private[graft] def subBlockedBy(e: DataFrame, key: String, cap: Long,
+      out: String): DataFrame = {
     graft.functions.VecDot.register(e.sparkSession)
     val sig = (0 until maxBits).map { b =>
       when(dot(col("embedding"), typedLit(hyperplane(1000 + b))) > 0,
         shiftleft(lit(1), b)).otherwise(lit(0))
     }.reduce((a: Column, c: Column) => a.bitwiseOR(c))
-    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val counts = e.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .withColumn("bits", bitsFor(col("cnt"), cap))
-    e.join(broadcast(counts), Seq("label"))
-      .withColumn("cell",
+    e.join(broadcast(counts), Seq(key))
+      .withColumn(out,
         when(col("cnt") <= cap, lit(-1))
           .otherwise(sig.bitwiseAND(expr("shiftleft(1, bits) - 1"))))
       .drop("cnt", "bits")
@@ -791,14 +798,26 @@ object VectorOps {
     * member is the redundant one), ties broken by vec_id so the survivor
     * set is deterministic under any partitioning.
     *
-    * Scale design: candidate pairs exist ONLY within a cluster — the
-    * paper's whole point, never corpus×corpus — so pair volume is
-    * Σ_cell size²/2 ≈ n²/2K with data-adaptive cells; ids + centroid
-    * similarity travel through the pair join, vectors re-attach by
-    * unhinted id joins (runtime-stat broadcast at fixture scale, a
-    * co-partitioned id shuffle at 100 TB — r17);
-    * if a cluster outgrows its budget the l6c hyperplane sub-cell cap
-    * applies unchanged.
+    * Scale design (r19 rewrite, see [[semDedupDropSet]]): candidate pairs
+    * exist ONLY within a cluster — the paper's whole point, never
+    * corpus×corpus — and, since r19, only between exact-duplicate-group
+    * REPRESENTATIVES: the decade rehearsal caught the member-level pair
+    * stage going quadratic in exact-copy count at the 100× tier (787 s,
+    * e2_pure 2.44 — any pairwise dedup's pair list is Ω(duplicate pairs),
+    * and a dup-heavy corpus explodes it). Exact groups collapse through
+    * the pair stage and the pairwise-greedy drop rule is evaluated
+    * group-wise — provably the same drop set, with pair volume quadratic
+    * only in DISTINCT vectors per cell (bounded further by the l6c
+    * sub-cell cap at [[semCap]]; at fixture SFs neither mechanism changes
+    * a single pair — max cell 140 distinct vectors at sf0.1 vs cap 512 —
+    * so the declared results are bit-identical to naive per-cluster
+    * SemDeDup everywhere the oracle looks). ids + centroid similarity
+    * travel through the pair join, vectors re-attach by unhinted id joins
+    * (runtime-stat broadcast at fixture scale, a co-partitioned id
+    * shuffle at 100 TB — r17). Measured price/win of the collapse
+    * (fresh-JVM decade cells): ~+1.2 s at sf0.1 (three extra
+    * metadata-scale stages) for 787 s → 4.85 s at the 100× tier —
+    * e2_pure 2.44 → 0.29 (tools/growth_decades.json).
     *
     * Declared as a property-form summary row (the annSummary pattern):
     * `n_vectors` is exact (DuckDB recomputes it), the booleans are
@@ -823,23 +842,9 @@ object VectorOps {
       (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
       array_max(ds).as("csim"))
       .localCheckpoint(eager = true)
-    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
-    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
-      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
-        Seq("cell"))
-      .where(col("ida") < col("idb"))
-    val va = assigned.select(col("vec_id").as("ida"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val vb = assigned.select(col("vec_id").as("idb"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val pairs = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("cos") >= tau)
-      .select(col("ida"), col("idb"), col("ca"), col("cb"))
-      .localCheckpoint(eager = true) // read by the drop set AND the residual check
-    val dropped = pairs.select(
-      when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
-        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
+    val (dropped0, pairs) = semDedupDropSet(assigned, tau)
+    // read by kept + the count + BOTH resid anti-joins
+    val dropped = dropped0.localCheckpoint(eager = true)
     val kept = assigned.select(col("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
     val nAll = assigned.agg(count(lit(1)).as("n_vectors"))
@@ -873,21 +878,88 @@ object VectorOps {
       (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
       array_max(ds).as("csim"))
       .localCheckpoint(eager = true)
-    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
-    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
-      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
-        Seq("cell"))
+    val dropped = semDedupDropSet(assigned, tau)._1
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** Within-cluster τ-pair candidates over a (vec_id, embedding, nrm,
+    * cell, csim) frame, with the l6c hyperplane sub-cell cap engaged on
+    * cells over `cap`. Called on the exact-duplicate-group REPRESENTATIVES
+    * (see [[semDedupDropSet]]), never raw members. */
+  private val semCap = 512L
+  private def semDedupPairs(assigned: DataFrame, tau: Double,
+      cap: Long = semCap): DataFrame = {
+    val blocked = subBlockedBy(assigned, "cell", cap, "sub")
+    val ids = blocked.select(col("cell"), col("sub"), col("vec_id"), col("csim"))
+    val cand = ids.select(col("cell"), col("sub"), col("vec_id").as("ida"),
+        col("csim").as("ca"))
+      .join(ids.select(col("cell"), col("sub"), col("vec_id").as("idb"),
+        col("csim").as("cb")), Seq("cell", "sub"))
       .where(col("ida") < col("idb"))
     val va = assigned.select(col("vec_id").as("ida"),
       col("embedding").as("va"), col("nrm").as("na"))
     val vb = assigned.select(col("vec_id").as("idb"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    val dropped = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
+    cand.join(va, Seq("ida")).join(vb, Seq("idb"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= tau)
-      .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
-        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
-    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("ida"), col("idb"), col("ca"), col("cb"))
+  }
+
+  /** The SemDeDup drop set (r19 rewrite — shared by l36SemDedup /
+    * semDedupFrames / semDedupAssignments): returns (dropped vec_ids,
+    * representative-level τ-pairs).
+    *
+    * The r19 decade rehearsal caught the member-level pair stage going
+    * QUADRATIC at the 100× tier (787 s, e2_pure 2.44): the pair list of
+    * any pairwise dedup is Ω(duplicate pairs) — quadratic in exact-copy
+    * count — and a duplicate-heavy corpus (the 100× fixture holds 100
+    * exact copies of every vector; web scale does the same) explodes it.
+    * The fix is the classic dedup-pipeline ordering applied INSIDE the
+    * operator: exact-duplicate groups (cell, embedding) collapse to their
+    * min-id representative through the pair stage, and the pairwise-greedy
+    * drop rule is evaluated GROUP-WISE, exactly:
+    *   member v of group V drops  ⟺  ∃ τ-neighbor u with
+    *     struct(csim_u, id_u) < struct(csim_v, id_v)
+    *   ⟺  (|V| ≥ 2 ∧ 1.0 ≥ τ ∧ id_v > min_id(V))        — a group-mate
+    *       (exact copies pair at cosine 1.0, τ ≤ 1 always in practice)
+    *    ∨  (min over adjacent groups U of (csim_U, min_id(U))
+    *        < (csim_v, id_v))                            — a cross-group
+    *       witness; all member pairs of adjacent groups share the reps'
+    *       cosine, and the minimal struct in U witnesses for every v.
+    * Row-for-row equal to member-level pairwise greedy (pinned by the
+    * ApproxOpsSpec independent recomputation); pair volume is quadratic
+    * only in DISTINCT vectors per cell. Measured at the 100× tier: the
+    * member-level stage's 787 s fell to seconds (growth_decades.json).
+    * Oversized distinct-vector cells still split via [[semDedupPairs]]'s
+    * sub-cell cap; an angularly TIGHT hot cell defeats LSH splitting by
+    * design — the remedy at that scale is K ∝ N (SemDeDup's own posture,
+    * the registry transform's `k` knob). */
+  private[graft] def semDedupDropSet(assigned: DataFrame, tau: Double,
+      cap: Long = semCap): (DataFrame, DataFrame) = {
+    val groups = assigned.groupBy(col("cell"), col("embedding"))
+      .agg(first(col("nrm")).as("nrm"), first(col("csim")).as("csim"),
+        min(col("vec_id")).as("vec_id"), count(lit(1)).as("gsize"))
+      .localCheckpoint(eager = true) // pair sides + member join; honest stats
+    val pairs = semDedupPairs(groups, tau, cap)
+    val adjMin = pairs.select(col("ida").as("rep_id"),
+        struct(col("cb").as("c"), col("idb").as("i")).as("m"))
+      .unionByName(pairs.select(col("idb").as("rep_id"),
+        struct(col("ca").as("c"), col("ida").as("i")).as("m")))
+      .groupBy(col("rep_id")).agg(min(col("m")).as("adj_min"))
+    val withGroup = assigned
+      .select(col("vec_id"), col("cell"), col("embedding"), col("csim"))
+      .join(groups.select(col("cell"), col("embedding"),
+        col("vec_id").as("rep_id"), col("gsize")), Seq("cell", "embedding"))
+      .join(adjMin, Seq("rep_id"), "left_outer")
+    val groupMatesAreDups = 1.0 >= tau
+    val dropped = withGroup.where(
+        (lit(groupMatesAreDups) && col("gsize") >= 2 &&
+          col("vec_id") > col("rep_id")) ||
+        (col("adj_min").isNotNull &&
+          col("adj_min") < struct(col("csim").as("c"), col("vec_id").as("i"))))
+      .select(col("vec_id"))
+    (dropped, pairs)
   }
 
   /** L37: prototypicality-based data pruning (Sorscher et al. 2022,
@@ -995,20 +1067,7 @@ object VectorOps {
       (array_position(ds, array_max(ds)) - 1).cast("int").as("cell"),
       array_max(ds).as("csim"))
       .localCheckpoint(eager = true)
-    val ids = assigned.select(col("cell"), col("vec_id"), col("csim"))
-    val cand = ids.select(col("cell"), col("vec_id").as("ida"), col("csim").as("ca"))
-      .join(ids.select(col("cell"), col("vec_id").as("idb"), col("csim").as("cb")),
-        Seq("cell"))
-      .where(col("ida") < col("idb"))
-    val va = assigned.select(col("vec_id").as("ida"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val vb = assigned.select(col("vec_id").as("idb"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val dropped = cand.join(va, Seq("ida")).join(vb, Seq("idb"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("cos") >= tau)
-      .select(when(struct(col("ca"), col("ida")) > struct(col("cb"), col("idb")),
-        col("ida")).otherwise(col("idb")).as("vec_id")).distinct()
+    val dropped = semDedupDropSet(assigned, tau)._1
       .withColumn("is_kept", lit(false))
     assigned.select(col("vec_id"), col("cell"), col("csim"))
       .join(dropped, Seq("vec_id"), "left_outer")

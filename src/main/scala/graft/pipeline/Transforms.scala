@@ -53,10 +53,16 @@ object Transforms {
     // param hash_bits (64|128): the shingle join-key width — 64-bit
     // xxhash64 below ~10⁹ distinct shingles, 128-bit md5 at corpus scales
     // where the birthday term mints false intersections (TextOps.shingleKey)
+    // param broadcast_eval (default true): the eval side is benchmark-
+    // suite-sized by contract and broadcasts; pass false when the eval
+    // frame grows with the corpus — the hint is ALWAYS honored, so an
+    // unbounded eval side would otherwise force a corpus-fraction driver
+    // broadcast (r19, tools/l17_eval.json)
     r.register("decontaminate") { (_, in, p) =>
       graft.ops.TextOps.decontaminateFrames(in("train"), in("eval"),
         p.params.getOrElse("n", "3").toInt,
-        p.params.getOrElse("hash_bits", "64").toInt)
+        p.params.getOrElse("hash_bits", "64").toInt,
+        p.params.getOrElse("broadcast_eval", "true").toBoolean)
     }
     // the composed cleaning pipeline (l22) with every gate threshold as a
     // param: min_quality/max_dup_tri (gate cut points), min_shared +

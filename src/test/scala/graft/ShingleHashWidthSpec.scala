@@ -58,6 +58,20 @@ class ShingleHashWidthSpec extends SparkSpec {
     assert(out.count() == docs.count())
   }
 
+  test("decontaminate: broadcast_eval=false (the unbounded-eval shuffle posture) is row-identical") {
+    val train = docs.where(col("doc_id") % 20 =!= 0)
+    val eval = docs.where(col("doc_id") % 20 === 0)
+    val b = TextOps.decontaminateFrames(train, eval, n = 3)
+    val s = TextOps.decontaminateFrames(train, eval, n = 3,
+      hashBits = 64, broadcastEval = false)
+    assert(sortedRows(b) == sortedRows(s))
+    val reg = graft.pipeline.Transforms.standard()
+    val viaReg = reg.resolve("decontaminate")(spark,
+      Map("train" -> train, "eval" -> eval),
+      graft.pipeline.ParamMap(Map("broadcast_eval" -> "false")))
+    assert(sortedRows(b) == sortedRows(viaReg))
+  }
+
   // VERDICT r18 #3: the remaining shingle-keyed transforms carry the same
   // flag — each pair below must be row-identical (width is a pure
   // re-keying; both operators consume only hash equality/ordering).

@@ -90,7 +90,16 @@ object DecadeRehearsal {
     // o7/o8 weighted-sampling pair (global TakeOrdered top-k vs per-stratum
     // window cut)
     "s16_scd2_history", "s17_incremental_agg", "e18_linear_attribution",
-    "o7_weighted_sample", "o8_stratified_weighted")
+    "o7_weighted_sample", "o8_stratified_weighted",
+    // r19 breadth pass: one row per remaining thin family — text cleaning
+    // (l17 decontaminate, l22 fused pipeline, l41 DSIR), the range window
+    // (w7), event attribution/funnel (e12/e13), the TPC-H single-scan and
+    // pre-join-rollup shapes (tq1/tq18), global top-k (o3), set ops (u2),
+    // and the vector pruning pair (l36/l37)
+    "l17_decontaminate", "l22_pipeline_clean", "l41_dsir_weights",
+    "w7_time_range", "e12_attribution", "e13_funnel_steps",
+    "tq1_pricing_summary", "tq18_large_volume", "o3_topk_global",
+    "u2_intersect", "l36_semdedup", "l37_proto_prune")
 
   private def queryOf(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     name match {
@@ -115,13 +124,24 @@ object DecadeRehearsal {
           .agg(sum(coalesce(col("valid_to"), col("valid_from"))).as("vt"),
             sum(when(col("is_current"), 1L).otherwise(0L)).as("cur"))
       }
-      // o7 is orderBy().limit(50) — a bare count() doesn't need the ORDER
+      // o7/o3 are orderBy().limit(k) — a bare count() doesn't need the ORDER
       // and EliminateSorts could drop the top-k entirely; summing the
-      // selected scores forces the correct 50 rows
+      // selected values forces the correct k rows
       case "o7_weighted_sample" => (s, d) => {
         import org.apache.spark.sql.functions._
         graft.SparkEntry.queries("o7_weighted_sample")(s, d)
           .agg(sum(col("score")).as("sc"))
+      }
+      case "o3_topk_global" => (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.SparkEntry.queries("o3_topk_global")(s, d)
+          .agg(sum(col("revenue")).as("sc"))
+      }
+      // w7 is a pure RANGE-window projection — the e15 count()-pruning rule
+      case "w7_time_range" => (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.SparkEntry.queries("w7_time_range")(s, d)
+          .agg(sum(col("n_1h")).as("a"), sum(col("cents_1h")).as("b"))
       }
       case n => graft.SparkEntry.queries(n)
     }

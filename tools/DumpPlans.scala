@@ -336,7 +336,7 @@ object DumpPlans {
       "s16_scd2_history" -> "SCD2 history build: lag change-detection and lead valid_to share ONE (custkey, date, key) exchange — a single sort+window pass, where the naive next-change formulation is an inequality self-join.",
       "e10_event_paths" -> "Journey-path mining: the user-keyed window trims to 5 rows per user BEFORE collection (hot users stay O(5)); the path aggregate's key space is the type alphabet^5, and the global top-20 is TakeOrdered over path counts.",
       "mm4_frame_dup" -> "Frame-fingerprint media dedup: fixed-stride frames digest per payload, distinct (doc_id, md5) rows block the candidate join on the frame hash with a document-frequency cap — payloads never meet pairwise.",
-      "l36_semdedup" -> "SemDeDup: learned k-means cells (literal centroids, K codegen'd dots per row) block the within-cluster pair join; ids + centroid-similarity travel, vectors re-attach by broadcast; the summary row verifies partition/dedup/drop invariants in-plan.",
+      "l36_semdedup" -> "SemDeDup: learned k-means cells (literal centroids, K codegen'd dots per row) block the pair join, which since r19 runs over exact-duplicate-group REPRESENTATIVES only — the member-level pair list is Omega(duplicate pairs), quadratic in exact-copy count (the 100x rehearsal tier measured 787 s before / 4.85 s after, e2 2.44 -> 0.29), and the group-wise drop rule provably reproduces pairwise greedy; the summary row verifies partition/dedup/drop invariants in-plan.",
       "l37_proto_prune" -> "Prototypicality pruning: shared trained centroids as literals rank members by own-centroid similarity; ONE cell-partitioned window keeps the hardest ceil(frac*size) per cell — no global sort, no pair join anywhere.",
       "s17_incremental_agg" -> "Incremental MV refresh: the stored partial table (parquet scan of keys x months rows) unions the delta's map-side partials and re-aggregates — history raw rows are never re-scanned; counts and cents-longs merge exactly.",
       "l38_group_split" -> "Leakage-safe group split: the fold column is a pure projection over the CC output (component mod 100) — zero exchanges added on top of the dedup grouping.",
