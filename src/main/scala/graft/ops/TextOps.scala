@@ -96,6 +96,17 @@ object TextOps {
     * explode shingles → self-join on shingle → count intersections → join
     * per-doc shingle counts. Integer-ratio jaccard ⇒ bit-exact vs DuckDB.
     *
+    * Pipeline-ordering contract (the r19 l36 lesson, which applies to
+    * EVERY pairwise near-dup operator here): the emitted pair list is
+    * Ω(duplicate pairs) — quadratic in exact-copy count — so on a
+    * dup-heavy corpus l4 exact dedup runs FIRST (the l50 pipeline's
+    * composed order, and every production pipeline's). The rehearsal
+    * fixtures salt document tokens per copy (no exact doc copies), so the
+    * decade rows measure the near-dup term itself; the embeddings fixture
+    * replicates unsalted and caught l36's member-level pair stage
+    * violating exactly this (787 s at 100× — fixed by in-operator
+    * exact-group collapse, see VectorOps.semDedupDropSet).
+    *
     * The join key is xxhash64(shingle), not the shingle string: the shuffle
     * moves 8-byte longs instead of ~25-byte strings and the join compares
     * longs — same exact counts (64-bit collisions are ~n²/2⁶⁴, vanishing at
