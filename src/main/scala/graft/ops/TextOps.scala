@@ -1328,15 +1328,28 @@ object TextOps {
     * natively — the shuffle moves 16-byte keys instead of 8, nothing else
     * changes). Exposed through the registry transforms' `hash_bits` param
     * (decontaminate / containment_dedup / novelty). */
+  /** NUL sentinel for null shingles. Distinct by construction from every
+    * shingle a degenerate-but-non-null doc produces — in particular the
+    * empty-string shingle that an empty/whitespace doc yields via
+    * [[shingles]]'s short-doc fallback (`array_join` of [""]). A raw text
+    * that IS a lone NUL byte would collide, but that doc's single shingle
+    * is then genuinely this string — it aliases only the class it already
+    * belongs to. */
+  private val NullShingleSentinel = "\u0000"
+
   private[graft] def shingleKey(c: Column, bits: Int): Column = bits match {
     // coalesce first (ADVICE r18): the widths DIVERGE on a null shingle —
     // xxhash64(null) yields the seed (42, one shared non-null key for every
     // null-text doc) while md5(null) is NULL (dropped by joins, kept by
     // groupBy) — so a degenerate corpus row would make the 64/128 paths
-    // row-inequivalent. Keying the empty string instead gives both widths
-    // the same shared-key behavior on nulls.
-    case 64 => xxhash64(coalesce(c, lit("")))
-    case 128 => unhex(md5(coalesce(c, lit(""))))
+    // row-inequivalent. Keying a NUL sentinel (ADVICE r19; was lit(""),
+    // which ALIASED null-text docs onto the empty-string shingle that an
+    // empty/whitespace doc genuinely produces via shingles()'s short-doc
+    // fallback) gives both widths the same shared-key behavior on nulls
+    // WITHOUT merging the two degenerate doc classes under one join/group
+    // key.
+    case 64 => xxhash64(coalesce(c, lit(NullShingleSentinel)))
+    case 128 => unhex(md5(coalesce(c, lit(NullShingleSentinel))))
     case b => throw new IllegalArgumentException(
       s"hash_bits must be 64 or 128, got $b")
   }

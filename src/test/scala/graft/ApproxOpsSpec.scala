@@ -511,6 +511,79 @@ class ApproxOpsSpec extends SparkSpec {
     assert(sum.getBoolean(1) && sum.getBoolean(2) && sum.getBoolean(3), sum.toString)
   }
 
+  test("semDedupDropSet duplicate-heavy branches equal member-level pairwise greedy (VERDICT r19 #2)") {
+    // The r19 rewrite's group-mate rule (gsize >= 2) and collapsed
+    // cross-group witness fire ONLY when exact-duplicate embeddings exist;
+    // the sf fixtures have none, so the declared-query pins never reach
+    // those branches. This synthetic frame does, per the verdict's recipe:
+    // >=3 exact copies in >=2 groups per cell, a cross-group pair at
+    // EXACTLY tau (boundary tie), an isolated singleton per cell, and a
+    // copies-only cell (group-mate rule with no adjacent group).
+    // Integer-coordinate embeddings make every cosine exact: cos(A,B) =
+    // (3*4+4*3)/(5*5) = 24/25 = 0.96 — the double division is correctly
+    // rounded on both the VecDot path and the recompute below, so the
+    // >= tau tie is bit-deterministic.
+    import spark.implicits._
+    val tau = 0.96
+    val rows = Seq(
+      // cell 0, group A: 3 exact copies, csim 0.9 (centroid-closer side)
+      (1L, Seq(3f, 4f), 5.0, 0, 0.9),
+      (2L, Seq(3f, 4f), 5.0, 0, 0.9),
+      (3L, Seq(3f, 4f), 5.0, 0, 0.9),
+      // cell 0, group B: 3 exact copies, csim 0.8; cos(A,B) = tau exactly
+      (10L, Seq(4f, 3f), 5.0, 0, 0.8),
+      (11L, Seq(4f, 3f), 5.0, 0, 0.8),
+      (12L, Seq(4f, 3f), 5.0, 0, 0.8),
+      // cell 0, singleton C: cos to A = 0.6, to B = 0.8 — below tau
+      (20L, Seq(5f, 0f), 5.0, 0, 0.7),
+      // cell 1, group D: 4 exact copies, the cell's only dup group
+      (30L, Seq(0f, 7f), 7.0, 1, 0.95),
+      (31L, Seq(0f, 7f), 7.0, 1, 0.95),
+      (32L, Seq(0f, 7f), 7.0, 1, 0.95),
+      (33L, Seq(0f, 7f), 7.0, 1, 0.95),
+      // cell 1, singleton E: orthogonal to D
+      (40L, Seq(7f, 0f), 7.0, 1, 0.5))
+    val assigned = rows.toDF("vec_id", "embedding", "nrm", "cell", "csim")
+    graft.functions.VecDot.register(spark)
+    val (droppedDf, _) = VectorOps.semDedupDropSet(assigned, tau)
+    val dropped = droppedDf.collect().map(_.getLong(0)).toSet
+
+    // independent member-level pairwise greedy: for every within-cell pair
+    // at cosine >= tau, drop the member with the LARGER (csim, vec_id)
+    // struct — the same rule the sf-fixture pin recomputes, applied to the
+    // raw members with no group collapse anywhere
+    def cos(a: Seq[Float], na: Double, b: Seq[Float], nb: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d / (na * nb)
+    }
+    val expected = scala.collection.mutable.Set[Long]()
+    rows.groupBy(_._4).values.foreach { ms =>
+      for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+        if cos(ms(i)._2, ms(i)._3, ms(j)._2, ms(j)._3) >= tau
+      } {
+        val (ida, _, _, _, ca) = ms(i); val (idb, _, _, _, cb) = ms(j)
+        expected += (if (ca > cb || (ca == cb && ida > idb)) ida else idb)
+      }
+    }
+    assert(dropped == expected.toSet,
+      s"extra=${(dropped -- expected).toSeq.sorted} " +
+        s"missing=${(expected -- dropped).toSeq.sorted}")
+    // branch receipts — each assertion fails if its branch is wrong alone:
+    // group-mate rule (gsize >= 2) with NO adjacent group: D's copies
+    assert(Set(31L, 32L, 33L).subsetOf(dropped) && !dropped(30L),
+      "group-mate branch: copies must drop, min-id representative survives")
+    // collapsed cross-group witness at the tau boundary: A's REPRESENTATIVE
+    // (id 1) is spared by the group-mate rule and drops ONLY via adjacent
+    // group B's min struct (0.8, 10) < (0.9, 1)
+    assert(dropped(1L), "cross-group adj-min witness did not fire for the representative")
+    // survivors: B's representative (the globally minimal struct in its
+    // component) and both singletons
+    assert(!dropped(10L) && !dropped(20L) && !dropped(40L),
+      "survivor set wrong on representatives/singletons")
+  }
+
   test("l37 prototypicality pruning: kept set equals an independent per-cell recomputation") {
     val rows = VectorOps.protoPruneAssignments(spark, sfDir)
       .select(col("vec_id"), col("cell"), col("csim"), col("is_kept")).collect()

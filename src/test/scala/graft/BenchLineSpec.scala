@@ -234,6 +234,42 @@ class BenchLineSpec extends AnyFunSuite {
       == Seq.empty)
   }
 
+  test("needsCleanRefork: >2x own-method anchor disagreement, failures and missing anchors exempt") {
+    // the VERDICT r19 #1 cross-check: a clean fork >2x its fresh-JVM
+    // anchor earns ONE re-fork; a fork at/below 2x, a failed fork, or a
+    // query without an anchor never does
+    assert(Bench.needsCleanRefork(8.28, Some(0.57)))   // r19's e10 shape
+    assert(!Bench.needsCleanRefork(0.9, Some(0.5)))    // < 2x: plausible
+    assert(!Bench.needsCleanRefork(1.0, Some(0.5)))    // exactly 2x: not >
+    assert(!Bench.needsCleanRefork(-1.0, Some(0.57)))  // failed fork
+    assert(!Bench.needsCleanRefork(8.28, None))        // no anchor
+  }
+
+  test("loadFreshAnchors parses the bench_anchors.json entry shape, tolerant to junk") {
+    val f = java.nio.file.Files.createTempFile("anchors", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"dir":"/x","fresh_jvm_per_query":true,"load_avg_start":0.11,""" +
+      """"queries":{"l35_triangles":{"t":3.89,"rows":1},""" +
+      """"l40_label_prop":{"t":3.16,"rows":20000},""" +
+      """"bad_cell":{"t":-1,"rows":-1,"err":"X"}}}""")
+    val m = Bench.loadFreshAnchors(f.toString)
+    assert(m == Map("l35_triangles" -> 3.89, "l40_label_prop" -> 3.16),
+      m.toString) // failed (-1) cells can't anchor
+    assert(Bench.loadFreshAnchors("/nonexistent/anchors.json") == Map.empty)
+    java.nio.file.Files.delete(f)
+  }
+
+  test("clean_reforked / clean_skipped_loaded health fields survive trimming") {
+    val many = (1 to 300).map(i => (f"q$i%03d", i * 0.01))
+    val extra = ""","clean":{"e10_event_paths":0.57},"clean_reforked":["e10_event_paths"]""" +
+      ""","clean_skipped_loaded":["l6b_embed_dedup"],"fresh_anchors":41,"self_adjudicated":false"""
+    val line = Bench.stdoutLine(many, "/root/testdata/sf0.1", extra = extra)
+    assert(line.length <= 1900)
+    assert(line.contains(""""clean_reforked":["e10_event_paths"]"""))
+    assert(line.contains(""""clean_skipped_loaded":["l6b_embed_dedup"]"""))
+    assert(line.contains(""""self_adjudicated":false"""))
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))

@@ -86,6 +86,15 @@ class ShingleHashWidthSpec extends SparkSpec {
     assert(k64.where(col("k").isNull).count() == 0)
     assert(k128.where(col("k").isNull).count() == 0)
     assert(k64.distinct().count() == 1 && k128.distinct().count() == 1)
+    // ADVICE r19: the null-shingle key must NOT alias the empty-string
+    // shingle that an empty/whitespace doc genuinely produces via
+    // shingles()'s short-doc fallback — null-text and empty-text docs are
+    // distinct degenerate classes and must not share a join/group key.
+    val e = docs.select(lit("").as("s")).limit(1)
+    assert(k64.distinct().join(
+      e.select(TextOps.shingleKey(col("s"), 64).as("k")), Seq("k")).count() == 0)
+    assert(k128.distinct().join(
+      e.select(TextOps.shingleKey(col("s"), 128).as("k")), Seq("k")).count() == 0)
   }
 
   test("l5 pair generation: 128-bit path emits the identical pair set") {

@@ -49,11 +49,51 @@ object BenchAnchors {
     "g12_bitmap_distinct", "g13_freq_sketch", "g14_hll_intersect",
     "g15_cm_sketch", "g4_rollup", "g4b_cube", "g4c_grouping_sets",
     "j2_left_outer", "j2b_full_outer", "j3_semi_anti", "j4_cross",
-    "j5_range_join", "j6_broadcast", "j9_bloom_join", "l21_lm_score")
+    "j5_range_join", "j6_broadcast", "j9_bloom_join", "l21_lm_score",
+    // (a) r19 suspects + regates (BENCH_r19 `suspect`/`regated`, VERDICT
+    // r19 #3 names e10/e14/l6b explicitly — their missing anchors left
+    // the r19 clean pass with nothing to cross-check against) plus the
+    // two ≥2x stdout movers of that loaded round
+    "e10_event_paths", "e13_funnel_steps", "e14_pattern_match", "e15_ewma",
+    "e17_session_funnel", "e18_linear_attribution",
+    "e19_position_attribution", "l44_source_kl", "l6_cosine_pairs",
+    "l6b_embed_dedup", "l7d_knn_pq", "l7e_knn_brute_capped", "p6_distinct",
+    "p7_profile", "t11_doc_ingest")
 
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("--cell")) runCell(args(1), args(2))
     else runParent(args)
+
+  /** Top-level key count of the artifact's `"queries":{...}` object by
+    * brace scan — the carry-forward guard's independent denominator. A
+    * key is counted where its '"' opens at depth 1 inside the object
+    * (string contents are skipped, so names/values can't confuse the
+    * depth tracking). Malformed input (no queries object, unbalanced
+    * braces) returns -1, which can never equal a parse count ≥ 0. */
+  private[tools] def countQueriesKeys(txt: String): Int = {
+    val at = txt.indexOf("\"queries\":{")
+    if (at < 0) return -1
+    var i = at + "\"queries\":".length
+    var depth = 0; var keys = 0; var inStr = false; var expectKey = true
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '{' => depth += 1; expectKey = true
+        case '}' => depth -= 1; if (depth == 0) return keys
+        case '"' =>
+          inStr = true
+          if (depth == 1 && expectKey) { keys += 1; expectKey = false }
+        case ':' => if (depth == 1) expectKey = false
+        case ',' => if (depth == 1) expectKey = true
+        case _ => ()
+      }
+      i += 1
+    }
+    -1 // ran off the end: unbalanced object
+  }
 
   private def runCell(name: String, dir: String): Unit = {
     val spark = graft.core.Sessions.local()
@@ -97,10 +137,15 @@ object BenchAnchors {
       val parsed = """"([a-z0-9_]+)":(\{"t":[^}]*\})""".r
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
-      // round-trip guard (ADVICE r18, the DecadeRehearsal rule): the parsed
-      // entry count must equal the artifact's top-level key count, or a
-      // format drift would silently drop prior anchors on a subset re-run
-      val keyCount = """"([a-z0-9_]+)":\{"t":""".r.findAllMatchIn(txt).size
+      // round-trip guard (ADVICE r18, tightened r19): the parsed entry
+      // count must equal the queries object's top-level key count, or a
+      // format drift would silently drop prior anchors on a subset re-run.
+      // The count is now INDEPENDENT of the value regex (ADVICE r19: the
+      // old count shared the '"name":{"t":' prefix, so most drifts moved
+      // both counts together) — it brace-scans the queries object and
+      // counts depth-1 entries, so nested values, renamed inner keys, and
+      // duplicate names all diverge from the regex count and trip here.
+      val keyCount = countQueriesKeys(txt)
       require(parsed.size == keyCount,
         s"carry-forward parse dropped entries (${parsed.size} of $keyCount) — " +
           "bench_anchors.json format drifted past the flat-value regex")

@@ -137,6 +137,14 @@ object DecadeRehearsal {
         graft.SparkEntry.queries("o3_topk_global")(s, d)
           .agg(sum(col("revenue")).as("sc"))
       }
+      // e10 ends in orderBy().limit(20) — the o3 rule: under a bare
+      // count() EliminateSorts may drop the top-N ordering; summing the
+      // selected counts forces the correct 20 rows
+      case "e10_event_paths" => (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.SparkEntry.queries("e10_event_paths")(s, d)
+          .agg(sum(col("n_users")).as("sc"))
+      }
       // w7 is a pure RANGE-window projection — the e15 count()-pruning rule
       case "w7_time_range" => (s, d) => {
         import org.apache.spark.sql.functions._

@@ -451,11 +451,16 @@ object DumpPlans {
     sb.append("incumbent section but their id-stripped operator-block SETS are\n")
     sb.append("equal (the flip's signature: the expanded form only duplicates\n")
     sb.append("blocks already present), the incumbent rendering is kept. Any\n")
-    sb.append("real plan change alters block content and always re-renders —\n")
-    sb.append("including the one source of honest churn left: AQE occasionally\n")
-    sb.append("picks a DIFFERENT build side / broadcast near the threshold\n")
-    sb.append("(observed on tq2 and l40, 0-1 sections per regen). That is true\n")
-    sb.append("runtime-plan variance, not display noise, and is shown as such.\n")
+    sb.append("real plan change alters block content and always re-renders.\n")
+    sb.append("The one honest churn class left — AQE occasionally picking a\n")
+    sb.append("DIFFERENT build side / broadcast near the threshold (observed on\n")
+    sb.append("tq2 and l40, 0-1 sections per regen; true runtime-plan variance,\n")
+    sb.append("not display noise) — is handled by NAMED ALTERNATES (r20): each\n")
+    sb.append("observed variant is stored verbatim under tools/plan_variants/,\n")
+    sb.append("and a render matching ANY stored variant prints the\n")
+    sb.append("lexicographically-smallest one, so regens are byte-identical\n")
+    sb.append("whichever side AQE picked. A render matching NO stored variant\n")
+    sb.append("(a real plan change) still re-renders and diffs.\n")
     if (growth.nonEmpty) {
       sb.append("\n## Measured scale growth (sf0.1 -> 10x, tools/ScaleRehearsal)\n\n")
       sb.append("The 10 most expensive batch queries, rerun on a 10x id-offset\n")
@@ -796,6 +801,7 @@ is exactly the AQE-re-decides case, demonstrated here.)
     }
     val incumbent = incumbentSections()
     var sticky = 0
+    var variantCanon = 0
     picks.foreach { case (name, why) =>
       val fn = raw.getOrElse(name, graft.SparkEntry.queries(name))
       val t0 = System.nanoTime()
@@ -827,25 +833,77 @@ is exactly the AQE-re-decides case, demonstrated here.)
       }
       val fresh = normalize(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // NAMED-ALTERNATE canonicalization (VERDICT r19 #4, the last honest
+      // churn class): AQE occasionally picks a different build side near
+      // the broadcast threshold (tq2/l40) — a REAL runtime-plan variance,
+      // deliberately not display-normalized. Each observed variant is
+      // stored verbatim under tools/plan_variants/<name>.<k>.txt (saved
+      // once via GRAFT_SAVE_PLAN_VARIANT=<name,...>); when a fresh render
+      // matches ANY stored variant, the lexicographically-smallest stored
+      // variant renders — so a regen is byte-identical whichever side AQE
+      // picked, while a render matching NO stored variant (a real plan
+      // change, or a third variant) still re-renders and diffs.
+      val variants = loadVariants(name)
+      if (sys.env.get("GRAFT_SAVE_PLAN_VARIANT")
+            .exists(_.split(",").map(_.trim).contains(name)) &&
+          !variants.contains(fresh)) {
+        Files.createDirectories(variantDir)
+        Files.writeString(variantDir.resolve(s"$name.${variants.size}.txt"), fresh)
+        println(s"  [$name] saved plan variant ${variants.size}")
+      }
+      val allVariants = loadVariants(name)
       // sticky reuse-flip canonicalization (see sectionSig): keep the
       // incumbent CODE BLOCK when the fresh render differs only in
       // exchange-reuse display structure — prose always re-renders
-      val code = incumbent.get(name).flatMap { old =>
-        val a = old.indexOf("\n```\n"); val b = old.lastIndexOf("\n```")
-        if (a < 0 || b <= a) None
-        else Some(old.substring(a + 5, b + 1))
-      } match {
-        case Some(old) if old != fresh &&
-            sectionSig(old) == sectionSig(fresh) =>
-          sticky += 1
-          println(s"  [$name] reuse-flip only — incumbent rendering kept")
-          old
-        case _ => fresh
-      }
+      val code =
+        if (allVariants.contains(fresh)) {
+          val canon = allVariants.min
+          if (canon != fresh) {
+            variantCanon += 1
+            println(s"  [$name] known AQE variant — canonical variant rendered")
+          }
+          canon
+        } else {
+          if (allVariants.nonEmpty)
+            println(s"  [$name] WARNING: render matches NO stored variant — " +
+              "real plan change (delete stale tools/plan_variants entries) " +
+              "or a new AQE variant (save via GRAFT_SAVE_PLAN_VARIANT)")
+          incumbent.get(name).flatMap { old =>
+            val a = old.indexOf("\n```\n"); val b = old.lastIndexOf("\n```")
+            if (a < 0 || b <= a) None
+            else Some(old.substring(a + 5, b + 1))
+          } match {
+            case Some(old) if old != fresh &&
+                sectionSig(old) == sectionSig(fresh) =>
+              sticky += 1
+              println(s"  [$name] reuse-flip only — incumbent rendering kept")
+              old
+            case _ => fresh
+          }
+        }
       sb.append("\n```\n").append(code).append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"wrote PLANS.md (${sb.length} chars, $sticky sticky section(s))")
+    println(s"wrote PLANS.md (${sb.length} chars, $sticky sticky section(s), " +
+      s"$variantCanon variant-canonicalized)")
     spark.stop()
   }
+
+  /** Stored renders of a section's known AQE build-side variants (VERDICT
+    * r19 #4): tools/plan_variants/<name>.<k>.txt, each a full normalized
+    * code block. The store IS the allowlist — sections without files are
+    * untouched. */
+  private def variantDir = Paths.get("tools/plan_variants")
+  private def loadVariants(name: String): Seq[String] =
+    if (!Files.isDirectory(variantDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(variantDir)
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.matches(
+          java.util.regex.Pattern.quote(name) + "\\.[0-9]+\\.txt"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(Files.readString(_))
+      finally l.close()
+    }
 }
