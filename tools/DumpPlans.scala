@@ -32,9 +32,21 @@ object DumpPlans {
     *     counter shift between runs still normalizes away. */
   private[tools] def normalize(s: String): String = {
     val flat = s
+      // the shingleKey NUL sentinel (r20) prints as a raw NUL byte inside
+      // coalesce(...) literals — escape it so PLANS.md stays a text file
+      .replace("\u0000", "<NUL>")
       .replaceAll("graft_scratch_[0-9a-zA-Z]+", "graft_scratch_SESSION")
       .replaceAll("graft_warehouse_[0-9]+", "graft_warehouse_SESSION")
       .replaceAll("\\[plan_id=[0-9]+\\]", "[plan_id=x]")
+      // QueryStage Statistics sizeInBytes is RUNTIME-MEASURED (the
+      // HashedRelation/shuffle estimate) and wobbles run-to-run — r20
+      // caught 16.0 MiB ↔ 32.0 MiB flips on identical rowCounts (array
+      // capacity doubling in the size estimator), churning l5c/l34/tq2.
+      // rowCount stays: it carries the scale signal the audit reads;
+      // the byte estimate is measurement noise, not plan semantics.
+      .replaceAll(
+        "(QueryStage \\([0-9]+\\), Statistics\\(sizeInBytes=)[0-9.]+(?:E[+-]?[0-9]+)? (?:B|KiB|MiB|GiB|TiB|PiB|EiB)",
+        "$1x")
       .replaceAll("\\[codegen id : [0-9]+\\]", "[codegen id : x]")
       .replaceAll("(MapPartitionsRDD|ExistingRDD)\\[[0-9]+\\]", "$1[x]")
     // Two line-level passes (measured residual churn of the first regen
@@ -873,6 +885,12 @@ is exactly the AQE-re-decides case, demonstrated here.)
             if (a < 0 || b <= a) None
             else Some(old.substring(a + 5, b + 1))
           } match {
+            // pure NORMALIZER update (r20): if re-normalizing the incumbent
+            // yields exactly the fresh render, the only difference is a
+            // normalization rule added since the incumbent was written —
+            // re-render so the rule propagates instead of being pinned out
+            // by the sticky rule below (all normalize passes are idempotent)
+            case Some(old) if old != fresh && normalize(old) == fresh => fresh
             case Some(old) if old != fresh &&
                 sectionSig(old) == sectionSig(fresh) =>
               sticky += 1
