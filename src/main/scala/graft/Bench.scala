@@ -216,7 +216,7 @@ object Bench {
     * permanently-hung Spark session used to hang the whole bench because
     * the budget was only decremented AFTER the child exited. A killed or
     * overdue child reads as -1 (the failure value), never as a time. */
-  private def forkClean(name: String, sfDir: String,
+  private[graft] def forkClean(name: String, sfDir: String,
       timeoutMs: Long): Double = {
     val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",

@@ -270,6 +270,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""self_adjudicated":false"""))
   }
 
+  test("forkClean end-to-end: the --one child protocol returns a time; timeout kills the child") {
+    // the clean re-measure pass only executes on a suspect-bearing run, so
+    // without this pin a broken child protocol (classpath, CLEAN-line
+    // format, parse regex) would surface ONLY in the next noisy bench —
+    // exactly when the adjudication machinery is needed. ~25 s: one real
+    // fresh-JVM cell at sf0.001.
+    val t = Bench.forkClean("p6_distinct", "/root/testdata/sf0.001",
+      timeoutMs = 180000L)
+    assert(t > 0, s"child CLEAN protocol returned $t")
+    // enforcement, not accounting (ADVICE r19): a budget far smaller than
+    // JVM startup must force-kill the child and read as a failure fast
+    val t0 = System.nanoTime()
+    val killed = Bench.forkClean("p6_distinct", "/root/testdata/sf0.001",
+      timeoutMs = 500L)
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(killed == -1.0, s"timed-out child returned $killed, not -1")
+    assert(wall < 30.0, s"timeout path took $wall s — waitFor bound not enforced")
+  }
+
   test("real round-4 shape (104 queries) keeps the heavy hitters on stdout") {
     // Mirror of the r4 distribution: most queries 0.1-0.5s, a heavy tail.
     val base = (1 to 96).map(i => (f"op${i}%03d_family_query_name", 0.1 + (i % 5) * 0.1))
