@@ -1357,7 +1357,7 @@ object TextOps {
   /** (doc_id, s = hashed shingle) rows for ANY (doc_id, text) frame —
     * the parameterized entry the registry transforms share with the
     * declared fixture queries. */
-  private def shingleRows(df: DataFrame, n: Int, hashBits: Int = 64): DataFrame =
+  private[graft] def shingleRows(df: DataFrame, n: Int, hashBits: Int = 64): DataFrame =
     df.withColumn("t", toks(col("text")))
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("s"))
       .select(col("doc_id"), shingleKey(col("s"), hashBits).as("s"))
