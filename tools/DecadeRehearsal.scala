@@ -151,6 +151,24 @@ object DecadeRehearsal {
         graft.SparkEntry.queries("w7_time_range")(s, d)
           .agg(sum(col("n_1h")).as("a"), sum(col("cents_1h")).as("b"))
       }
+      // w1-w4/w6 are pure window PROJECTIONS (the e15 rule): under a bare
+      // count() Catalyst prunes every unused window expression and the
+      // cell times only the scan. Aggregating over the window outputs
+      // (count(col) forces each expression's evaluation) keeps the full
+      // windowed pass on the plan.
+      case n @ ("w1_rank" | "w2_lag_lead" | "w3_running_sum" |
+                "w4_first_last" | "w6_distribution") => (s, d) => {
+        import org.apache.spark.sql.functions._
+        val winCols = Map(
+          "w1_rank" -> Seq("rn", "rk", "drk", "quartile"),
+          "w2_lag_lead" -> Seq("prev_price", "next_orderkey", "prev2_orderkey"),
+          "w3_running_sum" -> Seq("running_qty", "nbr_qty"),
+          "w4_first_last" -> Seq("richest", "poorest"),
+          "w6_distribution" -> Seq("pr", "cd", "second_poorest"))(n)
+        graft.SparkEntry.queries(n)(s, d)
+          .agg(count(col(winCols.head)).as("c0"),
+            winCols.tail.map(c => count(col(c))): _*)
+      }
       case n => graft.SparkEntry.queries(n)
     }
 
