@@ -575,7 +575,11 @@ object DumpPlans {
           sb.append("The fresh-JVM decade cells for these 35-136 s walls sit 1.3-2.6x\n")
           sb.append("above the controlled values — the documented cold-100x-cell\n")
           sb.append("envelope (t3's two same-JVM runs spread 36.7 vs 250.8 s, GC-driven\n")
-          sb.append("session-window state churn; its CPU is SUB-linear at 5.7x).\n")
+          sb.append("session-window state churn; its CPU is SUB-linear at 5.7x, and\n")
+          sb.append("tools/stream_decade.json pins its state store EXACTLY linear in\n")
+          sb.append("keys at the same tier pair — 954,650 -> 9,546,500 state rows,\n")
+          sb.append("396 MB -> 3.97 GB — so the term is one JVM holding a 4 GB store,\n")
+          sb.append("which a real cluster spreads across executors by partition).\n")
           sb.append("No plan term grows faster than the data in any of the four.\n")
           if (fresh) {
             sb.append("Every CELL (query x tier) runs in its OWN forked JVM (r17 — the\n")

@@ -19,17 +19,27 @@ object StreamRehearsal {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/tmp/graft_sf1")
     val scaleF = args.lift(2).map(_.toDouble).getOrElse(10.0)
+    // optional: args(3) = comma-separated pick filter, args(4) = out path —
+    // r20 runs the 10x → 100x tier PAIR for the session-window cell
+    // without overwriting the sf0.1 → 10x artifact
+    val outPath = args.lift(4).getOrElse("tools/stream_growth.json")
     val spark = graft.core.Sessions.local()
     // the three r11-asked gates plus the two heaviest remaining stateful
     // shapes: stream-stream join (two bounded stores), foreachBatch CDC
     // (state lives in versioned parquet, stores N/A), watermarked
-    // freshness agg, dropDuplicates state, mapGroupsWithState DFA
-    val picks: Seq[(String, Seq[String])] = Seq(
+    // freshness agg, dropDuplicates state, mapGroupsWithState DFA;
+    // t3's session-window store joined in r20 (the decade flag)
+    val allPicks: Seq[(String, Seq[String])] = Seq(
       "t9_stream_stream_join" -> Seq("t9_sink"),
       "t12_stream_upsert" -> Nil, // foreachBatch: no state store by design
       "t17_stream_freshness" -> Seq("t17_sink", "t17_hours_sink"),
       "t5_stream_dedup" -> Seq("t5_sink"),
-      "t16_stream_pattern" -> Seq("t16_sink"))
+      "t16_stream_pattern" -> Seq("t16_sink"),
+      "t3_session_window" -> Seq("t3_sink"))
+    val picks = args.lift(3).filter(_.nonEmpty)
+      .map(_.split(",").toSet)
+      .fold(allPicks.filter(_._1 != "t3_session_window"))(ks =>
+        allPicks.filter(p => ks(p._1)))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     graft.core.Caches.releaseAll(spark)
     def run(name: String, d: String, sinks: Seq[String]): (Double, Long, Long, Long, Int) = {
@@ -73,9 +83,11 @@ object StreamRehearsal {
         f""""state_rows_small":${s1._4}%d,"state_rows_big":${b1._4}%d,""" +
         f""""batches_small":${s1._5}%d,"batches_big":${b1._5}%d}"""
     }
-    val json = rows.mkString(s"""{"scale_factor":$scaleF,"queries":{""", ",", "}}")
-    Files.writeString(Paths.get("tools/stream_growth.json"), json + "\n")
-    println("wrote tools/stream_growth.json")
+    val json = rows.mkString(
+      s"""{"scale_factor":$scaleF,"small":"$small","big":"$big","queries":{""",
+      ",", "}}")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(s"wrote $outPath")
     spark.stop()
   }
 }
