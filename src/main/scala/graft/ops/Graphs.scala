@@ -125,18 +125,55 @@ object Graphs {
   graft.core.Caches.registerMemo(() => edgeMemoLock.synchronized {
     edgeMemo.clear(); edgeMemoOrder.clear()
   })
+  /** Per-order sorted distinct part arrays ("baskets") — the shared first
+    * stage of every co-purchase operator (r21). One scan + one order-keyed
+    * aggregation; collect_set dedups in the PARTIAL (map-side) buffers, so
+    * the exchange carries one array per order, bounded by basket size
+    * (≤ 7 parts/order in TPC-H-shaped data at every SF). */
+  private def orderBaskets(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.core.Tables.lineitem(s, d)
+      // the not-null guard keeps the old join/countDistinct semantics
+      // exactly: the former pl⋈pl inner join dropped null order keys and
+      // countDistinct ignored them; null PART keys need no filter —
+      // collect_set skips nulls, just as the old sa < sb predicate
+      // (NULL comparisons) dropped them, while the order itself still
+      // counts as a basket for l51 exactly like the old countDistinct
+      .where(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Ordered co-occurrence pairs (sa < sb), one row per (order, pair) —
+    * generated MAP-SIDE from the sorted basket array (posexplode + suffix
+    * slice), never by a self-join. The r20 build joined the distinct
+    * (orderkey, partkey) projection against itself: the broadcast build
+    * side is its own subtree, so ReuseExchange never deduped it and
+    * lineitem was scanned + distinct-aggregated once PER SIDE, then every
+    * probe row walked a corpus-scale hashed relation (plan receipt:
+    * plans/r21/cooccur_edges_before.txt, operators (1)-(12)). Guide §2.4
+    * (remove shuffles outright) / §8 (pairs are a pure per-basket function
+    * — compute them where the basket row lives): at 100 TB the self-join's
+    * two corpus-scale exchanges (no broadcast at that size) become ONE
+    * order-keyed aggregation whose output is basket-bounded. */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(posexplode(col("ps")).as(Seq("i", "sa")), col("ps"))
+      .select(col("sa"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("sb"))
+
+  /** The UNCUT co-occurrence edge plan (exposed so tools/R21Plans can dump
+    * the build plan the memo otherwise hides behind a localCheckpoint scan).
+    * See [[coOccurrenceEdges]] for the memo posture. */
+  private[graft] def coOccurrenceEdgesPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    basketPairs(orderBaskets(s, d)).distinct()
+
   private[graft] def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val key = (s.sparkContext.applicationId, d)
     edgeMemo.get(key).getOrElse {
-      val pl = graft.core.Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val built = cutBase(
-        pl.select(col("l_orderkey"), col("l_partkey").as("sa"))
-          .join(pl.select(col("l_orderkey"), col("l_partkey").as("sb")),
-            Seq("l_orderkey"))
-          .where(col("sa") < col("sb"))
-          .select(col("sa"), col("sb")).distinct())
+      val built = cutBase(coOccurrenceEdgesPlan(s, d))
       // putIfAbsent, not getOrElseUpdate: under a concurrent first access
       // exactly ONE build wins the map; the loser's eagerly-materialized
       // frame is simply dropped (no map entry ever points at it, so the
@@ -705,14 +742,24 @@ object Graphs {
     * Lift divides exact integer counts, one round(·,6) at the end (the
     * l21 rule). */
   val l51BasketLift: graft.ops.Relational.Q = (s, d) => {
-    val pl = graft.core.Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nB = pl.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
-    val item = pl.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairCnt = pl.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(pl.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .where(col("pa") < col("pb"))
+    // Basket arrays materialized ONCE (r21): the r20 form re-derived the
+    // distinct (orderkey, partkey) projection under every consumer — the
+    // plan scanned lineitem FOUR times (pair join ×2, item marginal ×2 for
+    // the pa/pb attach sides, basket total) with 7 exchanges, because each
+    // broadcast build side is its own subtree and ReuseExchange never
+    // fires across them (plans/r21/l51_basket_lift_before.txt). Now one
+    // scan + one order-keyed aggregation feeds everything: n_baskets is a
+    // row count, item marginals explode the arrays, and pairs generate
+    // map-side (see basketPairs) instead of through the self-join.
+    // Identical rows: collect_set dedups exactly like the old distinct,
+    // each order contributes each (pa < pb) pair exactly once, and the
+    // not-null guards reproduce the old join/countDistinct null semantics.
+    val baskets = cutBase(orderBaskets(s, d))
+    val nB = baskets.agg(count(lit(1)).as("n_baskets"))
+    val item = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = basketPairs(baskets)
+      .select(col("sa").as("pa"), col("sb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 3)
     pairCnt
