@@ -99,8 +99,25 @@ object StreamingOps {
     * final result on the driver so the oracle can compare it, which is fine
     * at fixture scale and wrong for production. The production sink shape
     * is t8's parquet writeStream (distributed, nothing on the driver). */
-  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val s = df.sparkSession
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame =
+    runAllToMemory(Seq((df, name, mode)))(name)
+
+  /** Run several INDEPENDENT streaming frames to completion concurrently
+    * and return their final memory tables by name. Actions are only
+    * sequential because driver code calls them sequentially (optimization
+    * guide §2.6): starting every AvailableNow query before awaiting any
+    * lets the later queries' micro-batches back-fill cores the earlier
+    * ones' tails leave idle, instead of paying the full micro-batch
+    * scheduling machinery end-to-end per query. The queries share nothing
+    * but the session, so results and per-name state metrics are identical
+    * to the sequential form (t17's two-stream parity is pinned in
+    * StreamingSpec). The shuffle-partition conf is set once before any
+    * start and restored after all terminate — a per-query set/restore
+    * would race: the restore of a finished query could flip the state
+    * layout a still-starting sibling is about to fix at first checkpoint. */
+  private def runAllToMemory(qs: Seq[(DataFrame, String, String)])
+      : Map[String, DataFrame] = {
+    val s = qs.head._1.sparkSession
     // State-store partition sizing: a streaming query's state layout is
     // fixed by the shuffle-partition count at first checkpoint. The replay
     // fixtures carry ~150 keys, so 32 stores are mostly empty overhead;
@@ -117,7 +134,10 @@ object StreamingOps {
     // ring buffer capped at numRecentProgressUpdates (default 100), which
     // silently under-reports peaks on runs with more micro-batches (e.g.
     // the 10x rehearsal under maxFilesPerTrigger=1) — ADVICE r12.
-    var peakBytes = 0L; var peakRows = 0L; var batches = 0
+    final class Acc {
+      var peakBytes = 0L; var peakRows = 0L; var batches = 0
+    }
+    val accs = qs.map { case (_, name, _) => name -> new Acc }.toMap
     // every match is by NAME (set on the writer before start): a fast
     // AvailableNow query can dispatch its terminated event before a
     // post-start `watchedId = q.id` assignment runs, which would leave the
@@ -125,46 +145,58 @@ object StreamingOps {
     // The started event precedes terminated in per-listener order, so
     // capturing the id there would also work — name matching needs no
     // mutable handoff at all. Terminated events don't carry the name, so
-    // the id is captured from the started event.
-    @volatile var watchedId: java.util.UUID = null
-    val done = new java.util.concurrent.CountDownLatch(1)
+    // ids are captured from the started events (concurrent map: several
+    // queries' events interleave on the bus when a batch runs together).
+    val watchedIds =
+      scala.collection.concurrent.TrieMap.empty[java.util.UUID, String]
+    val done = new java.util.concurrent.CountDownLatch(qs.size)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
-        if (e.name == name) watchedId = e.id
+        if (e.name != null && accs.contains(e.name)) watchedIds.put(e.id, e.name)
       override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.name == name) synchronized {
-          batches += 1
-          Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
-            peakBytes = math.max(peakBytes, so.memoryUsedBytes)
-            peakRows = math.max(peakRows, so.numRowsTotal)
+        accs.get(e.progress.name).foreach { acc =>
+          acc.synchronized {
+            acc.batches += 1
+            Option(e.progress.stateOperators).toSeq.flatten.foreach { so =>
+              acc.peakBytes = math.max(acc.peakBytes, so.memoryUsedBytes)
+              acc.peakRows = math.max(acc.peakRows, so.numRowsTotal)
+            }
           }
         }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == watchedId) done.countDown()
+        if (watchedIds.contains(e.id)) done.countDown()
     }
     s.streams.addListener(listener)
     try {
-      val ckpt = ckptDir(name)
-      val q = df.writeStream
-        .outputMode(mode).format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // start EVERY query before awaiting any (§2.6 back-fill; a single
+      // entry degenerates to the old start-then-await sequence exactly)
+      val started = qs.map { case (df, name, mode) =>
+        val ckpt = ckptDir(name)
+        df.writeStream
+          .outputMode(mode).format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      started.foreach(_.awaitTermination())
       // listener events are async on the bus but per-listener ordered, so
       // the terminated event arriving means every progress event for this
       // run has been counted; a timed-out await means the metrics below may
       // be incomplete — say so instead of passing silently (ADVICE r13)
       if (!done.await(30, java.util.concurrent.TimeUnit.SECONDS))
-        System.err.println(s"[streaming] $name: terminated event not seen " +
-          "within 30 s — state metrics may under-count this run")
-      if (peakRows > 0 || peakBytes > 0)
-        stateMetrics(name) = StateMetrics(peakBytes, peakRows, batches)
+        System.err.println(s"[streaming] ${qs.map(_._2).mkString(",")}: a " +
+          "terminated event was not seen within 30 s — state metrics may " +
+          "under-count this run")
+      accs.foreach { case (name, acc) =>
+        if (acc.peakRows > 0 || acc.peakBytes > 0)
+          stateMetrics(name) =
+            StateMetrics(acc.peakBytes, acc.peakRows, acc.batches)
+      }
     } finally {
       s.streams.removeListener(listener)
       s.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    s.table(name)
+    qs.map { case (_, name, _) => name -> s.table(name) }.toMap
   }
 
   /** Peak state-store metrics of the last completed run per sink name —
@@ -706,8 +738,15 @@ object StreamingOps {
         floor(unix_micros(col("ts")) / hourUs).as("h"))
       .dropDuplicates("event_type", "h")
       .groupBy(col("event_type")).agg(count(lit(1)).as("active_hours"))
-    val streamed = runToMemory(agg, "t17_sink", "complete")
-      .join(runToMemory(hours, "t17_hours_sink", "complete"), Seq("event_type"))
+    // the two replays are INDEPENDENT streams over the same staged source —
+    // started together so the hours query back-fills the main aggregate's
+    // micro-batch tail (guide §2.6) instead of re-paying the full streaming
+    // machinery sequentially; results are identical either way (parity with
+    // the sequential batch twin stays pinned by the oracle hash)
+    val both = runAllToMemory(Seq(
+      (agg, "t17_sink", "complete"), (hours, "t17_hours_sink", "complete")))
+    val streamed = both("t17_sink")
+      .join(both("t17_hours_sink"), Seq("event_type"))
     val corpus = streamed.agg(max(col("h1")).as("corpus_h"))
     streamed.crossJoin(broadcast(corpus))
       .select(col("event_type"), col("n_events"), col("first_us"),

@@ -267,4 +267,35 @@ class StreamingSpec extends SparkSpec {
     assert(landed.where(col("_ingest_batch").isNull).count() == 0)
     assert(landed.count() == purchases.count())
   }
+
+  test("t17 freshness: two CONCURRENT replays equal the batch twin (r21)") {
+    // r21 starts t17's two independent streams together (runAllToMemory,
+    // guide §2.6 back-fill) instead of sequentially — this pins that the
+    // concurrent form computes the identical table and that BOTH queries'
+    // state metrics were still captured through the shared listener
+    val got = StreamingOps.t17StreamFreshness(spark, sfDir)
+    val hourUs = 3600L * 1000000L
+    val base = events.select(col("event_type"), unix_micros(col("ts")).as("u"))
+      .withColumn("h", floor(col("u") / hourUs))
+    val agg = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("u")).as("first_us"), max(col("u")).as("last_us"),
+        min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val hours = base.select(col("event_type"), col("h")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("active_hours"))
+    val joined = agg.join(hours, Seq("event_type"))
+    val corpus = joined.agg(max(col("h1")).as("corpus_h"))
+    val want = joined.crossJoin(broadcast(corpus))
+      .select(col("event_type"), col("n_events"), col("first_us"),
+        col("last_us"), (col("h1") - col("h0") + 1).as("span_hours"),
+        col("active_hours"),
+        round(col("active_hours").cast("double") / (col("h1") - col("h0") + 1), 6)
+          .as("completeness"),
+        (col("corpus_h") - col("h1")).as("staleness_hours"))
+    assertSameRows(got, want)
+    assert(StreamingOps.stateMetrics.contains("t17_sink"),
+      "main aggregate's state metrics missing after the concurrent run")
+    assert(StreamingOps.stateMetrics.contains("t17_hours_sink"),
+      "hours query's state metrics missing after the concurrent run")
+  }
 }
