@@ -629,18 +629,33 @@ object Graphs {
     // + one degree-decrement agg + one node-scale join.
     val bi = kcoreEdges(edges)
     var deg = cutBase(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var peeling = true
+    while (r <= rounds && peeling) {
       val removed = deg.where(col("deg") < k).select(col("u"))
-      val dec = bi.join(removed, Seq("u"), "left_semi")
-        .groupBy(col("v")).agg(count(lit(1)).as("dec"))
-        .select(col("v").as("u"), col("dec"))
-      deg = deg.join(removed, Seq("u"), "left_anti")
-        .join(dec, Seq("u"), "left")
-        .select(col("u"),
-          (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
-      // node-scale truncation each round (integer pairs — cheap), reliable
-      // every CheckpointEvery-th round in cluster posture: cutLoop
-      if (r < rounds) deg = cutLoop(deg, r)
+      // EARLY EXIT (r21): a round that removes no node is the IDENTITY —
+      // dec is empty, the anti-join drops nothing, every degree is
+      // unchanged — and so is every later round (the degree table is the
+      // loop's entire state). Skipping them changes no result row, only
+      // the cost: each skipped round is a full scan of the bidirected
+      // edge table + a v-keyed exchange, paid for nothing on a graph
+      // already at its k-core (l46's k=3 removes zero nodes at every SF —
+      // three edge-scale passes for three identities). The check itself
+      // is a limit-1 probe of the materialized node-scale degree table.
+      if (removed.isEmpty) peeling = false
+      else {
+        val dec = bi.join(removed, Seq("u"), "left_semi")
+          .groupBy(col("v")).agg(count(lit(1)).as("dec"))
+          .select(col("v").as("u"), col("dec"))
+        deg = deg.join(removed, Seq("u"), "left_anti")
+          .join(dec, Seq("u"), "left")
+          .select(col("u"),
+            (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"))
+        // node-scale truncation each round (integer pairs — cheap), reliable
+        // every CheckpointEvery-th round in cluster posture: cutLoop
+        if (r < rounds) deg = cutLoop(deg, r)
+      }
+      r += 1
     }
     // deg = 0 survivors lost every neighbor in the final round — the edge
     // semantics (nodes present in the induced edge list) exclude them

@@ -96,6 +96,28 @@ class GraphsReliableSpec extends SparkSpec {
       s"bound: L1=$l1 > $bound")
   }
 
+  test("kcore peel: a no-removal round short-circuits, results identical (r21)") {
+    import spark.implicits._
+    import graft.ops.Graphs
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 4-clique IS its own 3-core: the first round removes nothing, so the
+    // early exit skips every remaining round — the result must still be the
+    // full degree table, identical to a long unroll
+    val clique = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
+      .toDF("sa", "sb")
+    val peeled = rows(Graphs.kcorePeel(clique, k = 3, rounds = 3))
+    assert(peeled == (1L to 4L).map(n => n -> 3L).toSet, peeled.toString)
+    // clique + pendant chain 4-5-6 at k=2: round 1 removes 6, round 2
+    // removes 5, round 3 removes nothing — a rounds=5 peel must equal the
+    // exact-2-round peel (the identity tail is skipped, not recomputed)
+    val g = clique.unionByName(Seq((4L, 5L), (5L, 6L)).toDF("sa", "sb"))
+    val r5 = rows(Graphs.kcorePeel(g, k = 2, rounds = 5))
+    val r2 = rows(Graphs.kcorePeel(g, k = 2, rounds = 2))
+    assert(r5 == r2, s"early-exit tail changed the result: ${r5 -- r2} ${r2 -- r5}")
+    assert(r5 == Set(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r5.toString)
+  }
+
   test("pageRank/LPA/kcore engage the reliable checkpoint under a dir, results unchanged") {
     import spark.implicits._
     import graft.ops.Graphs
