@@ -440,7 +440,8 @@ object Graphs {
     pageRank(edges, damping = 0.85, iters = 3)
   }
 
-  /** Triangle-count core over ANY undirected edge list (sa < sb, distinct)
+  /** Triangle-count core over a DISTINCT, caller-materialized undirected
+    * edge list (sa < sb)
     * — DEGREE-ORDERED orientation, the O(E^1.5) classic (Schank/Wagner;
     * the same orientation GraphX's TriangleCount and every distributed
     * triangle paper uses): each edge points from its lower-(degree, id)
@@ -454,15 +455,17 @@ object Graphs {
     * the DuckDB twin can use the simple id-ordered 3-way join. */
   private[graft] def triangleCount(edges: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // MATERIALIZED once (eager localCheckpoint): the distinct edge list is
-    // read by the degree agg, the orientation join, AND the n_edges count —
-    // without the checkpoint each consumer re-runs the upstream edge build
-    // (for l35 that's the lineitem self-join: 3+ re-executions, measured
-    // 6.5 s → the dominant cost of the query at sf0.1). Released by the
-    // harness's Caches.releaseAll. At cluster scale this is the same
-    // "materialize the graph once" posture as GraphX's graph cache.
-    val ed = edges.select(col("sa"), col("sb")).distinct()
-      .localCheckpoint(eager = true)
+    // PRECONDITION (r21): `edges` must be a DISTINCT simple edge list,
+    // already MATERIALIZED by the caller — the degree agg, the orientation
+    // join, and the n_edges count all read it, so an unmaterialized input
+    // would re-run its build per consumer (for l35 that was the lineitem
+    // pair build: 3+ re-executions, measured 6.5 s at sf0.1 in r16). The
+    // sole caller passes [[coOccurrenceEdges]], which is distinct by
+    // construction and eagerly checkpointed by its memo; the defensive
+    // re-distinct + second localCheckpoint this method used to do on top
+    // cost one full edge-scale exchange + a duplicate materialization of
+    // the identical rows per invocation, for nothing.
+    val ed = edges.select(col("sa"), col("sb"))
     val deg = ed.select(col("sa").as("n")).unionAll(ed.select(col("sb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withD = ed
