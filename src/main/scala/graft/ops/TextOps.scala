@@ -629,29 +629,49 @@ object TextOps {
 
   /** Banded near-pair emission over a materialized (doc_id, simhash)
     * sketch — the C(8,2) byte-pair multi-index described on
-    * [[l5cSimhash]]. */
+    * [[l5cSimhash]].
+    *
+    * r21 (guide §2.4, the basketPairs shape): pairs are generated
+    * MAP-SIDE from per-bucket sorted arrays, not by a (band_idx, band)
+    * self-join. The join form shuffled the 28·n banded sketch TWICE
+    * (both ShuffledHashJoin sides) and probed a hashed relation per
+    * banded row; now ONE exchange groups each bucket's (doc_id, simhash)
+    * structs into a sorted array (sort_array on the struct orders by
+    * doc_id, so the i < j suffix slice emits every pair exactly once
+    * with da < db by construction) and the pair expansion runs where the
+    * bucket row lives. Candidate volume is unchanged — Σ per-bucket
+    * C(k,2), the multi-index's own bound — and the per-candidate
+    * hamming + first-clean-index filters are identical expressions.
+    * Measured sf0.1 (tools/R21L5cProbe, min of 2, same JVM): full query
+    * 3.11 s → 1.96 s; emitted pairs bit-identical (exceptAll both
+    * directions = 0). The doc_id not-null guard reproduces the join
+    * form's da < db null-drop exactly. */
   private def l5cPairs(sim: org.apache.spark.sql.DataFrame,
       maxBucket: Option[Long]): org.apache.spark.sql.DataFrame = {
     def chunk(i: Int): Column =
       shiftright(col("simhash"), i * 8).bitwiseAND(0xff)
     val chunkPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-    val banded0 = sim.select(
+    val banded = sim.where(col("doc_id").isNotNull).select(
       col("doc_id"), col("simhash"),
       posexplode(array(chunkPairs.map { case (i, j) =>
         shiftleft(chunk(i), 8).bitwiseOR(chunk(j))
       }: _*)).as(Seq("band_idx", "band")))
-    val banded = maxBucket.fold(banded0) { cap =>
-      val keep = banded0.groupBy(col("band_idx"), col("band"))
-        .agg(count(lit(1)).as("bn"))
-        .where(col("bn") <= cap).select(col("band_idx"), col("band"))
-      banded0.join(keep, Seq("band_idx", "band"), "left_semi")
-    }
+    // one exchange: bucket the banded sketch; the optional hot-bucket cap
+    // is now a plain size filter on the bucket array (the former
+    // aggregate + left_semi pair of operators)
+    val buckets0 = banded
+      .groupBy(col("band_idx"), col("band"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .where(size(col("ds")) >= 2)
+    val buckets = maxBucket.fold(buckets0)(cap =>
+      buckets0.where(size(col("ds")) <= cap))
     // Duplicate-free emission, no distinct: a near-identical pair collides
     // in up to 28 indexes, so deduping by shuffle would move ~28× the
-    // qualifying pairs. Both hashes are in hand after the join, so each
-    // pair is emitted ONLY from its first clean byte-pair index (computed
-    // from ha⊕hb with branch-free bit tests) — exactly-once by
-    // construction, and the dedup exchange disappears from the plan.
+    // qualifying pairs. Both hashes are in hand after the suffix-slice
+    // expansion, so each pair is emitted ONLY from its first clean
+    // byte-pair index (computed from ha⊕hb with branch-free bit tests) —
+    // exactly-once by construction, no dedup exchange in the plan.
     val x = col("ha").bitwiseXOR(col("hb"))
     def byteClean(i: Int): Column =
       shiftright(x, i * 8).bitwiseAND(0xff) === 0
@@ -659,22 +679,23 @@ object TextOps {
       case (((i, j), idx), acc) =>
         when(byteClean(i) && byteClean(j), lit(idx)).otherwise(acc)
     }
-    val joined = banded.select(col("band_idx"), col("band"),
-        col("doc_id").as("da"), col("simhash").as("ha"))
-      .join(banded.select(col("band_idx"), col("band"),
-        col("doc_id").as("db"), col("simhash").as("hb")),
-        Seq("band_idx", "band"))
-      .where(col("da") < col("db"))
+    val expanded = buckets
+      .select(col("band_idx"), posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("band_idx"),
+        col("a.doc_id").as("da"), col("a.simhash").as("ha"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .select(col("band_idx"), col("da"), col("ha"),
+        col("b.doc_id").as("db"), col("b.simhash").as("hb"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
     maxBucket match {
       case None =>
-        joined.where(col("hamming") <= 6 && col("band_idx") === firstCleanIdx)
+        expanded.where(col("hamming") <= 6 && col("band_idx") === firstCleanIdx)
           .select(col("da"), col("db"), col("hamming"))
       case Some(_) =>
         // capped: the first clean index may have been a dropped bucket, so
         // exactly-once-by-construction doesn't apply — dedup the bounded
         // candidate set instead
-        joined.where(col("hamming") <= 6)
+        expanded.where(col("hamming") <= 6)
           .select(col("da"), col("db"), col("hamming")).distinct()
     }
   }
