@@ -514,16 +514,32 @@ object Graphs {
     * most frequent label among its NEIGHBORS (count desc, label asc
     * tie-break — the determinism knob async LPA lacks). Every node in the
     * derived node set has ≥1 edge, so each round relabels every node.
-    * Per round: the neighbor-label join reuses [[lpaEdges]]' v-partitioning
-    * (only the node-scale label vector moves), then one (node, label)
-    * aggregation + one node argmax aggregation — the same exchange budget
-    * as a PageRank iteration, with label counts (not floats) on the wire. */
+    * Per round: one node-scale join of the label vector against the
+    * [[lpaAdj]] adjacency table (neighbor lists explode MAP-SIDE), one
+    * (node, label) aggregation + one node argmax aggregation — label
+    * counts (not floats) on the wire.
+    *
+    * `simpleGraph = true` (caller-asserted: the edge list is DISTINCT,
+    * like [[coOccurrenceEdges]]) unlocks the round-1 algebraic shortcut:
+    * with labels = ids and no duplicate edges, every (node, neighbor-
+    * label) count in round 1 is exactly 1, so "most frequent, count desc
+    * / label asc" degenerates to min(neighbor) — one array_min over the
+    * adjacency row replaces round 1's join + two aggregations. On a
+    * multigraph counts exceed 1 and the shortcut is invalid, so the
+    * registry path (arbitrary `edges` input) keeps the generic round.
+    * Measured sf0.1 (tools/R21L40Probe, min of 2, same JVM): declared
+    * l40 4.00 s → 2.61 s with adjacency rounds + shortcut; output
+    * bit-identical (exceptAll both ways = 0). */
   private[graft] def labelPropagation(edges: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
-    val bi = lpaEdges(edges)
-    val nodes = bi.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("lab", col("node"))
-    for (r <- 1 to rounds) {
+      rounds: Int, simpleGraph: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val adj = lpaAdj(edges)
+    val shortcut = simpleGraph && rounds >= 1
+    // round-0 labels are the ids themselves; adj's v column is already the
+    // distinct endpoint set (one row per node), so no separate distinct
+    var labels =
+      if (shortcut) adj.select(col("v").as("node"), array_min(col("us")).as("lab"))
+      else adj.select(col("v").as("node"), col("v").as("lab"))
+    for (r <- (if (shortcut) 2 else 1) to rounds) {
       // argmax by (count desc, label asc): max(struct(c, -label)) picks
       // the highest count, then the lowest label; the partial agg still
       // combines map-side. Plans as a SortAggregate (a struct max is not
@@ -536,30 +552,33 @@ object Graphs {
       // with bounded memory and hands the next round already-ordered
       // rows, while the hash map adds per-task state exactly where the
       // tier is memory-bound (the l40_spill.json cliff).
-      labels = cutRound(lpaRound(bi, labels), r, rounds)
+      labels = cutRound(lpaRound(adj, labels), r, rounds)
     }
     labels.select(col("node"), col("lab").as("community"))
   }
 
-  /** The bidirected (u, v) neighbor table both LPA variants iterate over,
-    * built ONCE (the union + repartition never re-executes per round —
-    * unlike pageRank's composed unroll, every LPA round materializes for
-    * cutRound/cutLoop, so without the cut each round would re-pay the
-    * build). Caveat learned in r15 (tools/NoBroadcastProbe): under AQE
-    * the checkpoint reports UnknownPartitioning, so the v-clustering is
-    * NOT visible to EnsureRequirements — the win here is recomputation
-    * avoidance, measured neutral-to-better at both scales, not exchange
-    * elision. */
-  private def lpaEdges(edges: DataFrame): DataFrame =
+  /** The per-node adjacency table both LPA variants iterate over, built
+    * ONCE: bidirect the edge list and group each node's neighbor list
+    * into an array (r21, guide §2.3 — the triangle-count edge-iterator
+    * posture). The former per-round join carried the EDGE-scale
+    * bidirected table into every round's join; now the per-round join is
+    * node-scale × node-scale (same total neighbor bytes, ~2 orders fewer
+    * rows through the join) and the neighbor expansion happens map-side
+    * via explode, after the join. Multiplicity is preserved exactly —
+    * collect_list keeps duplicate neighbors, so multigraph label counts
+    * are unchanged on the generic path. */
+  private def lpaAdj(edges: DataFrame): DataFrame =
     cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .repartition(col("v")))
+      .groupBy(col("v")).agg(collect_list(col("u")).as("us")))
 
-  /** One synchronous LPA round: every node adopts the most frequent label
-    * among its neighbors (count desc, label asc tie-break). Shared by the
-    * fixed-round [[labelPropagation]] and [[labelPropagationConverged]]. */
-  private def lpaRound(bi: DataFrame, labels: DataFrame): DataFrame =
-    bi.join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
+  /** One synchronous LPA round over the adjacency table: every node
+    * adopts the most frequent label among its neighbors (count desc,
+    * label asc tie-break). Shared by the fixed-round [[labelPropagation]]
+    * and [[labelPropagationConverged]]. */
+  private def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame =
+    adj.join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
+      .select(explode(col("us")).as("u"), col("nlab"))
       .groupBy(col("u"), col("nlab")).agg(count(lit(1)).as("c"))
       .groupBy(col("u"))
       .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("m"))
@@ -575,14 +594,13 @@ object Graphs {
   private[graft] def labelPropagationConverged(
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): org.apache.spark.sql.DataFrame = {
-    val bi = lpaEdges(edges)
-    val nodes = bi.select(col("u").as("node")).distinct()
-    var labels = cutBase(nodes.withColumn("lab", col("node")))
+    val adj = lpaAdj(edges)
+    var labels = cutBase(adj.select(col("v").as("node"), col("v").as("lab")))
     var round0 = 0
     var changed = 1L
     while (round0 < maxRounds && changed > 0) {
       round0 += 1
-      val next = cutLoop(lpaRound(bi, labels), round0)
+      val next = cutLoop(lpaRound(adj, labels), round0)
       changed = next
         .join(labels.withColumnRenamed("lab", "prev"), Seq("node"))
         .where(col("lab") =!= col("prev")).count()
@@ -605,7 +623,9 @@ object Graphs {
     * the wire, and the loop would checkpoint per round (the
     * [[connectedComponents]] posture). */
   val l40LabelProp: graft.ops.Relational.Q = (s, d) =>
-    labelPropagation(coOccurrenceEdges(s, d), rounds = 3)
+    // simpleGraph: coOccurrenceEdges is distinct by construction, so the
+    // round-1 min(neighbor) shortcut is exact (see labelPropagation)
+    labelPropagation(coOccurrenceEdges(s, d), rounds = 3, simpleGraph = true)
 
   /** Bounded-round k-core peel over ANY undirected simple edge list
     * (Seidman 1983 degeneracy peeling; the Batagelj–Zaveršnik shape run

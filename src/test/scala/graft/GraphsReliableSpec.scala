@@ -73,6 +73,22 @@ class GraphsReliableSpec extends SparkSpec {
     assert(lConv == Set((1L, 1L), (2L, 1L), (3L, 1L),
       (10L, 10L), (11L, 10L), (12L, 10L)))
 
+    // r21 round-1 shortcut: on a DISTINCT simple graph, simpleGraph=true
+    // (round 1 = min neighbor via array_min) must equal the generic path
+    // at every round count — including an asymmetric graph (star + path)
+    // where round-1 labels differ per node
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("sa", "sb")
+    for (r <- 1 to 4) {
+      val generic = rows(Graphs.labelPropagation(star, rounds = r))
+      val fast = rows(Graphs.labelPropagation(star, rounds = r, simpleGraph = true))
+      assert(fast == generic, s"simpleGraph shortcut diverged at rounds=$r: " +
+        s"only-fast=${(fast -- generic).take(3)} only-generic=${(generic -- fast).take(3)}")
+      val fastTri = rows(Graphs.labelPropagation(tri, rounds = r, simpleGraph = true))
+      val genTri = rows(Graphs.labelPropagation(tri, rounds = r))
+      assert(fastTri == genTri, s"simpleGraph shortcut diverged on tri at rounds=$r")
+    }
+
     // PageRank: tight tol reaches the ANALYTIC fixpoint of a cyclic graph
     // (a<->b plus c->a, damping 0.5: pr = (4/9, 7/18, 1/6)), and a loose
     // tol stops within the contraction bound tol*d/(1-d) of the tight run
