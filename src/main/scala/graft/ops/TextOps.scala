@@ -232,9 +232,19 @@ object TextOps {
     * the output is row-identical to l5 and hash-checks against the same
     * exact-Jaccard oracle.
     *
-    * Plan shape: one df aggregation + one per-doc rank window (both keyed
-    * on columns the next stage joins on), one prefix self-join, one
-    * verification join against the materialized (doc_id, hs) arrays. */
+    * Plan shape (r21, guide §2.4): one df aggregation, one per-doc
+    * collect-and-slice aggregation that keeps each doc's p rarest
+    * shingles (replacing the rank WINDOW's doc-keyed exchange + big
+    * partition sort with a hash aggregate + per-doc array sorts — same
+    * (df asc, hash asc) total order, and per-task memory stays bounded
+    * by document size instead of partition size), one sv-bucket grouped
+    * aggregation whose sorted (doc_id, n) arrays emit candidates
+    * MAP-SIDE (i < j suffix slice ⟹ da < db; the length filter runs
+    * inline before the distinct) — the former prefix SELF-JOIN and its
+    * second shuffle of the prefix table are gone — then one
+    * verification join against the materialized (doc_id, hs) arrays.
+    * Measured sf0.1 (tools/R21L45Probe, min of 2, same JVM, two runs):
+    * 4.07/4.10 s → 3.46-3.84 s, output bit-identical both runs. */
   val l45PrefixJoin: Q = l45PrefixJoinBits(64)
 
   /** l45 with the [[shingleKey]] `hash_bits` width threaded through the
@@ -245,24 +255,36 @@ object TextOps {
     val ex = docs
       .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sv"))
     val dfT = ex.groupBy(col("sv")).agg(count(lit(1)).as("df"))
-    // canonical global shingle order: rarest first, hash as tie-break —
-    // a pure function of the corpus, identical for every doc
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sv"))
-    // SHUFFLE_HASH twice below — `ex` is the exploded per-shingle table,
-    // whose static size estimate is the pre-explode lie (the l5 trap,
-    // r15 PairJoinProbe: 343 s broadcast vs 129 s shuffled at 100x, OOM
-    // at corpus scale). The df attach shuffles on sv (dfT is already
-    // sv-keyed from its aggregate), and the prefix self-join shuffles on
-    // sv with rarest-first buckets bounded by the prefix filter.
+    // SHUFFLE_HASH — `ex` is the exploded per-shingle table, whose static
+    // size estimate is the pre-explode lie (the l5 trap, r15
+    // PairJoinProbe: 343 s broadcast vs 129 s shuffled at 100x, OOM at
+    // corpus scale). The df attach shuffles on sv (dfT is already
+    // sv-keyed from its aggregate, and the two sv exchanges share one
+    // shuffle via ReuseExchange).
+    // Canonical global shingle order: rarest first, hash as tie-break —
+    // a pure function of the corpus, identical for every doc. (df, sv)
+    // is unique per doc (hs arrays are distinct), so the struct sort is
+    // exactly the former row_number ordering.
     val pref = ex.join(dfT.hint("shuffle_hash"), Seq("sv"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
-      .select(col("sv"), col("doc_id"), col("n"))
-    val cand = pref.select(col("sv"), col("doc_id").as("da"), col("n").as("na"))
-      .join(pref.select(col("sv"), col("doc_id").as("db"), col("n").as("nb"))
-        .hint("shuffle_hash"), Seq("sv"))
-      .where(col("da") < col("db") &&
-        col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("sv")))).as("rs"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("rs"), lit(1),
+          (col("n") - ceil(lit(tau) * col("n")) + lit(1)).cast("int"))).as("r"))
+      .select(col("r.sv").as("sv"), col("doc_id"), col("n"))
+    // prefix-shingle buckets grouped once; candidates emitted map-side
+    // from the sorted (doc_id, n) array — rarest-first bucket sizes are
+    // bounded by the prefix filter exactly as the self-join's were
+    val buckets = pref.groupBy(col("sv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    val cand = buckets
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a.doc_id").as("da"), col("a.n").as("na"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .select(col("da"), col("na"), col("b.doc_id").as("db"), col("b.n").as("nb"))
+      .where(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
       .select(col("da"), col("db")).distinct()
     cand
       .join(docs.select(col("doc_id").as("da"), col("hs").as("hsa")), Seq("da"))

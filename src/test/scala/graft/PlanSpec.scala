@@ -434,9 +434,16 @@ class PlanSpec extends SparkSpec {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
     assert(bad.isEmpty, s"unkeyed join in prefix-join plan:\n$plan")
-    // the prefix rank must be a doc-partitioned window (no global sort)
-    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      s"expected the per-doc prefix-rank window:\n$plan")
+    // r21: the prefix rank is a per-doc collect-and-slice AGGREGATE (array
+    // sorts bounded by doc size) — no Window, and therefore no global or
+    // partition-wide sort may reappear in the prefix build
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"prefix rank regressed to a window (partition-wide sort):\n$plan")
+    // candidate emission is map-side from sv buckets: exactly the verify
+    // joins (2) plus the df attach (1) — a 4th join means the prefix
+    // self-join came back
+    val joins = all.filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.size <= 3, s"prefix self-join resurfaced (${joins.size} joins):\n$plan")
   }
 
   test("e14/e15: one user-keyed exchange each — no join in pattern match, none in EWMA") {
