@@ -88,9 +88,11 @@ object Graphs {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
-  /** The part co-occurrence SIMPLE graph (distinct sa < sb pairs sharing
-    * an order) every graph operator here declares over — MEMOIZED per
-    * (Spark application, fixture dir) as an eager localCheckpoint.
+  /** The part co-occurrence SIMPLE graph every graph operator here
+    * declares over — MEMOIZED per (Spark application, fixture dir) as an
+    * eager localCheckpoint, stored as the BIDIRECTED ADJACENCY table
+    * (u, vs = distinct co-occurring parts; see [[coOccurrenceAdjPlan]]
+    * for why adjacency beats the former distinct edge list).
     *
     * Production posture, not bench sugar: a link/co-occurrence graph is a
     * derived TABLE built once and queried many times (triangles,
@@ -162,18 +164,42 @@ object Graphs {
       .select(col("sa"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps")))).as("sb"))
 
-  /** The UNCUT co-occurrence edge plan (exposed so tools/R21Plans can dump
-    * the build plan the memo otherwise hides behind a localCheckpoint scan).
-    * See [[coOccurrenceEdges]] for the memo posture. */
-  private[graft] def coOccurrenceEdgesPlan(s: org.apache.spark.sql.SparkSession,
+  /** The UNCUT co-occurrence ADJACENCY plan (exposed so tools/R21Plans can
+    * dump the build plan the memo otherwise hides behind a localCheckpoint
+    * scan): per-order basket pairs, bidirected map-side, grouped into each
+    * node's neighbor set in ONE exchange — collect_set dedups exactly like
+    * the former `basketPairs(...).distinct()`, so the derived edge view is
+    * the identical simple graph, but the consumers' re-derivations
+    * disappear (r21, guide §2.4): LPA iterates the adjacency table
+    * directly (its own groupBy is gone), k-core degrees are size(vs) (its
+    * degree aggregation and bidirect+repartition are gone), triangles read
+    * da = size(vs) map-side (one degree join instead of two, no degree
+    * aggregation), and the edge list itself is a map-side explode. */
+  private[graft] def coOccurrenceAdjPlan(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    basketPairs(orderBaskets(s, d)).distinct()
+    basketPairs(orderBaskets(s, d))
+      .select(explode(array(
+        struct(col("sa").as("u"), col("sb").as("v")),
+        struct(col("sb").as("u"), col("sa").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u")).agg(collect_set(col("v")).as("vs"))
 
+  /** The DISTINCT (sa < sb) simple edge list — a MAP-SIDE view over the
+    * memoized adjacency checkpoint (each undirected edge appears in both
+    * endpoints' neighbor sets; the u < v filter keeps exactly one
+    * canonical copy). Kept for the probes/tests that consume the edge
+    * form. */
   private[graft] def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    coOccurrenceAdj(s, d)
+      .select(col("u").as("sa"), explode(col("vs")).as("sb"))
+      .where(col("sa") < col("sb"))
+
+  private[graft] def coOccurrenceAdj(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val key = (s.sparkContext.applicationId, d)
     edgeMemo.get(key).getOrElse {
-      val built = cutBase(coOccurrenceEdgesPlan(s, d))
+      val built = cutBase(coOccurrenceAdjPlan(s, d))
       // putIfAbsent, not getOrElseUpdate: under a concurrent first access
       // exactly ONE build wins the map; the loser's eagerly-materialized
       // frame is simply dropped (no map entry ever points at it, so the
@@ -453,24 +479,22 @@ object Graphs {
     * the wedge set never materializes as exchange rows; each triangle is
     * counted exactly once. Counting is orientation-invariant, which is why
     * the DuckDB twin can use the simple id-ordered 3-way join. */
-  private[graft] def triangleCount(edges: org.apache.spark.sql.DataFrame)
+  private[graft] def triangleCount(adj: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    // PRECONDITION (r21): `edges` must be a DISTINCT simple edge list,
-    // already MATERIALIZED by the caller — the degree agg, the orientation
-    // join, and the n_edges count all read it, so an unmaterialized input
-    // would re-run its build per consumer (for l35 that was the lineitem
-    // pair build: 3+ re-executions, measured 6.5 s at sf0.1 in r16). The
-    // sole caller passes [[coOccurrenceEdges]], which is distinct by
-    // construction and eagerly checkpointed by its memo; the defensive
-    // re-distinct + second localCheckpoint this method used to do on top
-    // cost one full edge-scale exchange + a duplicate materialization of
-    // the identical rows per invocation, for nothing.
-    val ed = edges.select(col("sa"), col("sb"))
-    val deg = ed.select(col("sa").as("n")).unionAll(ed.select(col("sb").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val withD = ed
-      .join(deg.select(col("n").as("sa"), col("d").as("da")), Seq("sa"))
-      .join(deg.select(col("n").as("sb"), col("d").as("db")), Seq("sb"))
+    // PRECONDITION: `adj` is the MATERIALIZED bidirected adjacency table
+    // (u, vs = distinct neighbors) — [[coOccurrenceAdj]]. The edge list
+    // and BOTH degrees derive from it without an aggregation (r21): each
+    // exploded (sa, sb) row carries da = size(vs) map-side, and the sb
+    // side's degree attaches with ONE node-scale join (unhinted: AQE
+    // broadcasts the node-scale degree table when it fits, falls back to
+    // a keyed shuffle join at corpus scale). The former edge-list form
+    // paid a full degree aggregation plus two edge-scale degree joins.
+    val ed = adj
+      .select(col("u").as("sa"), size(col("vs")).as("da"),
+        explode(col("vs")).as("sb"))
+      .where(col("sa") < col("sb"))
+    val degT = adj.select(col("u").as("sb"), size(col("vs")).as("db"))
+    val withD = ed.join(degT, Seq("sb"))
     val lower = struct(col("da"), col("sa")) < struct(col("db"), col("sb"))
     // the oriented list feeds the adjacency build and both join legs below
     val e = withD.select(
@@ -487,13 +511,13 @@ object Graphs {
     // exists as exchange rows: two keyed joins carry the arrays, the
     // intersection runs where the edge row lives. Each triangle
     // {u<v<w by rank} is counted exactly once, at its (u,v) edge.
-    val adj = e.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+    val adjOut = e.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
     val tri = e
-      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .join(adjOut.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
       .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
-    (deg, ed, tri)
+    (adj, ed, tri)
   }
 
   /** L35: triangle counting — the clustering/community-density statistic
@@ -503,8 +527,8 @@ object Graphs {
     * sf0.1 — sparse, unlike the near-complete co-supplier graph). Emits
     * ONE row (n_nodes, n_edges, n_triangles), all BIGINT. */
   val l35Triangles: graft.ops.Relational.Q = (s, d) => {
-    val (deg, ed, tri) = triangleCount(coOccurrenceEdges(s, d))
-    deg.agg(count(lit(1)).as("n_nodes"))
+    val (nodes, ed, tri) = triangleCount(coOccurrenceAdj(s, d))
+    nodes.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
   }
@@ -531,14 +555,21 @@ object Graphs {
     * l40 4.00 s → 2.61 s with adjacency rounds + shortcut; output
     * bit-identical (exceptAll both ways = 0). */
   private[graft] def labelPropagation(edges: org.apache.spark.sql.DataFrame,
-      rounds: Int, simpleGraph: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val adj = lpaAdj(edges)
+      rounds: Int, simpleGraph: Boolean = false): org.apache.spark.sql.DataFrame =
+    labelPropagationAdj(lpaAdj(edges), rounds, simpleGraph)
+
+  /** LPA core over a MATERIALIZED bidirected adjacency table (u, vs) —
+    * the declared l40 passes [[coOccurrenceAdj]] directly (its memoized
+    * build is the only exchange the graph costs), the edge-input overload
+    * above groups arbitrary registry edges via [[lpaAdj]]. */
+  private[graft] def labelPropagationAdj(adj: org.apache.spark.sql.DataFrame,
+      rounds: Int, simpleGraph: Boolean): org.apache.spark.sql.DataFrame = {
     val shortcut = simpleGraph && rounds >= 1
-    // round-0 labels are the ids themselves; adj's v column is already the
+    // round-0 labels are the ids themselves; adj's u column is already the
     // distinct endpoint set (one row per node), so no separate distinct
     var labels =
-      if (shortcut) adj.select(col("v").as("node"), array_min(col("us")).as("lab"))
-      else adj.select(col("v").as("node"), col("v").as("lab"))
+      if (shortcut) adj.select(col("u").as("node"), array_min(col("vs")).as("lab"))
+      else adj.select(col("u").as("node"), col("u").as("lab"))
     for (r <- (if (shortcut) 2 else 1) to rounds) {
       // argmax by (count desc, label asc): max(struct(c, -label)) picks
       // the highest count, then the lowest label; the partial agg still
@@ -570,19 +601,22 @@ object Graphs {
   private def lpaAdj(edges: DataFrame): DataFrame =
     cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .groupBy(col("v")).agg(collect_list(col("u")).as("us")))
+      .groupBy(col("u")).agg(collect_list(col("v")).as("vs")))
 
-  /** One synchronous LPA round over the adjacency table: every node
-    * adopts the most frequent label among its neighbors (count desc,
-    * label asc tie-break). Shared by the fixed-round [[labelPropagation]]
-    * and [[labelPropagationConverged]]. */
+  /** One synchronous LPA round over the adjacency table: every node's
+    * label is delivered to its neighbors (join on the node key, explode
+    * the neighbor list map-side — the graph is undirected, so sending
+    * along (u → vs) is receiving from neighbors), then every node adopts
+    * the most frequent received label (count desc, label asc tie-break).
+    * Shared by the fixed-round [[labelPropagation]] and
+    * [[labelPropagationConverged]]. */
   private def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame =
-    adj.join(labels.select(col("node").as("v"), col("lab").as("nlab")), Seq("v"))
-      .select(explode(col("us")).as("u"), col("nlab"))
-      .groupBy(col("u"), col("nlab")).agg(count(lit(1)).as("c"))
-      .groupBy(col("u"))
+    adj.join(labels.select(col("node").as("u"), col("lab").as("nlab")), Seq("u"))
+      .select(explode(col("vs")).as("rcv"), col("nlab"))
+      .groupBy(col("rcv"), col("nlab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("rcv"))
       .agg(max(struct(col("c"), (-col("nlab")).as("neg"))).as("m"))
-      .select(col("u").as("node"), (-col("m.neg")).as("lab"))
+      .select(col("rcv").as("node"), (-col("m.neg")).as("lab"))
 
   /** Run-to-convergence LPA — synchronous rounds until NO label changes
     * (a true fixpoint: one more round reproduces the same assignment,
@@ -595,7 +629,7 @@ object Graphs {
       edges: org.apache.spark.sql.DataFrame,
       maxRounds: Int): org.apache.spark.sql.DataFrame = {
     val adj = lpaAdj(edges)
-    var labels = cutBase(adj.select(col("v").as("node"), col("v").as("lab")))
+    var labels = cutBase(adj.select(col("u").as("node"), col("u").as("lab")))
     var round0 = 0
     var changed = 1L
     while (round0 < maxRounds && changed > 0) {
@@ -623,9 +657,10 @@ object Graphs {
     * the wire, and the loop would checkpoint per round (the
     * [[connectedComponents]] posture). */
   val l40LabelProp: graft.ops.Relational.Q = (s, d) =>
-    // simpleGraph: coOccurrenceEdges is distinct by construction, so the
-    // round-1 min(neighbor) shortcut is exact (see labelPropagation)
-    labelPropagation(coOccurrenceEdges(s, d), rounds = 3, simpleGraph = true)
+    // straight over the memoized adjacency — zero graph-build exchanges
+    // beyond the memo's own; simpleGraph: collect_set neighbors are
+    // distinct, so the round-1 min(neighbor) shortcut is exact
+    labelPropagationAdj(coOccurrenceAdj(s, d), rounds = 3, simpleGraph = true)
 
   /** Bounded-round k-core peel over ANY undirected simple edge list
     * (Seidman 1983 degeneracy peeling; the Batagelj–Zaveršnik shape run
@@ -634,24 +669,28 @@ object Graphs {
     * Fixed `rounds` (not run-to-fixpoint) keeps the result a pure
     * SQL-unrollable function of the graph — the l26/l40 determinism rule
     * — and is also how a 100 TB run bounds the iteration budget; each
-    * round is one degree aggregation + two semi-joins on the edge key,
-    * integer degrees on the wire, checkpoint per round (the CC posture).
-    * Returns survivors with their residual degree. */
-  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // DEGREE-DELTA peel (VERDICT r12 #3): the edge list is bidirected and
-    // materialized ONCE; each round mutates only the NODE-scale degree
-    // table — removed = nodes below k, survivors' degrees drop by their
-    // edge count to removed neighbors. Equivalent to rewriting the edge
-    // list with two semi-joins per round (a survivor's new degree = edges
-    // to other survivors), but the per-round materialization is node-scale
-    // instead of edge-scale: the prior composed edge-rewrite plan
-    // re-expanded the previous round's subtree under each of its three
-    // references and measured 29.1 s at 10× vs the 8.3 s sum of its own
-    // forced phases (judge probe, r12). Per round: one scan of the
-    // materialized bi (semi-join against the broadcast-size removed set)
-    // + one degree-decrement agg + one node-scale join.
-    val bi = kcoreEdges(edges)
-    var deg = cutBase(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    * round is one node-scale removed join + one map-side neighbor-list
+    * explode, integer degrees on the wire, checkpoint per round (the CC
+    * posture). Returns survivors with their residual degree. */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcorePeelAdj(kcoreAdj(edges), k, rounds)
+
+  /** k-core peel core over a MATERIALIZED bidirected adjacency table
+    * (u, vs) — the declared l46/l46b pass [[coOccurrenceAdj]] directly;
+    * the edge-input overload above groups arbitrary registry edges via
+    * [[kcoreAdj]] (collect_list preserves multigraph degree semantics).
+    *
+    * DEGREE-DELTA peel (VERDICT r12 #3, reshaped r21): the adjacency is
+    * materialized ONCE; each round mutates only the NODE-scale degree
+    * table — removed = nodes below k, survivors' degrees drop by their
+    * edge count to removed neighbors. The initial degree table is
+    * size(vs), no aggregation; each round's decrement joins the
+    * NODE-scale adjacency against the (shrinking) removed set and
+    * explodes only the removed nodes' neighbor lists map-side — the
+    * former shape scanned the FULL edge-scale bidirected table per round
+    * for its left_semi + groupBy(v). */
+  private[graft] def kcorePeelAdj(adj: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var deg = cutBase(adj.select(col("u"), size(col("vs")).cast("long").as("deg")))
     var r = 1
     var peeling = true
     while (r <= rounds && peeling) {
@@ -660,16 +699,13 @@ object Graphs {
       // dec is empty, the anti-join drops nothing, every degree is
       // unchanged — and so is every later round (the degree table is the
       // loop's entire state). Skipping them changes no result row, only
-      // the cost: each skipped round is a full scan of the bidirected
-      // edge table + a v-keyed exchange, paid for nothing on a graph
-      // already at its k-core (l46's k=3 removes zero nodes at every SF —
-      // three edge-scale passes for three identities). The check itself
-      // is a limit-1 probe of the materialized node-scale degree table.
+      // the cost (l46's k=3 removes zero nodes at every SF). The check
+      // itself is a limit-1 probe of the materialized degree table.
       if (removed.isEmpty) peeling = false
       else {
-        val dec = bi.join(removed, Seq("u"), "left_semi")
-          .groupBy(col("v")).agg(count(lit(1)).as("dec"))
-          .select(col("v").as("u"), col("dec"))
+        val dec = adj.join(removed, Seq("u"))
+          .select(explode(col("vs")).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("dec"))
         deg = deg.join(removed, Seq("u"), "left_anti")
           .join(dec, Seq("u"), "left")
           .select(col("u"),
@@ -693,28 +729,27 @@ object Graphs {
     * so the edge COUNT is the free convergence signal — no edge-level
     * diff join; per-round materialization runs under the CC loop's dual
     * posture. */
-  /** The bidirected (u, v) edge table both k-core variants peel over,
-    * built ONCE before the rounds (the hoist that measurably helped —
-    * l46 10×: 18.93 → 12.83 s in r14). The u-repartition before the cut
-    * does NOT survive the checkpoint under AQE (UnknownPartitioning —
-    * the same finding as contribEdges, tools/NoBroadcastProbe r15), and
-    * an r15 drop-the-repartition experiment measured NEUTRAL within
-    * noise in both directions (sf0.1: l40 3.55→3.19 / l46 2.76→2.42 /
-    * l46b 3.74→4.09; 10×: 16.39→15.58 / 12.75→13.28 / 13.71→14.90), so
-    * it stays as written rather than churn on an unmeasurable delta. */
-  private def kcoreEdges(edges: DataFrame): DataFrame =
+  /** The bidirected adjacency table the edge-input k-core overloads peel
+    * over, built ONCE before the rounds (the hoist that measurably helped
+    * — l46 10×: 18.93 → 12.83 s in r14; reshaped to adjacency arrays in
+    * r21 so per-round work is node-scale). collect_list keeps duplicate
+    * neighbors, so a multigraph input's degree semantics (degree = edge
+    * endpoints, counting multiplicity) are exactly the former bidirected
+    * edge table's. */
+  private def kcoreAdj(edges: DataFrame): DataFrame =
     cutBase(edges.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(edges.select(col("sb").as("u"), col("sa").as("v")))
-      .repartition(col("u")))
+      .groupBy(col("u")).agg(collect_list(col("v")).as("vs")))
 
   private[graft] def kcorePeelConverged(edges: DataFrame, k: Int,
       maxRounds: Int): DataFrame = {
-    // Same degree-delta shape as [[kcorePeel]]; the convergence signal is
-    // the REMOVED-node count (node-scale, and the natural monotone signal
-    // of delta peeling — no node below k means one more round is the
-    // identity, the true Seidman fixpoint asserted in GraphsReliableSpec).
-    val bi = kcoreEdges(edges)
-    var deg = cutBase(bi.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    // Same degree-delta shape as [[kcorePeelAdj]]; the convergence signal
+    // is the REMOVED-node count (node-scale, and the natural monotone
+    // signal of delta peeling — no node below k means one more round is
+    // the identity, the true Seidman fixpoint asserted in
+    // GraphsReliableSpec).
+    val adj = kcoreAdj(edges)
+    var deg = cutBase(adj.select(col("u"), size(col("vs")).cast("long").as("deg")))
     var round0 = 0
     var nRemoved = 1L
     while (round0 < maxRounds && nRemoved > 0) {
@@ -722,9 +757,9 @@ object Graphs {
       val removed = deg.where(col("deg") < k).select(col("u"))
       nRemoved = removed.count()
       if (nRemoved > 0) {
-        val dec = bi.join(removed, Seq("u"), "left_semi")
-          .groupBy(col("v")).agg(count(lit(1)).as("dec"))
-          .select(col("v").as("u"), col("dec"))
+        val dec = adj.join(removed, Seq("u"))
+          .select(explode(col("vs")).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("dec"))
         deg = cutLoop(
           deg.join(removed, Seq("u"), "left_anti")
             .join(dec, Seq("u"), "left")
@@ -753,7 +788,7 @@ object Graphs {
     * link-graph corpora, and the standard pre-filter before expensive
     * community/centrality passes since peeling is edge-linear). */
   val l46Kcore: graft.ops.Relational.Q = (s, d) =>
-    kcorePeel(coOccurrenceEdges(s, d), k = 3, rounds = 3)
+    kcorePeelAdj(coOccurrenceAdj(s, d), k = 3, rounds = 3)
 
   /** L46b: the same peel with a k that ACTUALLY REMOVES nodes on the
     * declared data (VERDICT r13 perf note: at k=3 the fixture removes
@@ -768,7 +803,7 @@ object Graphs {
     * 19472 → 19415 → 19408. Same operator, same plan — only the
     * threshold differs. */
   val l46bKcoreDeep: graft.ops.Relational.Q = (s, d) =>
-    kcorePeel(coOccurrenceEdges(s, d), k = 75, rounds = 3)
+    kcorePeelAdj(coOccurrenceAdj(s, d), k = 75, rounds = 3)
 
   /** L51: market-basket association (support + lift per co-purchased part
     * pair — the classic Apriori-style "frequently bought together"

@@ -16,7 +16,7 @@ object R21Plans {
     * query hides behind an eager localCheckpoint (the explain of the
     * declared query shows only the checkpoint scan). */
   private val internal: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("cooccur_edges" -> ((s, d) => graft.ops.Graphs.coOccurrenceEdgesPlan(s, d)))
+    Map("cooccur_edges" -> ((s, d) => graft.ops.Graphs.coOccurrenceAdjPlan(s, d)))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: R21Plans <tag> <q1,q2,...>")
