@@ -150,12 +150,19 @@ object EventOps {
     val base = Tables.microTs(ev, tsCol)
       .withColumn("ts_us", us(col(tsCol)))
       .withColumn("bucket_us", col("ts_us") - col("ts_us") % bucketUs)
-    val bounds = base.groupBy(col(key))
+    val counts = base.groupBy(col(key), col("bucket_us"))
+      .agg(count(lit(1)).as("n"), sum(Relational.cents(col(valueCol))).as("c"))
+    // bounds derive from the (key, bucket) AGGREGATE, not from base (r21,
+    // guide §2.4): aggregating base separately re-scanned the event table
+    // (and re-paid the per-row µs arithmetic) for a min/max the
+    // bucket-level rollup already determines — min/max of bucket_us over
+    // distinct (key, bucket) rows equals min/max over the raw rows. Both
+    // consumers now sit on the SAME (key, bucket) exchange, so
+    // ReuseExchange runs the scan + rollup once.
+    val bounds = counts.groupBy(col(key))
       .agg(min(col("bucket_us")).as("b0"), max(col("bucket_us")).as("b1"))
     val spine = bounds.select(col(key),
       explode(sequence(col("b0"), col("b1"), lit(bucketUs))).as("bucket_us"))
-    val counts = base.groupBy(col(key), col("bucket_us"))
-      .agg(count(lit(1)).as("n"), sum(Relational.cents(col(valueCol))).as("c"))
     spine.join(counts, Seq(key, "bucket_us"), "left")
       .select(col(key), col("bucket_us"),
         coalesce(col("n"), lit(0L)).as("n_events"),
@@ -267,9 +274,15 @@ object EventOps {
       .rowsBetween(-24, -1)
     val dev = col("n_base") * col("value_cents") - col("s_base")
     series
+      // the square is projected BEFORE the window (r21): as an inline
+      // window-input expression it forced Catalyst to split a second
+      // Window operator (plans/r21/e9_anomaly_after.txt pre-fix,
+      // operators 19-21) — three frame aggregates over plain columns
+      // collapse into ONE Window pass over the series
+      .withColumn("v2", col("value_cents") * col("value_cents"))
       .withColumn("n_base", count(col("value_cents")).over(w))
       .withColumn("s_base", sum(col("value_cents")).over(w))
-      .withColumn("q_base", sum(col("value_cents") * col("value_cents")).over(w))
+      .withColumn("q_base", sum(col("v2")).over(w))
       .where(col("n_base") >= 8 &&
         dev * dev > lit(9L) * (col("n_base") * col("q_base") - col("s_base") * col("s_base")))
       .select(col("user_id"), col("bucket_us").as("hour_us"),

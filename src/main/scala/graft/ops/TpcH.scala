@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -364,15 +365,20 @@ object TpcH {
         col("n_name"))
     val psEu = Tables.partsupp(s, d)
       .join(euSupp, col("ps_suppkey") === col("s_suppkey"))
-    val minCost = psEu.groupBy(col("ps_partkey"))
-      .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
-      .withColumnRenamed("ps_partkey", "mk")
+    // per-part min as a PARTITION WINDOW, not a groupBy + re-join (r21,
+    // guide §2.4): the min-cost self-join duplicated the entire psEu
+    // subtree — lineitem was scanned + distinct-aggregated once per side
+    // (plans/r21/tq2_min_cost_supplier_before.txt, operators 1-22 vs
+    // 25-50) — and closed with a sort-merge join. One ps_partkey-keyed
+    // window computes the same min in place; the equality filter keeps
+    // exactly the min-cost rows (identical result set).
+    val wMin = Window.partitionBy(col("ps_partkey"))
     val prt = Tables.part(s, d)
       .where(col("p_size") <= 15 && col("p_type") === "ECONOMY")
       .select(col("p_partkey"), col("p_name"))
     psEu
-      .join(minCost, col("ps_partkey") === col("mk") &&
-        col("ps_supplycost_cents") === col("min_cost_cents"))
+      .withColumn("min_cost_cents", min(col("ps_supplycost_cents")).over(wMin))
+      .where(col("ps_supplycost_cents") === col("min_cost_cents"))
       .join(prt, col("ps_partkey") === col("p_partkey"))
       .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"), col("s_suppkey"),
@@ -402,9 +408,17 @@ object TpcH {
       .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost_cents") * col("ps_availqty")).as("val_cents"))
-    val total = natPs.agg(sum(col("val_cents")).as("total_cents"))
-    natPs.groupBy(col("ps_partkey"))
+    // the grand total derives from the PER-PART rollup, not from natPs
+    // directly (r21, guide §2.4): aggregating natPs twice duplicated the
+    // whole partsupp-derivation subtree — lineitem scanned +
+    // distinct-aggregated once per consumer (12 scans in
+    // plans/r21/tq11_important_stock_before.txt). Sum-of-sums is the
+    // identical exact cents-long total, and both consumers now sit on
+    // the same ps_partkey exchange, which ReuseExchange runs once.
+    val perPart = natPs.groupBy(col("ps_partkey"))
       .agg(sum(col("val_cents")).as("value_cents"))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart
       .join(broadcast(total), col("value_cents") * lit(1000L) > col("total_cents"))
       .select(col("ps_partkey"), col("value_cents"))
   }
