@@ -352,11 +352,18 @@ object Graphs {
       .unionByName(edges.select(col("dst").as("node"))).distinct())
     val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val ew = contribEdges(edges)
-    var pr = nodes.crossJoin(nN)
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    var pr: DataFrame = null
     for (i <- 1 to iters) {
-      val inflow = ew
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      // round 1 reads the UNIFORM pr0 = 1/N straight off the edge table
+      // (r21, guide §2.4): the join against the initial rank vector only
+      // attached the same constant to every edge row — per-row terms are
+      // bit-identical ((1.0/N)·w/outw), one edge-scale join gone. No
+      // precondition: pr0 is uniform by definition on any graph.
+      val inflow = (if (i == 1)
+          ew.crossJoin(nN)
+            .select(col("dst"), (lit(1.0) / col("n_nodes")).as("pr"),
+              col("w"), col("outw"))
+        else ew.join(pr.withColumnRenamed("node", "src"), Seq("src")))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
       pr = cutRound(nodes.crossJoin(nN)
@@ -365,6 +372,9 @@ object Graphs {
           (lit(1.0 - damping) / col("n_nodes") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr")), i, iters)
     }
+    if (pr == null)
+      pr = nodes.crossJoin(nN)
+        .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
     pr.select(col("node"), round(col("pr"), 8).as("pr"))
   }
 
@@ -392,8 +402,14 @@ object Graphs {
     var delta = Double.MaxValue
     while (round0 < maxRounds && delta >= tol) {
       round0 += 1
-      val inflow = ew
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+      // round-1 uniform-vector shortcut — see [[pageRank]] (per-row terms
+      // bit-identical; the delta join below still reads the materialized
+      // pr0, which is also the L1 baseline)
+      val inflow = (if (round0 == 1)
+          ew.crossJoin(nN)
+            .select(col("dst"), (lit(1.0) / col("n_nodes")).as("pr"),
+              col("w"), col("outw"))
+        else ew.join(pr.withColumnRenamed("node", "src"), Seq("src")))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") * col("w") / col("outw")).as("inflow"))
       val next = cutLoop(nodes.crossJoin(nN)
