@@ -1658,9 +1658,21 @@ object TextOps {
       .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("s"))
       .select(col("source"), shingleKey(col("s"), hashBits).as("h")).distinct()
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    ss.select(col("source").as("sa"), col("h"))
-      .join(ss.select(col("source").as("sb"), col("h")), Seq("h"))
-      .where(col("sa") < col("sb"))
+    // per-shingle source arrays instead of the h-keyed self-join (r21,
+    // guide §2.4, the l5c/basketPairs shape): one grouped aggregation and
+    // map-side (sa < sb) pair emission from the sorted array. Unlike
+    // l28/l5 — where this shape was probed and REJECTED because a hot
+    // shingle's bucket can't be skew-split — a bucket here is bounded by
+    // the SOURCE COUNT (a shingle appears once per source after the
+    // distinct), so the per-bucket expansion is at most #sources², a
+    // corpus-size-independent constant. */
+    val buckets = ss.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    buckets
+      .select(posexplode(col("srcs")).as(Seq("i", "sa")), col("srcs"))
+      .select(col("sa"),
+        explode(slice(col("srcs"), col("i") + lit(2), size(col("srcs")))).as("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("source").as("sa"), col("n").as("n_a")), Seq("sa"))
       .join(sizes.select(col("source").as("sb"), col("n").as("n_b")), Seq("sb"))
@@ -1745,10 +1757,17 @@ object TextOps {
   private def dsirScore(gs: DataFrame, gt: DataFrame): DataFrame = {
     val ct = gt.groupBy(col("gh")).agg(count(lit(1)).as("ct"))
     val cs = gs.groupBy(col("gh")).agg(count(lit(1)).as("cs"))
-    val stats = gt.select(col("gh")).unionByName(gs.select(col("gh")))
+    // corpus stats derive from the COUNT TABLES, not the raw gram streams
+    // (r21, guide §2.4): nt/ns as plain counts of gt/gs had no exchange to
+    // reuse, so each re-ran the tokenize+gram explode; sum-of-counts is
+    // the identical stream length, the count tables' keys are exactly the
+    // distinct grams, and every stat now sits behind the ct/cs exchanges
+    // ReuseExchange already runs once. coalesce: an empty side sums to
+    // NULL where count() gave 0 — same 0 either way.
+    val stats = ct.select(col("gh")).unionByName(cs.select(col("gh")))
       .agg(count_distinct(col("gh")).as("v"))
-      .crossJoin(gt.agg(count(lit(1)).as("nt")))
-      .crossJoin(gs.agg(count(lit(1)).as("ns")))
+      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
+      .crossJoin(cs.agg(coalesce(sum(col("cs")), lit(0L)).as("ns")))
     gs.join(ct, Seq("gh"), "left").na.fill(Map("ct" -> 0L))
       .join(cs, Seq("gh"))
       .crossJoin(broadcast(stats))
