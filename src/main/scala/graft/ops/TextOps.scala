@@ -1522,25 +1522,36 @@ object TextOps {
     * as round(·,6) on double arithmetic ordered identically in both
     * engines; row identity is the integer (wa, wb, counts) core. */
   private[graft] def pmiFrames(docs: DataFrame, win: Int = 2): DataFrame = {
-    val tok = docs.withColumn("t", toks(col("text")))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
-    val slots = (1 to win).map(k =>
-      tok.select(col("doc_id"), (col("pos") + k).as("pos"), col("w").as("wa")))
-      .reduce(_ union _)
-    // SHUFFLE_HASH: both sides are the posexploded token stream (slots is
-    // it ×win) — corpus-scale with the static through-Generate estimate
-    // lie (l5 trap class); the pair join must shuffle on (doc_id, pos).
-    val pairs = slots.join(
-      tok.withColumnRenamed("w", "wb").hint("shuffle_hash"), Seq("doc_id", "pos"))
+    // Window-k co-occurrence pairs are a pure per-row function of the
+    // token array, generated MAP-SIDE (r21, guide §2.4): the former shape
+    // posexploded the corpus into a (doc_id, pos) stream and self-joined
+    // it (×win slots) — two corpus-scale exchanges for pairs the row
+    // already contains. The doc_id not-null guard reproduces the join's
+    // null-key drop exactly.
+    val pairs = docs.where(col("doc_id").isNotNull)
+      .withColumn("t", toks(col("text")))
+      .select(explode(flatten(
+        transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(0))), i =>
+          transform(sequence(lit(1), least(lit(win), size(col("t")) - i)), k =>
+            struct(element_at(col("t"), i).as("wa"),
+              element_at(col("t"), i + k).as("wb")))))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
     val counts = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
-    counts
-      .withColumn("ca", sum(col("n_ab")).over(Window.partitionBy(col("wa"))))
-      .withColumn("cb", sum(col("n_ab")).over(Window.partitionBy(col("wb"))))
-      .withColumn("n_total", sum(col("n_ab")).over(Window.partitionBy()))
+    // marginals as aggregate + join, the grand total as a 1-row broadcast
+    // cross (r21): the former Window.partitionBy() moved the ENTIRE
+    // vocab²-scale count table to ONE partition for n_total — the
+    // single-partition window is a scale-killer at corpus vocabulary
+    // size — and the wa/wb windows each paid a partition SORT a hash
+    // aggregate + join (AQE-broadcast at fixture scale) doesn't.
+    val ca = counts.groupBy(col("wa")).agg(sum(col("n_ab")).as("ca"))
+    val cb = counts.groupBy(col("wb")).agg(sum(col("n_ab")).as("cb"))
+    val tot = counts.agg(sum(col("n_ab")).as("n_total"))
+    counts.join(ca, Seq("wa")).join(cb, Seq("wb"))
+      .crossJoin(broadcast(tot))
       .withColumn("pmi",
         round(log(col("n_ab").cast("double") * col("n_total") /
           (col("ca").cast("double") * col("cb"))), 6))
-      .drop("n_total")
+      .select(col("wa"), col("wb"), col("n_ab"), col("ca"), col("cb"), col("pmi"))
   }
 
   val l30PmiCooccur: Q = (s, d) => pmiFrames(Tables.documentsWide(s, d), win = 2)

@@ -237,12 +237,21 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"unkeyed join in containment plan:\n$plan")
   }
 
-  test("l30 PMI: slot-key equi-joins only, never a per-doc token self-join") {
+  test("l30 PMI: map-side pairs, keyed marginal joins; only the 1-row total cross is unkeyed") {
     val plan = executed(graft.SparkEntry.queries("l30_pmi_cooccur")(spark, sfDir))
-    val bad = collectAll(plan).filter(p =>
+    val all = collectAll(plan)
+    val bad = all.filter(p =>
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
-    assert(bad.isEmpty, s"unkeyed join in PMI plan:\n$plan")
+    // exactly one unkeyed join by construction: the 1-row n_total cross
+    // (the l41/l44 stats-cross pattern); a second means a token cross
+    // join crept in
+    assert(bad.size <= 1, s"unkeyed join beyond the 1-row total cross in PMI plan:\n$plan")
+    // r21: pairs generate map-side from the token array — the former
+    // (doc_id, pos) slot self-join must not resurface, so the only joins
+    // are the two marginal attaches + the total cross
+    val joins = all.filter(p => p.nodeName.toLowerCase.contains("join"))
+    assert(joins.size <= 3, s"slot self-join resurfaced (${joins.size} joins):\n$plan")
   }
 
   test("e5 gap fill: spine joins counts on (user, hour) — no unkeyed join") {
