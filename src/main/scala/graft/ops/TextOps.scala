@@ -1752,7 +1752,14 @@ object TextOps {
   val l41DsirWeights: Q = (s, d) => {
     val grams = dsirGrams(tokenized(s, d))
     val isTarget = col("doc_id") % 20 === 0
-    dsirScore(grams.where(!isTarget), grams.where(isTarget))
+    // ONE tagged gram stream instead of two filtered copies (r22, guide
+    // §2.4): dsirScore's old (gs, gt) split re-ran the tokenize+gram
+    // explode under every consumer — 7 Generate subtrees in the r21 plan,
+    // zero ReusedExchange (each consumer prunes a different column set, so
+    // the exchanges never unify). The tagged core runs the explode once
+    // for the count table and once for the scoring stream.
+    dsirScoreTagged(grams.withColumn("is_t", isTarget)
+      .where(col("is_t").isNotNull))
   }
 
   /** Unigram+bigram feature stream of a tokenized frame, hashed to 8-byte
@@ -1765,22 +1772,44 @@ object TextOps {
           "ELSE CAST(array() AS array<string>) END"))).as("g"))
       .select(col("doc_id"), shingleKey(col("g"), hashBits).as("gh"))
 
-  private def dsirScore(gs: DataFrame, gt: DataFrame): DataFrame = {
-    val ct = gt.groupBy(col("gh")).agg(count(lit(1)).as("ct"))
-    val cs = gs.groupBy(col("gh")).agg(count(lit(1)).as("cs"))
-    // corpus stats derive from the COUNT TABLES, not the raw gram streams
-    // (r21, guide §2.4): nt/ns as plain counts of gt/gs had no exchange to
-    // reuse, so each re-ran the tokenize+gram explode; sum-of-counts is
-    // the identical stream length, the count tables' keys are exactly the
-    // distinct grams, and every stat now sits behind the ct/cs exchanges
-    // ReuseExchange already runs once. coalesce: an empty side sums to
-    // NULL where count() gave 0 — same 0 either way.
-    val stats = ct.select(col("gh")).unionByName(cs.select(col("gh")))
-      .agg(count_distinct(col("gh")).as("v"))
-      .crossJoin(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
-      .crossJoin(cs.agg(coalesce(sum(col("cs")), lit(0L)).as("ns")))
-    gs.join(ct, Seq("gh"), "left").na.fill(Map("ct" -> 0L))
-      .join(cs, Seq("gh"))
+  private def dsirScore(gs: DataFrame, gt: DataFrame): DataFrame =
+    dsirScoreTagged(gs.withColumn("is_t", lit(false))
+      .unionByName(gt.withColumn("is_t", lit(true))))
+
+  /** DSIR score core over ONE tagged gram stream (doc_id, gh, is_t).
+    *
+    * Shape (r22, guide §2.4 + §8 "decide with small rows"): the old
+    * (gs, gt) form built SIX derived aggregates off the two raw streams
+    * (ct, cs, v, nt, ns, plus the score join's probe side) and every one
+    * re-ran the tokenize+gram explode — 7 Generate subtrees in the
+    * committed r21 plan with zero ReusedExchange, because each consumer
+    * prunes a different column set and the exchanges never unify. Now ONE
+    * gh-keyed aggregation over the tagged stream yields the joint count
+    * table (ct, cs per gram); it is localCheckpointed (vocabulary-scale —
+    * distinct grams, NOT token-scale; the same table the score join must
+    * build anyway, and the repo's established per-invocation device,
+    * released by core.Caches between runs), so the 1-row stats (v = row
+    * count, nt/ns = column sums — identical values by construction: the
+    * count tables' keys are exactly the distinct grams and sum-of-counts
+    * is the stream length) and the scoring join BOTH read the
+    * materialized table. Total explode passes: 2 (count + score) instead
+    * of 7; the raw token-scale stream is never materialized. */
+  private def dsirScoreTagged(tagged: DataFrame): DataFrame = {
+    val full = tagged.groupBy(col("gh"))
+      .agg(count_if(col("is_t")).as("ct"), count_if(!col("is_t")).as("cs"))
+      .localCheckpoint()
+    // coalesce: an empty corpus sums to NULL where count() gave 0
+    val stats = full.agg(count(lit(1)).as("v"),
+      coalesce(sum(col("ct")), lit(0L)).as("nt"),
+      coalesce(sum(col("cs")), lit(0L)).as("ns"))
+    // SHUFFLE_HASH on the count table (the l5-trap discipline): the
+    // scoring stream is a raw THROUGH-GENERATE side whose static size
+    // estimate is the pre-explode lie, so an unhinted plan statically
+    // broadcasts the exploded gram stream — executor-OOM at corpus scale.
+    // The hint shuffles both sides on the 8-byte gh; the vocab-scale
+    // build stays cache-sized per partition at any corpus size.
+    tagged.where(!col("is_t"))
+      .join(full.hint("shuffle_hash"), Seq("gh"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
