@@ -265,27 +265,66 @@ object TextOps {
     // a pure function of the corpus, identical for every doc. (df, sv)
     // is unique per doc (hs arrays are distinct), so the struct sort is
     // exactly the former row_number ordering.
+    // posexplode: `p` is the token's 0-based rank in the doc's GLOBAL
+    // (df, hash) order — the prefix is the first p_max elements of that
+    // order, so position-in-prefix IS position-in-doc. Carried so the
+    // candidate stage can run PPJoin's positional filter (Xiao et al.
+    // WWW 2008) — exact, see below.
     val pref = ex.join(dfT.hint("shuffle_hash"), Seq("sv"))
       .groupBy(col("doc_id"))
       .agg(first(col("n")).as("n"),
         sort_array(collect_list(struct(col("df"), col("sv")))).as("rs"))
       .select(col("doc_id"), col("n"),
-        explode(slice(col("rs"), lit(1),
-          (col("n") - ceil(lit(tau) * col("n")) + lit(1)).cast("int"))).as("r"))
-      .select(col("r.sv").as("sv"), col("doc_id"), col("n"))
+        posexplode(slice(col("rs"), lit(1),
+          (col("n") - ceil(lit(tau) * col("n")) + lit(1)).cast("int")))
+          .as(Seq("p", "r")))
+      .select(col("r.sv").as("sv"), col("doc_id"), col("n"), col("p"))
     // prefix-shingle buckets grouped once; candidates emitted map-side
-    // from the sorted (doc_id, n) array — rarest-first bucket sizes are
+    // from the sorted (doc_id, n, p) array — rarest-first bucket sizes are
     // bounded by the prefix filter exactly as the self-join's were
     val buckets = pref.groupBy(col("sv"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("p"))))
+        .as("ds"))
       .where(size(col("ds")) >= 2)
+    // POSITIONAL filter (r22, guide §1.2 "the distributed algorithm"):
+    // the prefix filter alone passed 596k candidate pairs at sf0.1 for
+    // 256 final rows, and the verification join owned ~1.5 s of the 3.1 s
+    // wall — the exact PPJoin position bound prunes BEFORE the verify
+    // join touches the per-doc arrays. Common tokens of two docs appear
+    // in the SAME global (df, hash) order in both, so a pair's FIRST
+    // common token has simultaneously minimal (pa, pb) — min(pa), min(pb)
+    // over a pair's collisions therefore belong to one token, no prior
+    // common token exists before it, and total overlap is bounded by
+    // 1 + min(na−pa−1, nb−pb−1). J ≥ τ ⟺ overlap ≥ τ/(1+τ)·(na+nb), and
+    // at τ = 0.3 = 3/10 that is overlap ≥ 3·(na+nb)/13 — checked in EXACT
+    // integer arithmetic (13·ubound ≥ 3·(na+nb)), so no float rounding
+    // can prune a boundary pair. Recall stays 100% by construction; the
+    // groupBy replaces the former `.distinct()` on the same keys (same
+    // exchange), so the filter is free of new shuffles.
+    require(tau == 0.3, "positional filter constants assume tau = 3/10")
     val cand = buckets
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a.doc_id").as("da"), col("a.n").as("na"),
+      .select(col("a.doc_id").as("da"), col("a.n").as("na"), col("a.p").as("pa"),
         explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
-      .select(col("da"), col("na"), col("b.doc_id").as("db"), col("b.n").as("nb"))
+      .select(col("da"), col("na"), col("pa"),
+        col("b.doc_id").as("db"), col("b.n").as("nb"), col("b.p").as("pb"))
       .where(col("na") >= lit(tau) * col("nb") && col("nb") >= lit(tau) * col("na"))
-      .select(col("da"), col("db")).distinct()
+      .groupBy(col("da"), col("db"))
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        min(col("pa")).as("pa"), min(col("pb")).as("pb"),
+        max(col("pa")).as("qa"), max(col("pb")).as("qb"),
+        count(lit(1)).as("c"))
+      // second exact bound: a pair's collisions are a PREFIX of its
+      // common-token sequence (positions ascend in both docs, so once a
+      // common token passes one prefix bound, all later ones do) — every
+      // further common token lies after the LAST collision in both docs,
+      // so overlap ≤ c + min(na−1−max_pa, nb−1−max_pb). Both bounds hold;
+      // prune on the tighter one.
+      .where(lit(13L) * least(
+          lit(1L) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1),
+          col("c") + least(col("na") - col("qa") - 1, col("nb") - col("qb") - 1)) >=
+        lit(3L) * (col("na") + col("nb")))
+      .select(col("da"), col("db"))
     cand
       .join(docs.select(col("doc_id").as("da"), col("hs").as("hsa")), Seq("da"))
       .join(docs.select(col("doc_id").as("db"), col("hs").as("hsb")), Seq("db"))
