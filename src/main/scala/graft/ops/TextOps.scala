@@ -658,33 +658,29 @@ object TextOps {
   private def l5cSketch(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     // simhash: for each bit, sign(sum over distinct tokens of ±1). One pass:
-    // explode distinct tokens, hash each ONCE, and take the 64 bit-votes as
-    // 64 cheap bit-twiddle sums in a single grouped aggregation — instead of
-    // 64 aggregate() lambdas each re-hashing the whole token array.
+    // explode distinct tokens, hash each ONCE, and fold the 64 bit-votes +
+    // count in the native simhash_votes aggregate (r22,
+    // functions/SimhashVotes — the r17 minhash_sketch device): the former
+    // 65-column expression form (64 `sum(shiftright(h,b)&1)` + count)
+    // updated 65 separate sum buffers per row and owned ~0.6 s of the
+    // sketch at sf0.1; the imperative long[65] buffer does the same
+    // arithmetic in one 64-iteration primitive loop, and eval applies the
+    // identical integer majority vote (bit b iff 2·s_b > n) — the simhash
+    // long is bit-identical (pinned in ApproxOpsSpec).
+    graft.functions.SimhashVotes.register(s)
     val tokens = Tables.documentsWide(s, d)
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    // Branch-free bit votes: s_b = Σ bit_b(h) and n = token count give
-    // vote_b = 2·s_b − n, identical sign to the ±1 formulation but ~5×
-    // cheaper in the aggregate (shift+and+sum, no per-bit conditional).
-    val bitCols = (0 until 64).map { bit =>
-      sum(shiftright(col("h"), bit).bitwiseAND(1)).as(s"s$bit")
-    }
-    val votes = tokens.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), bitCols: _*)
     // MATERIALIZED once (eager localCheckpoint): both self-join sides read
     // the (doc_id, simhash) sketch — 16 bytes per doc. ReuseExchange does
     // NOT cover this: AQE turns the band self-join into a BROADCAST join
     // (the banded sketch is small), and a broadcast build side has no
     // exchange to reuse — the plan dump showed the tokenize→explode→
-    // 64-bit-vote aggregation, the CPU-dominant stage, duplicated into
+    // bit-vote aggregation, the CPU-dominant stage, duplicated into
     // both sides. Same posture as the minhash signature index: sketches
     // are built once, probed many times.
-    votes.select(
-      col("doc_id"),
-      (0 until 64).map { bit =>
-        when(col(s"s$bit") * 2 > col("n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    tokens.groupBy(col("doc_id"))
+      .agg(call_function("simhash_votes", col("h")).as("simhash"))
       .localCheckpoint(eager = true)
   }
 

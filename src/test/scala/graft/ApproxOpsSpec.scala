@@ -226,6 +226,25 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash_votes native aggregate is bit-identical to the 65-column expression form (r22)") {
+    graft.functions.SimhashVotes.register(spark)
+    val tokens = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val native = tokens.groupBy(col("doc_id"))
+      .agg(call_function("simhash_votes", col("h")).as("simhash"))
+    val bitCols = (0 until 64).map { bit =>
+      sum(shiftright(col("h"), bit).bitwiseAND(1)).as(s"s$bit")
+    }
+    val expr = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitCols: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { bit =>
+          when(col(s"s$bit") * 2 > col("n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    assert(native.exceptAll(expr).count() == 0 && expr.exceptAll(native).count() == 0)
+  }
+
   test("l5c simhash banding is complete: equals the exact O(n^2) hamming scan") {
     import org.apache.spark.sql.DataFrame
     val got = TextOps.l5cSimhash(spark, sfDir)
