@@ -363,7 +363,17 @@ object TpcH {
       .select(col("s_suppkey"), col("s_name"),
         round(col("s_acctbal") * 100).cast("long").as("s_acctbal_cents"),
         col("n_name"))
+    // SEMI prefilter before the payload join (r22): the inner join needs
+    // euSupp's columns so it can't become a semi itself, but a left_semi
+    // on the same key is pushed BELOW the partsupp derivation's
+    // distinct() (ps_suppkey is a grouping key), so the (partkey,
+    // suppkey) dedup exchange carries only EUROPE rows; the inner join
+    // then attaches the supplier payload to the already-reduced set.
+    // Row-identical: s_suppkey is unique, so the semi drops exactly the
+    // rows the inner join would drop.
     val psEu = Tables.partsupp(s, d)
+      .join(euSupp.select(col("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey"), "left_semi")
       .join(euSupp, col("ps_suppkey") === col("s_suppkey"))
     // per-part min as a PARTITION WINDOW, not a groupBy + re-join (r21,
     // guide §2.4): the min-cost self-join duplicated the entire psEu
@@ -404,8 +414,15 @@ object TpcH {
         .select(col("n_nationkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // LEFT SEMI, not inner (r22, guide §2.3 "shuffle fewer bytes"):
+    // s_suppkey is unique (supplier PK × one nation) and no column of
+    // natSupp survives the select, so the joins are row-identical — but
+    // only the semi form is pushed BELOW the partsupp derivation's
+    // distinct() by PushDownLeftSemiAntiJoin (ps_suppkey is a grouping
+    // key), so the (partkey, suppkey) dedup exchange carries one
+    // nation's rows instead of the whole fact projection.
     val natPs = Tables.partsupp(s, d)
-      .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      .join(natSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
       .select(col("ps_partkey"),
         (col("ps_supplycost_cents") * col("ps_availqty")).as("val_cents"))
     // the grand total derives from the PER-PART rollup, not from natPs
@@ -466,8 +483,11 @@ object TpcH {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+    // LEFT SEMI (r22): p_partkey is unique and unused downstream, and the
+    // semi form pushes below the partsupp distinct() (ps_partkey is a
+    // grouping key) — the dedup exchange sees only widget-part rows.
     val candidates = Tables.partsupp(s, d)
-      .join(widgetParts, col("ps_partkey") === col("p_partkey"))
+      .join(widgetParts, col("ps_partkey") === col("p_partkey"), "left_semi")
       .join(shipped, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .where(col("ps_availqty").cast("long") * 2 > col("sum_qty"))
@@ -540,8 +560,10 @@ object TpcH {
   val tq9ProductProfit: Q = (s, d) => {
     val boltParts = Tables.part(s, d)
       .where(col("p_name").endsWith("bolt")).select(col("p_partkey"))
+    // LEFT SEMI (r22): p_partkey unique, no part column survives — the
+    // semi pushes below the partsupp distinct() (see tq11).
     val ps = Tables.partsupp(s, d)
-      .join(boltParts, col("ps_partkey") === col("p_partkey"))
+      .join(boltParts, col("ps_partkey") === col("p_partkey"), "left_semi")
       .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost_cents"))
     val suppNat = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
