@@ -528,8 +528,13 @@ object Graphs {
     // intersection runs where the edge row lives. Each triangle
     // {u<v<w by rank} is counted exactly once, at its (u,v) edge.
     val adjOut = e.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
-    val tri = e
-      .join(adjOut.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+    // the u-side array attaches MAP-SIDE (r22, guide §2.4): adjOut is
+    // exactly e grouped by u, so exploding it regenerates every oriented
+    // edge (u, v) with nu already in hand — the former e ⋈ adjOut join
+    // (one edge-scale shuffle + hash build) was joining a frame to its
+    // own groupBy. Only the v-side attach remains a join.
+    val tri = adjOut
+      .select(col("u"), explode(col("nbrs")).as("v"), col("nbrs").as("nu"))
       .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
       .select(size(array_intersect(col("nu"), col("nv"))).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
